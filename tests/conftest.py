@@ -1,0 +1,112 @@
+"""Pytest fixtures for floodsr-tpu tests.
+
+Tests run on a virtual 8-device CPU mesh (the reference pattern recommended in
+SURVEY.md §4: single-host multi-device simulation via
+``xla_force_host_platform_device_count``) so sharded code paths are exercised
+without TPU hardware. Benchmarks target the real chip separately (bench.py).
+"""
+
+import hashlib
+import json
+import logging
+import os
+import pathlib
+
+# Must be configured before jax is imported anywhere in the test session.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Persistent compile cache: this box has one CPU core, so re-jitting between
+# test runs dominates wall time without it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-test")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import numpy as np
+import pytest
+
+
+# Keep case parameterization synced with tests/data/*/case_spec.json.
+TEST_TILE_CASES = tuple(
+    sorted(
+        case_spec.parent.name
+        for case_spec in (pathlib.Path(__file__).parent / "data").glob("*/case_spec.json")
+    )
+)
+
+
+def _read_tile_case(case_name: str) -> dict:
+    """Load one data-driven test case from tests/data."""
+    tile_dir = pathlib.Path(__file__).parent / "data" / case_name
+    case_spec_fp = tile_dir / "case_spec.json"
+    assert tile_dir.exists(), f"missing tile directory: {tile_dir}"
+    assert case_spec_fp.exists(), f"missing case spec artifact: {case_spec_fp}"
+    case_spec = json.loads(case_spec_fp.read_text(encoding="utf-8"))
+    assert {"inputs", "expected", "flags"} <= set(case_spec), (
+        f"invalid case spec shape for {case_name}: missing top-level keys"
+    )
+    assert {"lowres_fp", "dem_fp", "truth_fp"} <= set(case_spec["inputs"]), (
+        f"invalid case inputs for {case_name}"
+    )
+    for run_label, run_spec in case_spec["expected"].items():
+        assert "params" in run_spec and "metrics" in run_spec, (
+            f"invalid expected run block for {case_name}/{run_label}"
+        )
+        assert "model_version" in run_spec["params"]
+        assert {"mase_m", "rmse_m", "ssim"} <= set(run_spec["metrics"])
+    assert "in_hrdem" in case_spec["flags"]
+    return {
+        "case_name": case_name,
+        "tile_dir": tile_dir,
+        "case_spec_fp": case_spec_fp,
+        "case_spec": case_spec,
+    }
+
+
+@pytest.fixture(scope="session")
+def logger():
+    log = logging.getLogger("pytest")
+    log.setLevel(logging.DEBUG)
+    return log
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
+
+
+@pytest.fixture(scope="session")
+def tile_case_catalog():
+    """Metadata for all tracked data-driven tile cases."""
+    return {case_name: _read_tile_case(case_name) for case_name in TEST_TILE_CASES}
+
+
+@pytest.fixture
+def tile_case(request, tile_case_catalog):
+    case_name = request.param
+    assert case_name in tile_case_catalog, f"missing tile case in catalog: {case_name}"
+    return tile_case_catalog[case_name]
+
+
+@pytest.fixture(scope="function")
+def models_manifest_fp(tmp_path: pathlib.Path) -> pathlib.Path:
+    """Local one-model manifest pointing at a file:// blob with a real sha256."""
+    source_fp = tmp_path / "source_model.fsrz"
+    source_fp.write_bytes(b"cli-test-model")
+    sha256 = hashlib.sha256(source_fp.read_bytes()).hexdigest()
+    manifest = {
+        "models": {
+            "v-cli": {
+                "file_name": "model.fsrz",
+                "url": source_fp.as_uri(),
+                "sha256": sha256,
+                "description": "Local CLI test model.",
+            }
+        }
+    }
+    manifest_fp = tmp_path / "models.json"
+    manifest_fp.write_text(json.dumps(manifest), encoding="utf-8")
+    return manifest_fp
