@@ -1,0 +1,272 @@
+"""GeoTIFF read/write on top of the self-contained TIFF codec.
+
+Provides the rasterio-shaped surface the pipeline needs — profile dicts with
+``crs``/``transform``/``nodata``, single-band float32 defaults
+(reference: ``floodsr/io/rasterio_io.py:4-14``), and georeferencing tags
+(ModelPixelScale + ModelTiepoint, GeoKeyDirectory with EPSG codes,
+GDAL_NODATA) compatible with GDAL-written files.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+from floodsr_tpu.io import tiff as _tiff
+from floodsr_tpu.io.affine import Affine
+from floodsr_tpu.io.crs import CRS
+
+TAG_MODEL_PIXEL_SCALE = 33550
+TAG_MODEL_TIEPOINT = 33922
+TAG_MODEL_TRANSFORMATION = 34264
+TAG_GEO_KEY_DIRECTORY = 34735
+TAG_GEO_DOUBLE_PARAMS = 34736
+TAG_GEO_ASCII_PARAMS = 34737
+TAG_GDAL_NODATA = 42113
+
+GEOKEY_MODEL_TYPE = 1024
+GEOKEY_RASTER_TYPE = 1025
+GEOKEY_GEOGRAPHIC_TYPE = 2048
+GEOKEY_PROJECTED_CS_TYPE = 3072
+
+MODEL_TYPE_PROJECTED = 1
+MODEL_TYPE_GEOGRAPHIC = 2
+RASTER_PIXEL_IS_AREA = 1
+
+# Default GeoTIFF write options (reference: floodsr/io/rasterio_io.py:4-14).
+GEOTIF_OPTIONS = {
+    "driver": "GTiff",
+    "dtype": "float32",
+    "compress": "LZW",
+    "nodata": -9999,
+}
+
+
+def get_geotif_options() -> dict:
+    """Return a copy of default GeoTIFF options for safe per-call mutation."""
+    return dict(GEOTIF_OPTIONS)
+
+
+_COMPRESS_TO_TIFF = {
+    None: _tiff.COMPRESSION_NONE,
+    "NONE": _tiff.COMPRESSION_NONE,
+    "LZW": _tiff.COMPRESSION_LZW,
+    "DEFLATE": _tiff.COMPRESSION_DEFLATE_ADOBE,
+}
+_TIFF_TO_COMPRESS = {
+    _tiff.COMPRESSION_NONE: None,
+    _tiff.COMPRESSION_LZW: "LZW",
+    _tiff.COMPRESSION_DEFLATE_ADOBE: "DEFLATE",
+    _tiff.COMPRESSION_DEFLATE_OLD: "DEFLATE",
+    _tiff.COMPRESSION_PACKBITS: "PACKBITS",
+}
+
+
+def _crs_from_geokeys(tags: dict[int, object]) -> CRS | None:
+    directory = tags.get(TAG_GEO_KEY_DIRECTORY)
+    if directory is None:
+        return None
+    vals = list(directory) if isinstance(directory, tuple) else [directory]
+    if len(vals) < 4:
+        return None
+    num_keys = int(vals[3])
+    keys: dict[int, int] = {}
+    for k in range(num_keys):
+        base = 4 + 4 * k
+        if base + 3 >= len(vals):
+            break
+        key_id, location, count, value = (int(v) for v in vals[base : base + 4])
+        if location == 0:
+            keys[key_id] = value
+    epsg = keys.get(GEOKEY_PROJECTED_CS_TYPE) or keys.get(GEOKEY_GEOGRAPHIC_TYPE)
+    if epsg is None or epsg in (0, 32767):  # user-defined
+        return None
+    return CRS(epsg=epsg)
+
+
+def _transform_from_tags(tags: dict[int, object]) -> Affine | None:
+    model = tags.get(TAG_MODEL_TRANSFORMATION)
+    if model is not None and len(model) >= 8:
+        m = list(model)
+        return Affine(m[0], m[1], m[3], m[4], m[5], m[7])
+    scale = tags.get(TAG_MODEL_PIXEL_SCALE)
+    tiepoint = tags.get(TAG_MODEL_TIEPOINT)
+    if scale is None or tiepoint is None:
+        return None
+    sx, sy = float(scale[0]), float(scale[1])
+    i, j, _k, x, y, _z = (float(v) for v in list(tiepoint)[:6])
+    # Tiepoint maps raster (i, j) to model (x, y) with north-up convention.
+    west = x - i * sx
+    north = y + j * sy
+    return Affine(sx, 0.0, west, 0.0, -sy, north)
+
+
+def _geo_tags_for(
+    transform: Affine | None,
+    crs: CRS | None,
+    nodata: float | None,
+) -> list[tuple[int, int, object]]:
+    extra: list[tuple[int, int, object]] = []
+    if transform is not None:
+        if not transform.is_rectilinear():
+            extra.append(
+                (
+                    TAG_MODEL_TRANSFORMATION,
+                    12,
+                    (
+                        transform.a, transform.b, 0.0, transform.c,
+                        transform.d, transform.e, 0.0, transform.f,
+                        0.0, 0.0, 0.0, 0.0,
+                        0.0, 0.0, 0.0, 1.0,
+                    ),
+                )
+            )
+        else:
+            extra.append(
+                (TAG_MODEL_PIXEL_SCALE, 12, (abs(transform.a), abs(transform.e), 0.0))
+            )
+            extra.append(
+                (TAG_MODEL_TIEPOINT, 12, (0.0, 0.0, 0.0, transform.c, transform.f, 0.0))
+            )
+    if crs is not None:
+        if crs.is_projected:
+            keys = [
+                (GEOKEY_MODEL_TYPE, 0, 1, MODEL_TYPE_PROJECTED),
+                (GEOKEY_RASTER_TYPE, 0, 1, RASTER_PIXEL_IS_AREA),
+                (GEOKEY_PROJECTED_CS_TYPE, 0, 1, crs.epsg),
+            ]
+        else:
+            keys = [
+                (GEOKEY_MODEL_TYPE, 0, 1, MODEL_TYPE_GEOGRAPHIC),
+                (GEOKEY_RASTER_TYPE, 0, 1, RASTER_PIXEL_IS_AREA),
+                (GEOKEY_GEOGRAPHIC_TYPE, 0, 1, crs.epsg),
+            ]
+        directory = [1, 1, 0, len(keys)]
+        for key in sorted(keys):
+            directory.extend(key)
+        extra.append((TAG_GEO_KEY_DIRECTORY, 3, tuple(directory)))
+    if nodata is not None:
+        nodata_f = float(nodata)
+        text = str(int(nodata_f)) if nodata_f == int(nodata_f) else repr(nodata_f)
+        extra.append((TAG_GDAL_NODATA, 2, text))
+    return extra
+
+
+def read_raster(
+    fp: str | Path,
+    band: int = 1,
+    window: tuple[int, int, int, int] | None = None,
+) -> tuple[np.ndarray, float | None, dict]:
+    """Read one band of a GeoTIFF: ``(array, nodata, profile)``.
+
+    ``window`` is ``(row_off, col_off, height, width)`` in pixel coordinates;
+    the returned profile describes the windowed extent.
+    """
+    path = Path(fp).expanduser().resolve()
+    if not path.exists():
+        raise AssertionError(f"raster does not exist: {path}")
+    data = path.read_bytes()
+    arr, tags = _tiff.decode_tiff(data)
+    if arr.ndim == 3:
+        count = arr.shape[2]
+        arr = arr[:, :, band - 1]
+    else:
+        count = 1
+        if band != 1:
+            raise ValueError(f"band {band} requested from single-band raster")
+
+    nodata: float | None = None
+    nodata_text = tags.get(TAG_GDAL_NODATA)
+    if nodata_text is not None:
+        try:
+            nodata = float(str(nodata_text).strip())
+        except ValueError:
+            nodata = None
+
+    transform = _transform_from_tags(tags) or Affine.identity()
+    crs = _crs_from_geokeys(tags)
+    if window is not None:
+        row_off, col_off, height, width = window
+        row0 = max(0, row_off)
+        col0 = max(0, col_off)
+        arr = arr[row0 : row_off + height, col0 : col_off + width]
+        x, y = transform * (float(col0), float(row0))
+        transform = Affine(transform.a, transform.b, x, transform.d, transform.e, y)
+
+    profile = {
+        "driver": "GTiff",
+        "dtype": str(arr.dtype),
+        "nodata": nodata,
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "count": count,
+        "crs": crs,
+        "transform": transform,
+        "compress": _TIFF_TO_COMPRESS.get(
+            int(tags.get(_tiff.TAG_COMPRESSION, _tiff.COMPRESSION_NONE))
+        ),
+    }
+    return arr, nodata, profile
+
+
+def write_raster(
+    fp: str | Path,
+    array: np.ndarray,
+    profile: dict,
+) -> Path:
+    """Write a single-band raster with the given rasterio-style profile."""
+    path = Path(fp).expanduser().resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    if array.ndim != 2:
+        raise AssertionError(f"array must be 2D; got {array.shape}")
+    dtype = np.dtype(profile.get("dtype", array.dtype))
+    arr = np.ascontiguousarray(array.astype(dtype, copy=False))
+
+    nodata = profile.get("nodata")
+    nodata_f = None if nodata is None else float(nodata)
+    crs = CRS.from_user_input(profile.get("crs"))
+    transform = profile.get("transform")
+    if transform is not None and not isinstance(transform, Affine):
+        transform = Affine(*list(transform)[:6])
+    compress_name = profile.get("compress")
+    if isinstance(compress_name, str):
+        compress_name = compress_name.upper()
+    compression = _COMPRESS_TO_TIFF.get(compress_name, _tiff.COMPRESSION_LZW)
+
+    height = profile.get("height")
+    width = profile.get("width")
+    if height is not None and int(height) != arr.shape[0]:
+        raise AssertionError(f"profile height {height} != array height {arr.shape[0]}")
+    if width is not None and int(width) != arr.shape[1]:
+        raise AssertionError(f"profile width {width} != array width {arr.shape[1]}")
+
+    extra_tags = _geo_tags_for(transform, crs, nodata_f)
+    data = _tiff.encode_tiff(arr, extra_tags=extra_tags, compression=compression)
+    path.write_bytes(data)
+    return path
+
+
+def raster_bounds(profile: dict) -> tuple[float, float, float, float]:
+    """(left, bottom, right, top) from a profile's shape + transform."""
+    from floodsr_tpu.io.affine import array_bounds
+
+    height = int(profile["height"])
+    width = int(profile["width"])
+    transform = profile["transform"]
+    if height <= 0 or width <= 0:
+        raise AssertionError(f"profile height/width must be > 0; got {(height, width)}")
+    if transform is None:
+        raise AssertionError("profile transform is required to compute bounds")
+    return array_bounds(height, width, transform)
+
+
+def pixel_size(profile: dict) -> tuple[float, float]:
+    """Absolute pixel size in projection units (nan when no transform)."""
+    transform = profile.get("transform")
+    if transform is None:
+        return (math.nan, math.nan)
+    t = list(transform)
+    return (abs(float(t[0])), abs(float(t[4])))

@@ -1,0 +1,561 @@
+"""Self-contained TIFF codec (classic TIFF, single-IFD raster focus).
+
+This replaces the role GDAL's C++ raster I/O plays in the reference
+(reference: ``floodsr/io/rasterio_io.py``, ``floodsr/preprocessing.py:247-282``)
+— the image does not ship rasterio, so floodsr-tpu carries its own codec:
+
+- read: striped and tiled layouts; uncompressed, LZW, Deflate/zlib, PackBits;
+  horizontal (2) and floating-point (3) predictors; II/MM byte orders; all
+  numeric sample formats.
+- write: little-endian, striped, uncompressed / LZW / Deflate, optional
+  horizontal predictor for integer data.
+
+A C++ fast path for LZW + predictor lives in ``floodsr_tpu/io/_native`` and is
+used automatically when built (see :mod:`floodsr_tpu.io.native`); this module
+is the always-available pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from floodsr_tpu.io import native as _native
+
+
+# TIFF tag ids used by this codec.
+TAG_IMAGE_WIDTH = 256
+TAG_IMAGE_LENGTH = 257
+TAG_BITS_PER_SAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
+TAG_PLANAR_CONFIG = 284
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
+TAG_SAMPLE_FORMAT = 339
+
+COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
+COMPRESSION_DEFLATE_ADOBE = 8
+COMPRESSION_DEFLATE_OLD = 32946
+COMPRESSION_PACKBITS = 32773
+
+SAMPLEFORMAT_UINT = 1
+SAMPLEFORMAT_INT = 2
+SAMPLEFORMAT_IEEEFP = 3
+
+# TIFF field types: id -> (struct char, size)
+_FIELD_TYPES = {
+    1: ("B", 1),   # BYTE
+    2: ("s", 1),   # ASCII
+    3: ("H", 2),   # SHORT
+    4: ("I", 4),   # LONG
+    5: ("II", 8),  # RATIONAL
+    6: ("b", 1),   # SBYTE
+    8: ("h", 2),   # SSHORT
+    9: ("i", 4),   # SLONG
+    11: ("f", 4),  # FLOAT
+    12: ("d", 8),  # DOUBLE
+}
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Decode a TIFF-variant LZW stream (MSB-first codes, early width change)."""
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    def reset() -> None:
+        nonlocal table, width
+        table = list(base)
+        width = 9
+
+    reset()
+    while bitpos + width <= nbits:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        # TIFF early change (libtiff/GDAL/PIL convention): decoder widens as
+        # soon as the table reaches 2^width - 1 entries.
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Encode bytes as a TIFF-variant LZW stream."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = -1
+    for b in data:
+        if w < 0:
+            w = b
+            continue
+        key = (w, b)
+        code = table.get(key)
+        if code is not None:
+            w = code
+            continue
+        emit(w, width)
+        table[key] = next_code
+        next_code += 1
+        # Encoder runs one table entry ahead of the decoder, so it widens at
+        # 2^width (decoder widens at 2^width - 1): both flip before the same code.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(_LZW_CLEAR, width)
+            table.clear()
+            next_code = 258
+            width = 9
+        w = b
+    if w >= 0:
+        emit(w, width)
+    emit(_LZW_EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """Decode PackBits run-length encoding (read-only support)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        header = data[i]
+        i += 1
+        if header < 128:
+            count = header + 1
+            out += data[i : i + count]
+            i += count
+        elif header > 128:
+            count = 257 - header
+            out += data[i : i + 1] * count
+            i += 1
+        # header == 128: no-op
+    return bytes(out)
+
+
+def _apply_predictor_decode(raw: np.ndarray, predictor: int) -> np.ndarray:
+    """Undo TIFF predictor on a decoded [rows, cols, samples] chunk."""
+    if predictor == 1:
+        return raw
+    if predictor == 2:
+        acc_dtype = raw.dtype
+        return np.cumsum(raw.astype(np.int64), axis=1).astype(acc_dtype)
+    if predictor == 3:
+        # Floating-point predictor: bytes were split into per-position planes
+        # (big-endian order) and horizontally differenced.
+        rows, cols, samples = raw.shape
+        itemsize = raw.dtype.itemsize
+        b = raw.view(np.uint8).reshape(rows, cols * samples * itemsize)
+        b = np.cumsum(b.astype(np.uint16), axis=1).astype(np.uint8)
+        planes = b.reshape(rows, itemsize, cols * samples)
+        interleaved = np.transpose(planes, (0, 2, 1)).copy()  # big-endian bytes
+        be = np.dtype(raw.dtype).newbyteorder(">")
+        return (
+            interleaved.reshape(rows, cols * samples * itemsize)
+            .view(be)
+            .astype(raw.dtype)
+            .reshape(rows, cols, samples)
+        )
+    raise ValueError(f"unsupported TIFF predictor: {predictor}")
+
+
+def _apply_predictor_encode(chunk: np.ndarray, predictor: int) -> np.ndarray:
+    """Apply TIFF predictor before compression on [rows, cols, samples]."""
+    if predictor == 1:
+        return chunk
+    if predictor == 2:
+        out = chunk.copy()
+        out[:, 1:] = chunk[:, 1:] - chunk[:, :-1]
+        return out
+    raise ValueError(f"unsupported TIFF write predictor: {predictor}")
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TiffPage:
+    """Decoded metadata for the first IFD of a TIFF file."""
+
+    width: int
+    height: int
+    samples_per_pixel: int
+    dtype: np.dtype
+    compression: int
+    predictor: int
+    tags: dict[int, object] = field(default_factory=dict)
+    # layout
+    tile_width: int | None = None
+    tile_height: int | None = None
+    rows_per_strip: int | None = None
+    chunk_offsets: list[int] = field(default_factory=list)
+    chunk_byte_counts: list[int] = field(default_factory=list)
+
+
+def _dtype_from_format(bits: int, sample_format: int, byteorder: str) -> np.dtype:
+    kind = {SAMPLEFORMAT_UINT: "u", SAMPLEFORMAT_INT: "i", SAMPLEFORMAT_IEEEFP: "f"}.get(
+        sample_format
+    )
+    if kind is None:
+        raise ValueError(f"unsupported TIFF sample format: {sample_format}")
+    if bits % 8 != 0:
+        raise ValueError(f"unsupported bits per sample: {bits}")
+    return np.dtype(f"{byteorder}{kind}{bits // 8}")
+
+
+def _read_ifd(data: bytes, order: str) -> TiffPage:
+    endian = "<" if order == "II" else ">"
+    (ifd_offset,) = struct.unpack_from(endian + "I", data, 4)
+    (num_entries,) = struct.unpack_from(endian + "H", data, ifd_offset)
+    tags: dict[int, object] = {}
+    pos = ifd_offset + 2
+    for _ in range(num_entries):
+        tag, ftype, count = struct.unpack_from(endian + "HHI", data, pos)
+        if ftype not in _FIELD_TYPES:
+            pos += 12
+            continue
+        ch, size = _FIELD_TYPES[ftype]
+        total = size * count
+        if total <= 4:
+            value_bytes = data[pos + 8 : pos + 8 + total]
+        else:
+            (offset,) = struct.unpack_from(endian + "I", data, pos + 8)
+            value_bytes = data[offset : offset + total]
+        if ftype == 2:  # ASCII
+            tags[tag] = value_bytes.rstrip(b"\0").decode("ascii", "replace")
+        elif ftype == 5:  # RATIONAL
+            vals = struct.unpack(endian + "I" * (2 * count), value_bytes)
+            tags[tag] = tuple(
+                vals[i] / vals[i + 1] if vals[i + 1] else 0.0 for i in range(0, len(vals), 2)
+            )
+        else:
+            vals = struct.unpack(endian + ch * count, value_bytes)
+            tags[tag] = vals if count > 1 else vals[0]
+        pos += 12
+
+    def tag_list(t: int) -> list[int]:
+        v = tags.get(t)
+        if v is None:
+            return []
+        return list(v) if isinstance(v, tuple) else [int(v)]
+
+    width = int(tags[TAG_IMAGE_WIDTH])
+    height = int(tags[TAG_IMAGE_LENGTH])
+    spp = int(tags.get(TAG_SAMPLES_PER_PIXEL, 1))
+    bits_raw = tags.get(TAG_BITS_PER_SAMPLE, 1)
+    bits = int(bits_raw[0] if isinstance(bits_raw, tuple) else bits_raw)
+    fmt_raw = tags.get(TAG_SAMPLE_FORMAT, SAMPLEFORMAT_UINT)
+    fmt = int(fmt_raw[0] if isinstance(fmt_raw, tuple) else fmt_raw)
+    if int(tags.get(TAG_PLANAR_CONFIG, 1)) != 1:
+        raise ValueError("only chunky (PlanarConfiguration=1) TIFFs are supported")
+
+    page = TiffPage(
+        width=width,
+        height=height,
+        samples_per_pixel=spp,
+        dtype=_dtype_from_format(bits, fmt, endian),
+        compression=int(tags.get(TAG_COMPRESSION, COMPRESSION_NONE)),
+        predictor=int(tags.get(TAG_PREDICTOR, 1)),
+        tags=tags,
+    )
+    if TAG_TILE_OFFSETS in tags:
+        page.tile_width = int(tags[TAG_TILE_WIDTH])
+        page.tile_height = int(tags[TAG_TILE_LENGTH])
+        page.chunk_offsets = tag_list(TAG_TILE_OFFSETS)
+        page.chunk_byte_counts = tag_list(TAG_TILE_BYTE_COUNTS)
+    else:
+        page.rows_per_strip = int(tags.get(TAG_ROWS_PER_STRIP, height))
+        page.chunk_offsets = tag_list(TAG_STRIP_OFFSETS)
+        page.chunk_byte_counts = tag_list(TAG_STRIP_BYTE_COUNTS)
+    return page
+
+
+def _decompress_chunk(raw: bytes, compression: int, expected: int) -> bytes:
+    if compression == COMPRESSION_NONE:
+        return raw
+    if compression == COMPRESSION_LZW:
+        if _native.available():
+            return _native.lzw_decode(raw, expected)
+        return lzw_decode(raw)
+    if compression in (COMPRESSION_DEFLATE_ADOBE, COMPRESSION_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if compression == COMPRESSION_PACKBITS:
+        return packbits_decode(raw)
+    raise ValueError(f"unsupported TIFF compression: {compression}")
+
+
+def decode_tiff(data: bytes) -> tuple[np.ndarray, dict[int, object]]:
+    """Decode the first IFD into ``[H, W]`` or ``[H, W, S]`` plus raw tags."""
+    if len(data) < 8:
+        raise ValueError("not a TIFF file: too short")
+    order = data[:2].decode("ascii", "replace")
+    if order not in ("II", "MM"):
+        raise ValueError(f"not a TIFF file: bad byte order {order!r}")
+    endian = "<" if order == "II" else ">"
+    (magic,) = struct.unpack_from(endian + "H", data, 2)
+    if magic == 43:
+        raise ValueError("BigTIFF is not supported by the pure-Python codec")
+    if magic != 42:
+        raise ValueError(f"not a TIFF file: bad magic {magic}")
+
+    page = _read_ifd(data, order)
+    h, w, s = page.height, page.width, page.samples_per_pixel
+    itemsize = page.dtype.itemsize
+    out = np.empty((h, w, s), dtype=page.dtype.newbyteorder("="))
+
+    if page.tile_width is not None:
+        tw, th = page.tile_width, page.tile_height
+        tiles_across = -(-w // tw)
+        tiles_down = -(-h // th)
+        expected = th * tw * s * itemsize
+        for idx, (off, cnt) in enumerate(zip(page.chunk_offsets, page.chunk_byte_counts)):
+            ty, tx = divmod(idx, tiles_across)
+            if ty >= tiles_down:
+                break
+            decoded = _decompress_chunk(data[off : off + cnt], page.compression, expected)
+            chunk = np.frombuffer(decoded[:expected], dtype=page.dtype).reshape(th, tw, s)
+            chunk = _apply_predictor_decode(chunk, page.predictor)
+            y0, x0 = ty * th, tx * tw
+            ny, nx = min(th, h - y0), min(tw, w - x0)
+            out[y0 : y0 + ny, x0 : x0 + nx] = chunk[:ny, :nx]
+    else:
+        rps = page.rows_per_strip or h
+        row = 0
+        for off, cnt in zip(page.chunk_offsets, page.chunk_byte_counts):
+            nrows = min(rps, h - row)
+            expected = nrows * w * s * itemsize
+            decoded = _decompress_chunk(data[off : off + cnt], page.compression, expected)
+            chunk = np.frombuffer(decoded[:expected], dtype=page.dtype).reshape(nrows, w, s)
+            out[row : row + nrows] = _apply_predictor_decode(chunk, page.predictor)
+            row += nrows
+        if row != h:
+            raise ValueError(f"TIFF strip rows {row} do not cover height {h}")
+
+    if s == 1:
+        out = out[:, :, 0]
+    return out, page.tags
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+
+def _sample_format_for(dtype: np.dtype) -> int:
+    return {"u": SAMPLEFORMAT_UINT, "i": SAMPLEFORMAT_INT, "f": SAMPLEFORMAT_IEEEFP}[dtype.kind]
+
+
+def _compress_chunk(raw: bytes, compression: int) -> bytes:
+    if compression == COMPRESSION_NONE:
+        return raw
+    if compression == COMPRESSION_LZW:
+        if _native.available():
+            return _native.lzw_encode(raw)
+        return lzw_encode(raw)
+    if compression == COMPRESSION_DEFLATE_ADOBE:
+        return zlib.compress(raw, 6)
+    raise ValueError(f"unsupported TIFF write compression: {compression}")
+
+
+def encode_tiff(
+    array: np.ndarray,
+    extra_tags: list[tuple[int, int, object]] | None = None,
+    compression: int = COMPRESSION_LZW,
+    predictor: int | None = None,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Encode an array as a little-endian striped TIFF.
+
+    ``extra_tags`` entries are ``(tag, field_type, value)`` where value is a
+    tuple of numbers or an ASCII string; they are emitted in ascending tag
+    order as TIFF requires.
+    """
+    if array.ndim == 2:
+        array = array[:, :, None]
+    if array.ndim != 3:
+        raise ValueError(f"array must be 2D or 3D; got shape {array.shape}")
+    arr = np.ascontiguousarray(array)
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    h, w, s = arr.shape
+    itemsize = arr.dtype.itemsize
+
+    if predictor is None:
+        predictor = 2 if (compression != COMPRESSION_NONE and arr.dtype.kind in "ui") else 1
+    if rows_per_strip is None:
+        target = 1 << 18  # ~256 KiB strips
+        rows_per_strip = max(1, min(h, target // max(1, w * s * itemsize)))
+
+    strips: list[bytes] = []
+    for row in range(0, h, rows_per_strip):
+        chunk = arr[row : row + rows_per_strip]
+        chunk = _apply_predictor_encode(chunk, predictor)
+        strips.append(_compress_chunk(chunk.tobytes(), compression))
+
+    tags: list[tuple[int, int, tuple | str]] = [
+        (TAG_IMAGE_WIDTH, 4, (w,)),
+        (TAG_IMAGE_LENGTH, 4, (h,)),
+        (TAG_BITS_PER_SAMPLE, 3, (itemsize * 8,) * s),
+        (TAG_COMPRESSION, 3, (compression,)),
+        (TAG_PHOTOMETRIC, 3, (1,)),
+        (TAG_SAMPLES_PER_PIXEL, 3, (s,)),
+        (TAG_ROWS_PER_STRIP, 4, (rows_per_strip,)),
+        (TAG_PLANAR_CONFIG, 3, (1,)),
+        (TAG_SAMPLE_FORMAT, 3, (_sample_format_for(arr.dtype),) * s),
+    ]
+    if predictor != 1:
+        tags.append((TAG_PREDICTOR, 3, (predictor,)))
+    for tag, ftype, value in extra_tags or []:
+        tags.append((tag, ftype, value))
+
+    # Offsets/byte-counts are patched once strip positions are known.
+    num_strips = len(strips)
+    offsets_type = 4
+    tags.append((TAG_STRIP_OFFSETS, offsets_type, (0,) * num_strips))
+    tags.append((TAG_STRIP_BYTE_COUNTS, 4, tuple(len(sb) for sb in strips)))
+    tags.sort(key=lambda t: t[0])
+
+    endian = "<"
+    header = struct.pack(endian + "2sHI", b"II", 42, 8)
+    ifd_offset = 8
+    num_entries = len(tags)
+    ifd_size = 2 + num_entries * 12 + 4
+    extra_offset = ifd_offset + ifd_size
+
+    # First pass: lay out out-of-line tag payloads after the IFD.
+    payloads: list[bytes] = []
+    entries: list[bytes] = []
+    strip_offsets_entry_idx = None
+    for idx, (tag, ftype, value) in enumerate(tags):
+        ch, size = _FIELD_TYPES[ftype]
+        if ftype == 2:
+            raw = str(value).encode("ascii") + b"\0"
+            count = len(raw)
+        else:
+            vals = tuple(value)
+            count = len(vals)
+            raw = struct.pack(endian + ch * count, *vals)
+        if len(raw) <= 4:
+            value_field = raw.ljust(4, b"\0")
+            entries.append(struct.pack(endian + "HHI4s", tag, ftype, count, value_field))
+        else:
+            entries.append(
+                struct.pack(endian + "HHII", tag, ftype, count, extra_offset + sum(map(len, payloads)))
+            )
+            if len(raw) % 2:
+                raw += b"\0"
+            payloads.append(raw)
+        if tag == TAG_STRIP_OFFSETS:
+            strip_offsets_entry_idx = idx
+
+    data_offset = extra_offset + sum(map(len, payloads))
+    if data_offset % 2:
+        payloads.append(b"\0")
+        data_offset += 1
+
+    # Compute actual strip offsets and rewrite the StripOffsets entry.
+    strip_offsets = []
+    pos = data_offset
+    for sb in strips:
+        strip_offsets.append(pos)
+        pos += len(sb) + (len(sb) % 2)
+    raw = struct.pack(endian + "I" * num_strips, *strip_offsets)
+    if len(raw) <= 4:
+        entries[strip_offsets_entry_idx] = struct.pack(
+            endian + "HHI4s", TAG_STRIP_OFFSETS, 4, num_strips, raw.ljust(4, b"\0")
+        )
+    else:
+        # Locate the payload slot assigned to strip offsets and replace it.
+        payload_pos = 0
+        slot = 0
+        for idx, (tag, ftype, value) in enumerate(tags):
+            ch, size = _FIELD_TYPES[ftype]
+            if ftype == 2:
+                raw_len = len(str(value).encode("ascii")) + 1
+            else:
+                raw_len = size * len(tuple(value))
+            if raw_len > 4:
+                if tag == TAG_STRIP_OFFSETS:
+                    payloads[slot] = raw
+                    entries[idx] = struct.pack(
+                        endian + "HHII", TAG_STRIP_OFFSETS, 4, num_strips, extra_offset + payload_pos
+                    )
+                    break
+                payload_pos += raw_len + (raw_len % 2)
+                slot += 1
+
+    out = bytearray()
+    out += header
+    out += struct.pack(endian + "H", num_entries)
+    for e in entries:
+        out += e
+    out += struct.pack(endian + "I", 0)  # next IFD
+    for p in payloads:
+        out += p
+    for sb in strips:
+        out += sb
+        if len(sb) % 2:
+            out += b"\0"
+    return bytes(out)

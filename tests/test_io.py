@@ -1,0 +1,241 @@
+"""Raster I/O: affine math, TIFF codec, GeoTIFF profiles, native fast path."""
+
+import io as _io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from floodsr_tpu.io import (
+    Affine,
+    CRS,
+    array_bounds,
+    from_bounds,
+    from_origin,
+    get_geotif_options,
+    read_raster,
+    write_raster,
+)
+from floodsr_tpu.io import native
+from floodsr_tpu.io.affine import round_window, window_from_bounds, window_transform
+from floodsr_tpu.io.geotiff import pixel_size, raster_bounds
+from floodsr_tpu.io.tiff import (
+    decode_tiff,
+    encode_tiff,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+)
+
+pytestmark = pytest.mark.unit
+
+
+class TestAffine:
+    def test_from_origin_maps_corners(self):
+        t = from_origin(500000.0, 4000000.0, 30.0, 30.0)
+        assert t * (0, 0) == (500000.0, 4000000.0)
+        assert t * (10, 5) == (500300.0, 3999850.0)
+
+    def test_from_bounds_roundtrip(self):
+        t = from_bounds(0.0, -100.0, 200.0, 0.0, 20, 10)
+        assert array_bounds(10, 20, t) == (0.0, -100.0, 200.0, 0.0)
+
+    def test_invert(self):
+        t = from_origin(100.0, 50.0, 2.0, 2.0)
+        inv = t.invert()
+        x, y = t * (7.0, 3.0)
+        col, row = inv * (x, y)
+        assert col == pytest.approx(7.0)
+        assert row == pytest.approx(3.0)
+
+    def test_window_from_bounds(self):
+        t = from_origin(0.0, 100.0, 10.0, 10.0)
+        win = window_from_bounds(20.0, 40.0, 50.0, 80.0, t)
+        assert round_window(win) == (2, 2, 4, 3)
+
+    def test_window_transform(self):
+        t = from_origin(0.0, 100.0, 10.0, 10.0)
+        sub = window_transform(2, 3, t)
+        assert sub * (0, 0) == (30.0, 80.0)
+
+
+class TestCRS:
+    def test_parse_forms(self):
+        assert CRS.from_user_input("EPSG:32633") == CRS(32633)
+        assert CRS.from_user_input(3979) == CRS(3979)
+        assert CRS.from_user_input(CRS(2169)) == CRS(2169)
+        assert CRS.from_user_input(None) is None
+
+    def test_projected_classification(self):
+        assert CRS(32633).is_projected
+        assert CRS(3979).is_projected
+        assert CRS(2169).is_projected
+        assert CRS(4326).is_geographic
+        assert CRS(4269).is_geographic
+
+    def test_to_string(self):
+        assert CRS(32633).to_string() == "EPSG:32633"
+
+
+class TestTiffCodec:
+    def test_lzw_roundtrip_python(self, rng):
+        data = rng.integers(0, 256, 50000, dtype=np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(data)) == data
+
+    def test_lzw_cross_pil_both_directions(self, rng):
+        arr = rng.normal(size=(37, 91)).astype(np.float32)
+        buf = _io.BytesIO()
+        Image.fromarray(arr, mode="F").save(buf, format="TIFF", compression="tiff_lzw")
+        got, _ = decode_tiff(buf.getvalue())
+        np.testing.assert_array_equal(got, arr)
+        data = encode_tiff(arr, compression=5)
+        np.testing.assert_array_equal(np.array(Image.open(_io.BytesIO(data))), arr)
+
+    @pytest.mark.parametrize("compression", [1, 5, 8])
+    def test_write_compressions_pil_readable(self, rng, compression):
+        arr = rng.normal(size=(33, 45)).astype(np.float32)
+        data = encode_tiff(arr, compression=compression)
+        np.testing.assert_array_equal(np.array(Image.open(_io.BytesIO(data))), arr)
+
+    def test_integer_predictor_roundtrip(self, rng):
+        arr = rng.integers(-500, 4000, size=(50, 61)).astype(np.int16)
+        data = encode_tiff(arr, compression=5)
+        got, _ = decode_tiff(data)
+        np.testing.assert_array_equal(got, arr)
+        np.testing.assert_array_equal(np.array(Image.open(_io.BytesIO(data))), arr)
+
+    def test_pil_deflate_and_packbits_readable(self, rng):
+        arr = rng.normal(size=(20, 30)).astype(np.float32)
+        buf = _io.BytesIO()
+        Image.fromarray(arr, mode="F").save(buf, format="TIFF", compression="tiff_adobe_deflate")
+        got, _ = decode_tiff(buf.getvalue())
+        np.testing.assert_array_equal(got, arr)
+        u8 = rng.integers(0, 250, size=(16, 24)).astype(np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(u8).save(buf, format="TIFF", compression="packbits")
+        got, _ = decode_tiff(buf.getvalue())
+        np.testing.assert_array_equal(got, u8)
+
+    def test_packbits_literal_and_run(self):
+        # 3 literal bytes then a 4-byte run of 0xAB
+        encoded = bytes([2, 1, 2, 3, 257 - 4, 0xAB])
+        assert packbits_decode(encoded) == bytes([1, 2, 3]) + b"\xab" * 4
+
+    def test_multi_strip_layout(self, rng):
+        arr = rng.normal(size=(700, 300)).astype(np.float32)
+        data = encode_tiff(arr, compression=5, rows_per_strip=64)
+        got, _ = decode_tiff(data)
+        np.testing.assert_array_equal(got, arr)
+
+    def test_not_a_tiff_raises(self):
+        with pytest.raises(ValueError):
+            decode_tiff(b"PNG xxxxxxxxxxxx")
+
+    def test_native_codec_matches_python(self, rng):
+        if not native.available():
+            from floodsr_tpu.io.build_native import build
+
+            assert build() is not None, "g++ native codec build failed"
+        data = rng.integers(0, 256, 200000, dtype=np.uint8).tobytes()
+        enc_c = native.lzw_encode(data)
+        assert lzw_decode(enc_c) == data
+        assert native.lzw_decode(lzw_encode(data), len(data)) == data
+
+
+class TestGeoTiff:
+    def _profile(self, arr, crs="EPSG:32633", nodata=-9999.0):
+        return {
+            "driver": "GTiff",
+            "dtype": "float32",
+            "nodata": nodata,
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "count": 1,
+            "crs": crs,
+            "transform": from_origin(500000.0, 4000000.0, 30.0, 30.0),
+            "compress": "LZW",
+        }
+
+    def test_write_read_roundtrip(self, tmp_path, rng):
+        arr = rng.uniform(0, 5, size=(64, 48)).astype(np.float32)
+        fp = tmp_path / "depth.tif"
+        write_raster(fp, arr, self._profile(arr))
+        got, nodata, profile = read_raster(fp)
+        np.testing.assert_array_equal(got, arr)
+        assert nodata == -9999.0
+        assert profile["crs"] == CRS(32633)
+        assert profile["width"] == 48 and profile["height"] == 64
+        assert profile["transform"].almost_equals(
+            from_origin(500000.0, 4000000.0, 30.0, 30.0)
+        )
+        assert profile["compress"] == "LZW"
+
+    def test_geographic_crs_roundtrip(self, tmp_path):
+        arr = np.zeros((4, 4), np.float32)
+        profile = self._profile(arr, crs="EPSG:4326")
+        fp = tmp_path / "geo.tif"
+        write_raster(fp, arr, profile)
+        _, _, got_profile = read_raster(fp)
+        assert got_profile["crs"] == CRS(4326)
+        assert got_profile["crs"].is_geographic
+
+    def test_no_crs_roundtrip(self, tmp_path):
+        arr = np.ones((4, 4), np.float32)
+        profile = self._profile(arr, crs=None)
+        write_raster(tmp_path / "nocrs.tif", arr, profile)
+        _, _, got = read_raster(tmp_path / "nocrs.tif")
+        assert got["crs"] is None
+
+    def test_nodata_none(self, tmp_path):
+        arr = np.ones((4, 4), np.float32)
+        profile = self._profile(arr, nodata=None)
+        write_raster(tmp_path / "x.tif", arr, profile)
+        _, nodata, _ = read_raster(tmp_path / "x.tif")
+        assert nodata is None
+
+    def test_windowed_read(self, tmp_path, rng):
+        arr = rng.uniform(0, 5, size=(40, 50)).astype(np.float32)
+        fp = tmp_path / "win.tif"
+        write_raster(fp, arr, self._profile(arr))
+        got, _, profile = read_raster(fp, window=(10, 5, 20, 30))
+        np.testing.assert_array_equal(got, arr[10:30, 5:35])
+        # Window transform shifts the origin by the offsets.
+        assert profile["transform"].c == pytest.approx(500000.0 + 5 * 30.0)
+        assert profile["transform"].f == pytest.approx(4000000.0 - 10 * 30.0)
+
+    def test_bounds_and_pixel_size(self, tmp_path):
+        arr = np.zeros((10, 20), np.float32)
+        fp = tmp_path / "b.tif"
+        write_raster(fp, arr, self._profile(arr))
+        _, _, profile = read_raster(fp)
+        left, bottom, right, top = raster_bounds(profile)
+        assert (left, top) == (500000.0, 4000000.0)
+        assert right == pytest.approx(500000.0 + 20 * 30.0)
+        assert bottom == pytest.approx(4000000.0 - 10 * 30.0)
+        assert pixel_size(profile) == (30.0, 30.0)
+
+    def test_profile_shape_mismatch_raises(self, tmp_path):
+        arr = np.zeros((4, 4), np.float32)
+        profile = self._profile(arr)
+        profile["height"] = 8
+        with pytest.raises(AssertionError):
+            write_raster(tmp_path / "bad.tif", arr, profile)
+
+    def test_missing_file_raises(self, tmp_path):
+        with pytest.raises(AssertionError):
+            read_raster(tmp_path / "missing.tif")
+
+    def test_default_options(self):
+        opts = get_geotif_options()
+        assert opts["driver"] == "GTiff"
+        assert opts["dtype"] == "float32"
+        assert opts["compress"] == "LZW"
+        assert opts["nodata"] == -9999
+        opts["nodata"] = 0
+        assert get_geotif_options()["nodata"] == -9999
+
+    def test_pil_can_read_our_geotiff(self, tmp_path, rng):
+        arr = rng.uniform(0, 5, size=(16, 16)).astype(np.float32)
+        fp = tmp_path / "pil.tif"
+        write_raster(fp, arr, self._profile(arr))
+        np.testing.assert_array_equal(np.array(Image.open(fp)), arr)
