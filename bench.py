@@ -1,0 +1,146 @@
+"""Benchmark: SR megapixels/sec/chip on the rss_mersch_A-shaped 16× tohr.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}``
+
+Workload (mirrors the reference's big-raster regression case
+``tests/data/rss_mersch_A``: 256² LR @30 m → 3840² HR @2 m, feather tiling +
+post-resample): a synthetic scene with those exact shapes runs through the
+full end-to-end ``tohr`` pipeline (GeoTIFF read → align → batched device
+inference → feather mosaic → post-resample → GeoTIFF write), on the real
+device jax selects (TPU under the driver).
+
+Baseline: the reference publishes no formal benchmark. From its committed
+notebook outputs (reference: ``examples.ipynb`` cell 10 — ~24 windows/s on
+CPU ORT; SURVEY.md §6) the mersch scene is 121 feather windows ≈ 5.0 s of
+window compute plus ≥0.8 s preprocessing ≈ 14.75 MP / 5.8 s ≈ **2.5 MP/s**.
+``vs_baseline`` is measured MP/s divided by that 2.5 MP/s estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+# Allow the persistent compile cache to amortize repeat bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
+
+import numpy as np
+
+REPO = Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+BASELINE_MPS = 2.5  # reference CPU ORT estimate; see module docstring
+LR_SHAPE = (256, 256)
+LR_RES = 30.0
+HR_SHAPE = (3840, 3840)
+HR_RES = 2.0
+CRS = "EPSG:32633"
+
+
+def _make_scene(root: Path) -> dict[str, Path]:
+    from floodsr_tpu.io import from_origin, write_raster
+
+    rng = np.random.default_rng(20260816)
+    x0, y0 = 500000.0, 4000000.0
+
+    depth_lr = np.clip(
+        rng.gamma(0.6, 0.8, LR_SHAPE) * (rng.random(LR_SHAPE) > 0.4), 0, 5
+    ).astype(np.float32)
+    # Correlated synthetic terrain: smooth ramps + noise.
+    yy = np.linspace(0, 60, HR_SHAPE[0], dtype=np.float32)[:, None]
+    xx = np.linspace(0, 45, HR_SHAPE[1], dtype=np.float32)[None, :]
+    dem = (
+        300.0
+        + yy
+        + xx
+        + np.cumsum(rng.normal(0, 0.08, HR_SHAPE).astype(np.float32), axis=1)
+    )
+
+    def profile(arr, res, top):
+        return {
+            "height": arr.shape[0],
+            "width": arr.shape[1],
+            "count": 1,
+            "dtype": "float32",
+            "crs": CRS,
+            "transform": from_origin(x0, top, res, res),
+            "nodata": -9999.0,
+            "compress": "LZW",
+        }
+
+    lr_fp = root / "lowres030.tif"
+    dem_fp = root / "hires002_dem.tif"
+    write_raster(lr_fp, depth_lr, profile(depth_lr, LR_RES, y0 + LR_SHAPE[0] * LR_RES))
+    write_raster(dem_fp, dem, profile(dem, HR_RES, y0 + HR_SHAPE[0] * HR_RES))
+    return {"lr": lr_fp, "dem": dem_fp}
+
+
+def _make_model(root: Path) -> Path:
+    from floodsr_tpu.nn import ResUNetConfig, init_resunet
+    from floodsr_tpu.nn.checkpoint import save_artifact
+
+    cfg = ResUNetConfig()  # flagship: f=32, 32→512 tiles
+    params, state = init_resunet(20260816, cfg)
+    fp = root / "model_infer.fsrz"
+    save_artifact(fp, cfg, params, state, {"seed": 20260816, "purpose": "bench"})
+    return fp
+
+
+def main() -> int:
+    from floodsr_tpu.model_registry import resolve_model_worker_class
+
+    max_batch = int(os.environ.get("FLOODSR_BENCH_MAX_BATCH", "8"))
+    compute_dtype = os.environ.get("FLOODSR_BENCH_DTYPE", "float32")
+    repeats = int(os.environ.get("FLOODSR_BENCH_REPEATS", "3"))
+
+    with tempfile.TemporaryDirectory(prefix="floodsr-bench-") as tmp:
+        root = Path(tmp)
+        scene = _make_scene(root)
+        model_fp = _make_model(root)
+
+        worker_cls = resolve_model_worker_class("ResUNet_16x_DEM")
+        worker = worker_cls(
+            model_fp=model_fp, compute_dtype=compute_dtype, max_batch=max_batch
+        )
+        out_mp = HR_SHAPE[0] * HR_SHAPE[1] / 1e6
+        times = []
+        with worker:
+            for i in range(repeats):
+                out_fp = root / f"pred_{i}.tif"
+                t0 = time.perf_counter()
+                result = worker.run(
+                    depth_lr_fp=scene["lr"],
+                    dem_hr_fp=scene["dem"],
+                    output_fp=out_fp,
+                    window_method="feather",
+                )
+                times.append(time.perf_counter() - t0)
+                print(
+                    f"# run {i}: {times[-1]:.3f}s "
+                    f"({out_mp / times[-1]:.2f} MP/s, "
+                    f"{result['preprocess']['tile_cache_size']} tiles)",
+                    file=sys.stderr,
+                )
+
+        best = min(times)
+        mps = out_mp / best
+        print(
+            json.dumps(
+                {
+                    "metric": "SR megapixels/sec/chip, rss_mersch_A-shaped 16x tohr e2e",
+                    "value": round(mps, 3),
+                    "unit": "MP/s",
+                    "vs_baseline": round(mps / BASELINE_MPS, 2),
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

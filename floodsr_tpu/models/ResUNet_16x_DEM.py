@@ -1,0 +1,452 @@
+"""16× DEM-conditioned ResUNet model worker — batched TPU ToHR flow.
+
+Reference-parity orchestration (reference:
+``floodsr/models/ResUNet_16x_DEM.py:140-640``): prepared-raster alignment,
+pad-to-tile-multiple, hard/feather windowing with forced trailing-edge
+coverage, meter-domain clipping, optional bilinear post-resample back to the
+raw DEM grid, low-depth masking, bounds-asserted GeoTIFF write, and the same
+diagnostics dict keys.
+
+TPU-native execution: instead of a per-origin Python loop with an N=1 engine
+call per tile (reference hot loop at ``:187-193`` of the call stack), all
+window origins are gathered into one tile batch, normalized + run through the
+jitted ResUNet in bucketed batches (``EngineJAX.run_tiles``), and blended
+with a device-side feather scatter-add mosaic. Per-origin de-duplication is
+inherent (the origin grid is unique), matching the reference's tile cache.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import tempfile
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from floodsr_tpu.engine import EngineJAX
+from floodsr_tpu.io.geotiff import pixel_size, raster_bounds
+from floodsr_tpu.models.base import Model
+from floodsr_tpu.ops.resample import reproject_bilinear
+from floodsr_tpu.preprocessing import (
+    _read_single_band_raster,
+    _write_single_band_raster,
+    resolve_preprocess_config,
+    write_prepared_rasters,
+)
+from floodsr_tpu.tiling import (
+    build_window_grid,
+    feather_weights_for_grid,
+    mosaic_scatter_add,
+)
+
+
+class ModelWorker(Model):
+    """Model worker implementing the batched ToHR flow for ``ResUNet_16x_DEM``."""
+
+    model_version = "ResUNet_16x_DEM"
+    low_depth_mask_m = 1e-3
+
+    def __init__(
+        self,
+        model_fp: str | Path,
+        *,
+        logger=None,
+        compute_dtype: str = "float32",
+        max_batch: int = 8,
+        mesh=None,
+    ):
+        super().__init__(model_fp=model_fp, model_version=self.model_version, logger=logger)
+        self.compute_dtype = compute_dtype
+        self.max_batch = int(max_batch)
+        self.mesh = mesh
+        self.engine: EngineJAX | None = None
+
+    def __enter__(self):
+        self.engine = EngineJAX(
+            self.model_fp,
+            logger=self.log,
+            compute_dtype=self.compute_dtype,
+            max_batch=self.max_batch,
+            mesh=self.mesh,
+        )
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if self.engine is not None:
+            self.engine.close()
+        self.engine = None
+        return False
+
+    # ------------------------------------------------------------------
+
+    def _run_tiled_model_on_prepared(
+        self,
+        *,
+        depth_lr_fp: str | Path,
+        dem_hr_fp: str | Path,
+        preprocess_cfg: dict[str, object],
+        model_lr_tile: int,
+        model_scale: int,
+        contract_hr_tile: int,
+        window_method: str,
+        overlap_lr: int,
+    ) -> tuple[np.ndarray, int, dict[str, float] | None]:
+        """Batched tiled execution over prepared rasters → model-space meters.
+
+        Returns the stitched prediction, the number of unique tiles executed
+        (the reference's tile-cache size), and a DEM-stat summary.
+        """
+        log = self.log
+        assert self.engine is not None, "worker must be entered before running inference"
+        assert window_method in {"hard", "feather"}, (
+            f"unsupported window_method={window_method}"
+        )
+
+        depth_lr_raw, _d_nodata, depth_lr_profile = _read_single_band_raster(depth_lr_fp)
+        dem_hr_raw, _m_nodata, dem_hr_profile = _read_single_band_raster(dem_hr_fp)
+        assert depth_lr_raw.ndim == 2 and dem_hr_raw.ndim == 2
+        assert np.isfinite(depth_lr_raw).all(), "aligned depth contains non-finite values"
+        assert np.isfinite(dem_hr_raw).all(), "aligned DEM contains non-finite values"
+
+        max_depth = float(preprocess_cfg["max_depth"])
+        dem_pct_clip = float(preprocess_cfg["dem_pct_clip"])
+        crop_h, crop_w = dem_hr_raw.shape
+        expected_lr = (crop_h // model_scale, crop_w // model_scale)
+        assert expected_lr[0] > 0 and expected_lr[1] > 0
+        assert depth_lr_raw.shape == expected_lr, (
+            f"depth shape {depth_lr_raw.shape} does not match crop/scale target {expected_lr}"
+        )
+        if float(depth_lr_raw.min()) > max_depth:
+            log.warning("low-res depth values exceed max_depth; model preprocessing will clip them.")
+
+        log.info(
+            "prepared inputs summary:\n"
+            f"  aligned depth_lr shape={depth_lr_raw.shape} res={pixel_size(depth_lr_profile)} m/pix\n"
+            f"  aligned dem_hr shape={dem_hr_raw.shape} res={pixel_size(dem_hr_profile)} m/pix\n"
+            f"  max_depth={max_depth}\n  dem_pct_clip={dem_pct_clip}"
+        )
+
+        # Pad both arrays so fixed-size tiles exactly cover the extent.
+        pad_h = (math.ceil(crop_h / contract_hr_tile) * contract_hr_tile) - crop_h
+        pad_w = (math.ceil(crop_w / contract_hr_tile) * contract_hr_tile) - crop_w
+        dem_pad = np.pad(dem_hr_raw, ((0, pad_h), (0, pad_w)), constant_values=0.0)
+        hr_pad_h, hr_pad_w = dem_pad.shape
+        depth_pad = np.pad(
+            depth_lr_raw,
+            (
+                (0, hr_pad_h // model_scale - depth_lr_raw.shape[0]),
+                (0, hr_pad_w // model_scale - depth_lr_raw.shape[1]),
+            ),
+            constant_values=0.0,
+        )
+
+        overlap_hr = overlap_lr * model_scale
+        if window_method == "hard":
+            stride_hr = contract_hr_tile
+            weight_overlap = 0
+        else:
+            if overlap_lr <= 0:
+                raise AssertionError("feather windowing requires overlap_lr > 0")
+            stride_hr = contract_hr_tile - overlap_hr
+            if stride_hr <= 0:
+                raise AssertionError(
+                    f"feather stride must be > 0; overlap_lr={overlap_lr}, tile={contract_hr_tile}"
+                )
+            weight_overlap = overlap_hr
+
+        grid = build_window_grid(hr_pad_h, hr_pad_w, contract_hr_tile, stride_hr)
+        n_tiles = len(grid["y0"])
+        log.info(
+            f"window config\n  method={window_method}\n  overlap_lr={overlap_lr}\n"
+            f"  overlap_hr={overlap_hr}\n  tile_size_lr={model_lr_tile}\n"
+            f"  tile_size_hr={contract_hr_tile}\n  grid={grid['ny']}x{grid['nx']} ({n_tiles} tiles)"
+        )
+
+        # Gather the full tile batch (host view; engine streams to device).
+        depth_tiles = np.empty((n_tiles, model_lr_tile, model_lr_tile), np.float32)
+        dem_tiles = np.empty((n_tiles, contract_hr_tile, contract_hr_tile), np.float32)
+        for k in range(n_tiles):
+            y0, x0 = int(grid["y0"][k]), int(grid["x0"][k])
+            ly, lx = y0 // model_scale, x0 // model_scale
+            depth_tiles[k] = depth_pad[ly : ly + model_lr_tile, lx : lx + model_lr_tile]
+            dem_tiles[k] = dem_pad[y0 : y0 + contract_hr_tile, x0 : x0 + contract_hr_tile]
+
+        result = self.engine.run_tiles(
+            depth_tiles,
+            dem_tiles,
+            max_depth=max_depth,
+            dem_pct_clip=dem_pct_clip,
+            dem_ref_stats=None,
+            normalize_inputs=True,
+            logger=log,
+        )
+        preds_m = result["predictions_m"]
+        stats = result["dem_stats_used"]
+
+        # Reference-parity guard: a zero DEM range is only legal on pinned
+        # (all-zero) padded tiles (reference: floodsr/preprocessing.py:71-82).
+        ranges = stats["dem_max"] - stats["dem_min"]
+        bad = (ranges <= 0) & ~np.isclose(stats["dem_min"], 0.0)
+        if bad.any():
+            idx = int(np.argmax(bad))
+            raise AssertionError(
+                f"DEM range must be > 0; got min={stats['dem_min'][idx]}, "
+                f"max={stats['dem_max'][idx]} (tile {idx})"
+            )
+
+        weights = feather_weights_for_grid(
+            contract_hr_tile,
+            weight_overlap,
+            jnp.asarray(grid["yi"]),
+            jnp.asarray(grid["xi"]),
+            grid["ny"],
+            grid["nx"],
+        )
+        sr_pad = np.asarray(
+            mosaic_scatter_add(
+                jnp.asarray(preds_m),
+                weights,
+                jnp.asarray(grid["y0"]),
+                jnp.asarray(grid["x0"]),
+                (hr_pad_h, hr_pad_w),
+            )
+        )
+
+        tile_dem_stats_summary = None
+        if n_tiles > 0:
+            dem_range_np = stats["dem_max"] - stats["dem_min"]
+            tile_dem_stats_summary = {
+                "tile_count": float(n_tiles),
+                "dem_p_clip_min": float(stats["p_clip"].min()),
+                "dem_p_clip_mean": float(stats["p_clip"].mean()),
+                "dem_p_clip_max": float(stats["p_clip"].max()),
+                "dem_range_min": float(dem_range_np.min()),
+                "dem_range_mean": float(dem_range_np.mean()),
+                "dem_range_max": float(dem_range_np.max()),
+            }
+
+        prediction_depth_m = np.clip(sr_pad[:crop_h, :crop_w], 0.0, max_depth).astype(
+            np.float32, copy=False
+        )
+        return prediction_depth_m, n_tiles, tile_dem_stats_summary
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        *,
+        depth_lr_fp: str | Path,
+        dem_hr_fp: str | Path,
+        output_fp: str | Path,
+        max_depth: float | None = None,
+        dem_pct_clip: float | None = None,
+        window_method: str = "feather",
+        tile_overlap: int | None = None,
+        tile_size: int | None = None,
+    ) -> dict[str, Any]:
+        """Run the model-specific ToHR workflow; returns output path + diagnostics."""
+        start = time.perf_counter()
+        log = self.log
+        assert self.engine is not None, "worker must be used under context management"
+
+        depth_lr_path = Path(depth_lr_fp).expanduser().resolve()
+        dem_hr_path = Path(dem_hr_fp).expanduser().resolve()
+        out_path = Path(output_fp).expanduser().resolve()
+        assert depth_lr_path.exists(), f"low-res depth raster does not exist: {depth_lr_path}"
+        assert dem_hr_path.exists(), f"DEM raster does not exist: {dem_hr_path}"
+        window_method = (window_method or "feather").strip().lower()
+        assert window_method in {"hard", "feather"}, (
+            f"unsupported window_method={window_method}"
+        )
+
+        log.info(
+            f"starting tohr inference with model_version={self.model_version}\n"
+            f"model\n    {self.model_fp}\ndepth_lr\n    {depth_lr_path}\n"
+            f"dem_hr\n    {dem_hr_path}\noutput\n    {out_path}"
+        )
+
+        depth_lr_raw, _, depth_lr_raw_profile = _read_single_band_raster(depth_lr_path)
+        dem_hr_raw, _, dem_hr_raw_profile = _read_single_band_raster(dem_hr_path)
+        depth_lr_bounds = raster_bounds(depth_lr_raw_profile)
+        log.info(
+            "raw inputs\n"
+            f"  depth_lr shape={depth_lr_raw.shape} res={pixel_size(depth_lr_raw_profile)} m/pix\n"
+            f"  dem_hr shape={dem_hr_raw.shape} res={pixel_size(dem_hr_raw_profile)} m/pix"
+        )
+
+        preprocess_cfg = resolve_preprocess_config(
+            self.model_fp, max_depth=max_depth, dem_pct_clip=dem_pct_clip, logger=log
+        )
+        assert self.engine.contract is not None, "engine contract must be available"
+        contract_scale = int(self.engine.contract.scale)
+        contract_lr_tile = int(self.engine.contract.depth_lr_hwc[0])
+        contract_hr_tile = int(self.engine.contract.dem_hr_hwc[0])
+
+        model_scale = (
+            int(preprocess_cfg["scale"])
+            if isinstance(preprocess_cfg.get("scale"), (int, float))
+            else contract_scale
+        )
+        if model_scale != contract_scale:
+            log.warning(f"using contract scale {contract_scale} over configured scale {model_scale}")
+            model_scale = contract_scale
+
+        model_lr_tile = (
+            int(preprocess_cfg["lr_tile"])
+            if isinstance(preprocess_cfg.get("lr_tile"), (int, float))
+            else contract_lr_tile
+        )
+        if model_lr_tile != contract_lr_tile:
+            log.warning(
+                f"model config LR tile {model_lr_tile} overrides contract tile {contract_lr_tile}; "
+                "using contract tile for strict model shape checks."
+            )
+            model_lr_tile = contract_lr_tile
+
+        if tile_size is not None:
+            tile_size = int(tile_size)
+            if tile_size != contract_lr_tile:
+                raise AssertionError(
+                    f"tile_size override {tile_size} does not match model LR tile {contract_lr_tile}"
+                )
+            model_lr_tile = tile_size
+
+        if model_lr_tile * model_scale != contract_hr_tile:
+            raise AssertionError(
+                f"model tile mismatch: LR tile {model_lr_tile} x scale {model_scale} "
+                f"!= contract HR tile {contract_hr_tile}"
+            )
+
+        overlap_lr = int(tile_overlap) if tile_overlap is not None else contract_lr_tile // 4
+        if overlap_lr < 0:
+            raise AssertionError(f"tile_overlap must be >= 0; got {overlap_lr}")
+
+        with tempfile.TemporaryDirectory(prefix="floodsr-prep-") as prepped_dir:
+            prepped = write_prepared_rasters(
+                depth_lr_fp=depth_lr_path,
+                dem_hr_fp=dem_hr_path,
+                scale=model_scale,
+                out_dir=prepped_dir,
+                logger=log,
+            )
+            log.info(
+                "preprocessing complete\n"
+                f"  scale={model_scale} (HR/LR ratio)\n"
+                f"  aligned depth shape={prepped['depth_lr_shape']} resampled={prepped['resampled']}\n"
+                f"  aligned dem shape={prepped['dem_hr_shape']} raw_dem_shape={prepped['dem_raw_shape']}\n"
+                f"  max_depth={float(preprocess_cfg['max_depth'])} "
+                f"dem_pct_clip={float(preprocess_cfg['dem_pct_clip'])}"
+            )
+
+            prediction_model_m, tile_cache_size, tile_dem_stats = (
+                self._run_tiled_model_on_prepared(
+                    depth_lr_fp=prepped["depth_lr_prepared_fp"],
+                    dem_hr_fp=prepped["dem_hr_prepared_fp"],
+                    preprocess_cfg=preprocess_cfg,
+                    model_lr_tile=model_lr_tile,
+                    model_scale=model_scale,
+                    contract_hr_tile=contract_hr_tile,
+                    window_method=window_method,
+                    overlap_lr=overlap_lr,
+                )
+            )
+            assert prediction_model_m.shape == tuple(prepped["dem_hr_shape"]), (
+                f"prediction shape {prediction_model_m.shape} must match "
+                f"preprocessed DEM shape {prepped['dem_hr_shape']}"
+            )
+
+            output_profile = dict(prepped["dem_raw_profile"])
+            output_profile.update(dtype="float32", count=1)
+
+            prediction_out_m = prediction_model_m
+            post_resampled = tuple(prepped["dem_raw_shape"]) != tuple(prediction_model_m.shape)
+            if post_resampled:
+                log.info(
+                    f"post-resampling model output from {prediction_model_m.shape} "
+                    f"to {tuple(prepped['dem_raw_shape'])} on raw DEM grid with bilinear interpolation."
+                )
+                prediction_out_m = reproject_bilinear(
+                    prediction_model_m,
+                    prepped["dem_profile"]["transform"],
+                    tuple(prepped["dem_raw_shape"]),
+                    prepped["dem_raw_profile"]["transform"],
+                )
+
+            prediction_out_m = np.clip(
+                prediction_out_m, 0.0, float(preprocess_cfg["max_depth"])
+            ).astype(np.float32, copy=False)
+            prediction_out_m = np.where(
+                prediction_out_m < float(self.low_depth_mask_m), 0.0, prediction_out_m
+            ).astype(np.float32, copy=False)
+
+            prepared_dem_bounds = raster_bounds(prepped["dem_raw_profile"])
+            assert all(
+                np.isclose(a, b, atol=1e-6, rtol=0.0)
+                for a, b in zip(prepared_dem_bounds, depth_lr_bounds)
+            ), (
+                f"output profile bounds {prepared_dem_bounds} do not match "
+                f"incoming low-res bounds {depth_lr_bounds}"
+            )
+
+            out_written_fp = _write_single_band_raster(out_path, prediction_out_m, output_profile)
+            _, _, written_profile = _read_single_band_raster(out_written_fp)
+            written_shape = (int(written_profile["height"]), int(written_profile["width"]))
+            assert written_shape == tuple(prepped["dem_raw_shape"]), (
+                f"written output shape {written_shape} must match raw DEM shape "
+                f"{prepped['dem_raw_shape']}"
+            )
+            written_bounds = raster_bounds(written_profile)
+            assert all(
+                np.isclose(a, b, atol=1e-6, rtol=0.0)
+                for a, b in zip(written_bounds, depth_lr_bounds)
+            ), (
+                f"written output bounds {written_bounds} must match incoming "
+                f"low-res bounds {depth_lr_bounds}"
+            )
+
+        runtime_s = time.perf_counter() - start
+        out_file_size = int(out_written_fp.stat().st_size)
+        log.info(
+            f"finished tohr inference in {runtime_s:.3f}s; wrote {out_file_size:,} bytes to\n"
+            f"    {out_written_fp}"
+        )
+        return {
+            "output_fp": str(out_written_fp),
+            "runtime_s": float(runtime_s),
+            "model_version": self.model_version,
+            "model_fp": str(self.model_fp),
+            "output_size_bytes": out_file_size,
+            "preprocess": {
+                "max_depth": float(preprocess_cfg["max_depth"]),
+                "dem_pct_clip": float(preprocess_cfg["dem_pct_clip"]),
+                "dem_ref_stats": preprocess_cfg["dem_ref_stats"],
+                "window_method": window_method,
+                "tile_overlap_lr": overlap_lr,
+                "tile_size_lr": model_lr_tile,
+                "tile_size_hr": contract_hr_tile,
+                "model_scale": model_scale,
+                "tile_cache_size": tile_cache_size,
+                "tile_dem_stats": tile_dem_stats,
+                "input_shape": {
+                    "crop_height": int(prediction_out_m.shape[0]),
+                    "crop_width": int(prediction_out_m.shape[1]),
+                    "model_space_crop_height": int(prediction_model_m.shape[0]),
+                    "model_space_crop_width": int(prediction_model_m.shape[1]),
+                    "aligned_depth_shape": [int(x) for x in prepped["depth_lr_shape"]],
+                    "aligned_dem_shape": [int(x) for x in prepped["dem_hr_shape"]],
+                    "output_shape": [int(x) for x in prepped["dem_raw_shape"]],
+                },
+                "prepared_inputs": {
+                    "depth_lr_prepared_fp": str(prepped["depth_lr_prepared_fp"]),
+                    "dem_hr_prepared_fp": str(prepped["dem_hr_prepared_fp"]),
+                    "prepped_depth_was_resampled": bool(prepped["resampled"]),
+                    "prepped_dem_was_resampled": bool(prepped["resampled"]),
+                    "post_sr_was_resampled": bool(post_resampled),
+                },
+            },
+        }

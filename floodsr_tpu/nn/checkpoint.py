@@ -1,0 +1,133 @@
+"""Model artifact format: ``.fsrz`` = zip(manifest.json, params.npz, state.npz).
+
+Plays the role of the reference's released ONNX file
+(reference: ``floodsr/models.json:1-10``): a single distributable weights
+artifact, sha256-pinned by the registry and resolved into an I/O contract at
+engine load (reference: ``floodsr/engine/ort.py:75-102``). The manifest
+records the architecture config so any compatible graph (including weights
+converted from the reference ONNX via :mod:`floodsr_tpu.nn.onnx_reader`)
+carries its own shape.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+import jax
+
+from floodsr_tpu.nn.resunet import ResUNetConfig
+
+ARTIFACT_FORMAT = "floodsr-tpu-fsrz"
+ARTIFACT_VERSION = 1
+
+
+def _flatten(tree: Any) -> tuple[dict[str, np.ndarray], Any]:
+    """Flatten a pytree into numbered leaves plus a JSON-able skeleton."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    return arrays, treedef
+
+
+def _skeleton(tree: Any) -> Any:
+    """JSON-able structure mirror with leaf slots replaced by indices."""
+    counter = [0]
+
+    def walk(node: Any) -> Any:
+        if isinstance(node, dict):
+            # Walk in sorted key order to match jax.tree_util leaf ordering.
+            return {k: walk(node[k]) for k in sorted(node)}
+        if isinstance(node, (list, tuple)):
+            return [walk(v) for v in node]
+        idx = counter[0]
+        counter[0] += 1
+        return {"__leaf__": idx}
+
+    return walk(tree)
+
+
+def _rebuild(skeleton: Any, arrays: dict[str, np.ndarray]) -> Any:
+    def walk(node: Any) -> Any:
+        if isinstance(node, dict):
+            if "__leaf__" in node and len(node) == 1:
+                return arrays[f"leaf_{int(node['__leaf__']):05d}"]
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        raise ValueError(f"unexpected skeleton node: {node!r}")
+
+    return walk(skeleton)
+
+
+def _npz_bytes(arrays: dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def save_artifact(
+    fp: str | Path,
+    config: ResUNetConfig,
+    params: Any,
+    state: Any,
+    metadata: dict | None = None,
+) -> Path:
+    """Write a model artifact; returns the written path."""
+    path = Path(fp).expanduser().resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    params_arrays, _ = _flatten(params)
+    state_arrays, _ = _flatten(state)
+    manifest = {
+        "format": ARTIFACT_FORMAT,
+        "version": ARTIFACT_VERSION,
+        "architecture": "ResUNet_DEM",
+        "config": config.to_dict(),
+        "io_contract": {
+            "depth_input_name": "depth_lr",
+            "dem_input_name": "dem_hr",
+            "output_name": "depth_hr_pred",
+            "depth_lr_hwc": [config.lr_tile, config.lr_tile, 1],
+            "dem_hr_hwc": [config.hr_tile, config.hr_tile, 1],
+            "output_hwc": [config.hr_tile, config.hr_tile, 1],
+            "scale": config.scale,
+        },
+        "params_skeleton": _skeleton(params),
+        "state_skeleton": _skeleton(state),
+        "metadata": metadata or {},
+    }
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("manifest.json", json.dumps(manifest))
+        zf.writestr("params.npz", _npz_bytes(params_arrays))
+        zf.writestr("state.npz", _npz_bytes(state_arrays))
+    return path
+
+
+def load_artifact(fp: str | Path) -> dict[str, Any]:
+    """Load an artifact: ``{config, params, state, manifest}``."""
+    path = Path(fp).expanduser().resolve()
+    if not path.exists():
+        raise AssertionError(f"model artifact does not exist: {path}")
+    try:
+        with zipfile.ZipFile(path) as zf:
+            manifest = json.loads(zf.read("manifest.json"))
+            if manifest.get("format") != ARTIFACT_FORMAT:
+                raise ValueError(f"not a floodsr-tpu artifact: {path}")
+            with np.load(io.BytesIO(zf.read("params.npz"))) as npz:
+                params_arrays = {k: npz[k] for k in npz.files}
+            with np.load(io.BytesIO(zf.read("state.npz"))) as npz:
+                state_arrays = {k: npz[k] for k in npz.files}
+    except zipfile.BadZipFile as err:
+        raise ValueError(f"not a floodsr-tpu artifact (bad zip): {path}") from err
+
+    return {
+        "config": ResUNetConfig.from_dict(manifest["config"]),
+        "params": _rebuild(manifest["params_skeleton"], params_arrays),
+        "state": _rebuild(manifest["state_skeleton"], state_arrays),
+        "manifest": manifest,
+    }

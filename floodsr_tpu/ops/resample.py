@@ -1,0 +1,152 @@
+"""Affine bilinear resampling — the same-CRS reproject GDAL provides upstream.
+
+The reference delegates grid-to-grid resampling to ``rasterio.warp.reproject``
+with bilinear resampling (reference: ``floodsr/preprocessing.py:376-387``,
+``floodsr/models/ResUNet_16x_DEM.py:561-571``). The pipeline only ever warps
+between grids in the SAME projected CRS (CRS equality is asserted upstream),
+so the warp reduces to an affine coordinate change + bilinear sampling at
+destination pixel centers, with nodata-aware weight renormalization.
+
+Numpy implementation for host preprocessing plus a JAX twin usable inside
+jitted post-processing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from floodsr_tpu.io.affine import Affine
+
+
+def _dst_center_coords_in_src(
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+    src_transform: Affine,
+    xp,
+):
+    """Fractional src pixel-center coords (row, col) for each dst pixel center."""
+    h, w = dst_shape
+    rows = xp.arange(h, dtype=xp.float64) + 0.5
+    cols = xp.arange(w, dtype=xp.float64) + 0.5
+    cgrid, rgrid = xp.meshgrid(cols, rows)
+    x = dst_transform.a * cgrid + dst_transform.b * rgrid + dst_transform.c
+    y = dst_transform.d * cgrid + dst_transform.e * rgrid + dst_transform.f
+    inv = src_transform.invert()
+    src_col = inv.a * x + inv.b * y + inv.c
+    src_row = inv.d * x + inv.e * y + inv.f
+    # Shift to pixel-center sample space.
+    return src_row - 0.5, src_col - 0.5
+
+
+def reproject_bilinear(
+    source: np.ndarray,
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+    src_nodata: float | None = None,
+    dst_nodata: float | None = None,
+) -> np.ndarray:
+    """Bilinear-resample ``source`` onto the destination grid (numpy, host).
+
+    Nodata source pixels are excluded with weight renormalization; destination
+    pixels with no valid contribution (or falling outside the source) receive
+    ``dst_nodata`` (or 0.0 when None, matching the pipeline's downstream
+    nodata→0 policy).
+    """
+    if source.ndim != 2:
+        raise AssertionError(f"source must be 2D; got {source.shape}")
+    src = np.asarray(source, dtype=np.float64)
+    h_s, w_s = src.shape
+    fill = 0.0 if dst_nodata is None else float(dst_nodata)
+
+    v, u = _dst_center_coords_in_src(dst_shape, dst_transform, src_transform, np)
+    r0 = np.floor(v).astype(np.int64)
+    c0 = np.floor(u).astype(np.int64)
+    fr = v - r0
+    fc = u - c0
+
+    inside = (v >= -0.5) & (v <= h_s - 0.5) & (u >= -0.5) & (u <= w_s - 0.5)
+
+    valid_src = np.isfinite(src)
+    if src_nodata is not None:
+        valid_src &= ~np.isclose(src, src_nodata)
+
+    acc = np.zeros(dst_shape, np.float64)
+    wacc = np.zeros(dst_shape, np.float64)
+    for dr, dc, weight in (
+        (0, 0, (1 - fr) * (1 - fc)),
+        (0, 1, (1 - fr) * fc),
+        (1, 0, fr * (1 - fc)),
+        (1, 1, fr * fc),
+    ):
+        rr = np.clip(r0 + dr, 0, h_s - 1)
+        cc = np.clip(c0 + dc, 0, w_s - 1)
+        vals = src[rr, cc]
+        ok = valid_src[rr, cc]
+        w_eff = np.where(ok, weight, 0.0)
+        acc += np.where(ok, vals, 0.0) * w_eff
+        wacc += w_eff
+
+    out = np.where((wacc > 0) & inside, acc / np.maximum(wacc, 1e-12), fill)
+    return out.astype(np.float32)
+
+
+def reproject_bilinear_jax(
+    source: jnp.ndarray,
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+    src_nodata: float | None = None,
+    dst_nodata: float | None = None,
+) -> jnp.ndarray:
+    """JAX twin of :func:`reproject_bilinear` (traceable; static transforms)."""
+    src = source.astype(jnp.float32)
+    h_s, w_s = src.shape
+    fill = 0.0 if dst_nodata is None else float(dst_nodata)
+
+    v, u = _dst_center_coords_in_src(dst_shape, dst_transform, src_transform, jnp)
+    v = v.astype(jnp.float32)
+    u = u.astype(jnp.float32)
+    r0 = jnp.floor(v).astype(jnp.int32)
+    c0 = jnp.floor(u).astype(jnp.int32)
+    fr = v - r0
+    fc = u - c0
+    inside = (v >= -0.5) & (v <= h_s - 0.5) & (u >= -0.5) & (u <= w_s - 0.5)
+
+    valid_src = jnp.isfinite(src)
+    if src_nodata is not None:
+        valid_src &= ~jnp.isclose(src, src_nodata)
+
+    acc = jnp.zeros(dst_shape, jnp.float32)
+    wacc = jnp.zeros(dst_shape, jnp.float32)
+    for dr, dc, weight in (
+        (0, 0, (1 - fr) * (1 - fc)),
+        (0, 1, (1 - fr) * fc),
+        (1, 0, fr * (1 - fc)),
+        (1, 1, fr * fc),
+    ):
+        rr = jnp.clip(r0 + dr, 0, h_s - 1)
+        cc = jnp.clip(c0 + dc, 0, w_s - 1)
+        vals = src[rr, cc]
+        ok = valid_src[rr, cc]
+        w_eff = jnp.where(ok, weight, 0.0)
+        acc = acc + jnp.where(ok, vals, 0.0) * w_eff
+        wacc = wacc + w_eff
+
+    return jnp.where((wacc > 0) & inside, acc / jnp.maximum(wacc, 1e-12), fill).astype(
+        jnp.float32
+    )
+
+
+def pad_to_multiple(
+    arr: np.ndarray, multiple: int, constant: float = 0.0
+) -> np.ndarray:
+    """Zero-pad trailing edges so both dims are multiples of ``multiple``."""
+    h, w = arr.shape
+    pad_h = (-h) % multiple
+    pad_w = (-w) % multiple
+    if pad_h == 0 and pad_w == 0:
+        return arr
+    return np.pad(arr, ((0, pad_h), (0, pad_w)), constant_values=constant)

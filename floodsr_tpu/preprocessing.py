@@ -1,0 +1,332 @@
+"""Host-side preprocessing: config resolution and geospatial alignment.
+
+Behavioral parity with the reference module (reference:
+``floodsr/preprocessing.py``): model-config resolution from
+``train_config.json`` with CLI-override precedence, CRS/grid validation, DEM
+clipping to the LR footprint, model-space HR grid derivation
+(``lr_shape × scale``), and prepared-raster writes. Raster I/O and the warp
+run on this framework's self-contained implementations instead of
+rasterio/GDAL.
+
+Normalization math is re-exported from :mod:`floodsr_tpu.ops.normalize` under
+the reference's public names so library callers of the reference find the
+same surface here.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from floodsr_tpu.io.affine import (
+    Affine,
+    from_bounds as bounds_to_transform,
+    round_window,
+    window_from_bounds,
+    window_transform,
+)
+from floodsr_tpu.io.geotiff import raster_bounds, read_raster, write_raster
+from floodsr_tpu.ops.normalize import (  # noqa: F401  (public API re-exports)
+    invert_depth_log1p_np,
+    normalize_dem,
+    normalize_dem_with_stats_np,
+    replace_nodata_with_zero,
+    scale_depth_log1p_np,
+)
+from floodsr_tpu.ops.resample import reproject_bilinear
+
+
+def load_train_config(model_fp: str | Path, logger=None) -> dict | None:
+    """Load ``train_config.json`` from the model directory if available."""
+    log = logger or logging.getLogger(__name__)
+    model_path = Path(model_fp).expanduser().resolve()
+    train_config_fp = model_path.parent / "train_config.json"
+    if not train_config_fp.exists():
+        log.debug(f"train config not found for model\n    {model_path}")
+        return None
+    log.debug(f"loaded train config from\n    {train_config_fp}")
+    return json.loads(train_config_fp.read_text(encoding="utf-8"))
+
+
+def resolve_preprocess_config(
+    model_fp: str | Path,
+    max_depth: float | None = None,
+    dem_pct_clip: float | None = None,
+    logger=None,
+) -> dict[str, object]:
+    """Resolve preprocessing defaults: CLI override > train_config > defaults.
+
+    Same precedence and keys as the reference resolver (reference:
+    ``floodsr/preprocessing.py:187-244``), including the DEM-resolution hint
+    regex over the training ``dem_fp`` filename.
+    """
+    log = logger or logging.getLogger(__name__)
+    model_path = Path(model_fp).expanduser().resolve()
+    assert model_path.exists(), f"model file does not exist: {model_path}"
+
+    resolved_max_depth = 5.0 if max_depth is None else float(max_depth)
+    resolved_dem_pct_clip = 95.0 if dem_pct_clip is None else float(dem_pct_clip)
+    dem_ref_stats = None
+    resolved_lr_tile = None
+    resolved_scale = None
+    resolved_dem_resolution = None
+
+    train_cfg = load_train_config(model_path, logger=log)
+    if train_cfg is not None:
+        if max_depth is None and train_cfg.get("max_depth") is not None:
+            resolved_max_depth = float(train_cfg["max_depth"])
+        if dem_pct_clip is None and train_cfg.get("dem_pct_clip") is not None:
+            resolved_dem_pct_clip = float(train_cfg["dem_pct_clip"])
+        dem_stats_cfg = train_cfg.get("dem_stats") or {}
+        required_keys = {"p_clip", "dem_min", "dem_max"}
+        if required_keys.issubset(dem_stats_cfg):
+            dem_ref_stats = {k: float(dem_stats_cfg[k]) for k in sorted(required_keys)}
+        input_shape = train_cfg.get("input_shape")
+        if isinstance(input_shape, (tuple, list)) and len(input_shape) >= 2:
+            lr_h = input_shape[0]
+            if isinstance(lr_h, (int, float)) and float(lr_h).is_integer():
+                resolved_lr_tile = int(lr_h)
+        if train_cfg.get("upscale") is not None:
+            resolved_scale = int(train_cfg["upscale"])
+        if train_cfg.get("dem_fp"):
+            dem_fp = str(train_cfg.get("dem_fp"))
+            match = re.search(r"(?:^|[_/])([0-9]{2,})_?dem", dem_fp)
+            if match is not None:
+                resolved_dem_resolution = float(int(match.group(1)))
+
+    if resolved_dem_resolution is None:
+        resolved_dem_resolution = 2.0
+
+    log.debug(
+        f"resolved preprocessing config: max_depth={resolved_max_depth}, "
+        f"dem_pct_clip={resolved_dem_pct_clip}, has_dem_ref_stats={dem_ref_stats is not None}, "
+        f"lr_tile={resolved_lr_tile}, scale={resolved_scale}, "
+        f"model_dem_resolution={resolved_dem_resolution}"
+    )
+    return {
+        "max_depth": resolved_max_depth,
+        "dem_pct_clip": resolved_dem_pct_clip,
+        "dem_ref_stats": dem_ref_stats,
+        "lr_tile": resolved_lr_tile,
+        "scale": resolved_scale,
+        "model_dem_resolution": resolved_dem_resolution,
+    }
+
+
+def _read_single_band_raster(fp: str | Path) -> tuple[np.ndarray, float | None, dict]:
+    """Read a single-band raster from disk."""
+    arr, nodata, profile = read_raster(fp)
+    return arr.astype(np.float32), nodata, profile
+
+
+def _write_single_band_raster(
+    fp: str | Path, arr: np.ndarray, profile: dict, driver: str | None = None
+) -> Path:
+    """Write a float32 single-band raster and return the output path."""
+    out_profile = dict(profile)
+    out_profile.update(dtype="float32", count=1)
+    out_profile["driver"] = driver or "GTiff"
+    out_profile["height"] = int(arr.shape[0])
+    out_profile["width"] = int(arr.shape[1])
+    return write_raster(fp, arr.astype(np.float32, copy=False), out_profile)
+
+
+def _align_depth_and_dem_inputs(
+    depth_lr_fp: str | Path,
+    dem_hr_fp: str | Path,
+    scale: int,
+    logger=None,
+) -> dict[str, Any]:
+    """Align inputs for model scale: keep LR depth native, resample DEM.
+
+    Same contract as the reference aligner (reference:
+    ``floodsr/preprocessing.py:285-408``): CRS must match and be projected
+    (depth inherits DEM CRS with a warning when missing), DEM is clipped to
+    the LR bounds on its native grid, and the model-space HR grid is derived
+    as ``lr_shape × scale`` over the LR bounds.
+    """
+    log = logger or logging.getLogger(__name__)
+    assert scale > 0, f"scale must be > 0; got {scale}"
+    depth_path = Path(depth_lr_fp).expanduser().resolve()
+    dem_path = Path(dem_hr_fp).expanduser().resolve()
+    assert depth_path.exists(), f"low-res depth raster does not exist: {depth_path}"
+    assert dem_path.exists(), f"hires DEM raster does not exist: {dem_path}"
+
+    depth_raw, depth_nodata, depth_profile = _read_single_band_raster(depth_path)
+    dem_raw, dem_nodata, dem_profile = _read_single_band_raster(dem_path)
+    assert depth_profile["count"] == 1, "depth raster must have 1 band"
+    assert dem_profile["count"] == 1, "DEM raster must have 1 band"
+
+    depth_crs = depth_profile["crs"]
+    dem_crs = dem_profile["crs"]
+    if depth_crs is None:
+        assert dem_crs is not None, "both rasters must include CRS when depth CRS is missing"
+        depth_crs = dem_crs
+        depth_profile = dict(depth_profile)
+        depth_profile["crs"] = dem_crs
+        log.warning(
+            "assigning missing depth CRS from DEM CRS\n"
+            f"    depth={depth_path}\n"
+            f"    dem={dem_path}"
+        )
+    assert dem_crs is not None, "both rasters must define CRS"
+    assert depth_crs == dem_crs, (
+        f"CRS mismatch\n    depth={depth_crs}\n    dem={dem_crs}"
+    )
+    assert depth_crs.is_projected, f"CRS must be projected; got {depth_crs}"
+
+    depth_t = depth_profile["transform"]
+    dem_t = dem_profile["transform"]
+    depth_res = (abs(depth_t.a), abs(depth_t.e))
+    dem_res = (abs(dem_t.a), abs(dem_t.e))
+    if not np.isclose(depth_res[0], depth_res[1]):
+        log.warning(f"depth pixels are not square: res={depth_res}")
+    if not np.isclose(dem_res[0], dem_res[1]):
+        log.warning(f"DEM pixels are not square: res={dem_res}")
+
+    lr_bounds = raster_bounds(depth_profile)
+    dem_bounds = raster_bounds(dem_profile)
+    if not all(np.isclose(lr_bounds, dem_bounds, atol=1e-6, rtol=0.0)):
+        log.warning(
+            "input bounds differ; clipping DEM to depth raster bounds.\n"
+            f"    depth={lr_bounds}\n"
+            f"    dem={dem_bounds}"
+        )
+
+    depth_lr = replace_nodata_with_zero(depth_raw, depth_nodata)
+    depth_bounds = tuple(float(v) for v in lr_bounds)
+
+    # Clip DEM to LR bounds on the source DEM grid for later raw-grid export.
+    win = round_window(window_from_bounds(*lr_bounds, dem_t))
+    row_off, col_off, win_h, win_w = win
+    row0, col0 = max(0, row_off), max(0, col_off)
+    dem_crop = dem_raw[row0 : row_off + win_h, col0 : col_off + win_w]
+    assert dem_crop.size > 0, f"clipped DEM is empty for bounds {lr_bounds}"
+    dem_crop = replace_nodata_with_zero(dem_crop, dem_nodata)
+    dem_crop_transform = window_transform(row0, col0, dem_t)
+
+    if not np.isfinite(dem_crop).all():
+        raise AssertionError("DEM contains non-finite values after clipping")
+    if not np.isfinite(depth_lr).all():
+        raise AssertionError("low-res depth contains non-finite values")
+    if depth_lr.min() < 0.0:
+        raise AssertionError(
+            f"low-res depth has negative values: min={float(depth_lr.min())}"
+        )
+
+    # Derive model-space HR grid directly from native LR shape and model scale.
+    target_hr_h = int(depth_lr.shape[0] * scale)
+    target_hr_w = int(depth_lr.shape[1] * scale)
+    assert target_hr_h > 0 and target_hr_w > 0, (
+        f"target HR shape invalid {(target_hr_h, target_hr_w)}"
+    )
+    dem_model_transform = bounds_to_transform(
+        *depth_bounds, width=target_hr_w, height=target_hr_h
+    )
+    dem_model = reproject_bilinear(
+        dem_crop,
+        dem_crop_transform,
+        (target_hr_h, target_hr_w),
+        dem_model_transform,
+        src_nodata=dem_nodata,
+        dst_nodata=dem_nodata,
+    )
+    dem_model = replace_nodata_with_zero(dem_model, dem_nodata)
+    if not np.isfinite(dem_model).all():
+        raise AssertionError("resampled DEM contains non-finite values")
+    was_resampled = bool(
+        dem_model.shape != dem_crop.shape
+        or not all(
+            np.isclose(
+                (dem_model_transform.a, dem_model_transform.e),
+                (dem_crop_transform.a, dem_crop_transform.e),
+            )
+        )
+    )
+    return {
+        "depth_lr": depth_lr,
+        "depth_lr_nodata": depth_nodata,
+        "depth_lr_transform": depth_t,
+        "depth_lr_profile": depth_profile,
+        "dem_hr": dem_model,
+        "dem_hr_nodata": dem_nodata,
+        "dem_hr_transform": dem_model_transform,
+        "dem_raw_shape": tuple(int(v) for v in dem_crop.shape),
+        "dem_raw_transform": dem_crop_transform,
+        "dem_profile": dem_profile,
+        "crop_shape": (target_hr_h, target_hr_w),
+        "resampled": was_resampled,
+    }
+
+
+def write_prepared_rasters(
+    depth_lr_fp: str | Path,
+    dem_hr_fp: str | Path,
+    *,
+    scale: int,
+    out_dir: str | Path,
+    logger=None,
+    depth_lr_prepared_fp: str | Path | None = None,
+    dem_hr_prepared_fp: str | Path | None = None,
+) -> dict[str, object]:
+    """Write aligned/resized depth and DEM rasters to disk for inference."""
+    log = logger or logging.getLogger(__name__)
+    out_dir = Path(out_dir).expanduser()
+    out_dir.mkdir(parents=True, exist_ok=True)
+    aligned = _align_depth_and_dem_inputs(depth_lr_fp, dem_hr_fp, scale=scale, logger=log)
+
+    depth_prepared_fp = (
+        Path(depth_lr_prepared_fp)
+        if depth_lr_prepared_fp is not None
+        else out_dir / f"{Path(depth_lr_fp).stem}_prepped_depth.tif"
+    )
+    dem_prepared_fp = (
+        Path(dem_hr_prepared_fp)
+        if dem_hr_prepared_fp is not None
+        else out_dir / f"{Path(dem_hr_fp).stem}_prepped_dem.tif"
+    )
+
+    depth_profile = dict(aligned["depth_lr_profile"])
+    depth_profile.update(
+        height=int(aligned["depth_lr"].shape[0]),
+        width=int(aligned["depth_lr"].shape[1]),
+        transform=aligned["depth_lr_transform"],
+    )
+    dem_profile = dict(aligned["dem_profile"])
+    dem_profile.update(
+        height=int(aligned["dem_hr"].shape[0]),
+        width=int(aligned["dem_hr"].shape[1]),
+        transform=aligned["dem_hr_transform"],
+    )
+    dem_raw_profile = dict(aligned["dem_profile"])
+    dem_raw_profile.update(
+        height=int(aligned["dem_raw_shape"][0]),
+        width=int(aligned["dem_raw_shape"][1]),
+        transform=aligned["dem_raw_transform"],
+    )
+
+    depth_prepared_path = _write_single_band_raster(
+        depth_prepared_fp, aligned["depth_lr"], depth_profile
+    )
+    dem_prepared_path = _write_single_band_raster(
+        dem_prepared_fp, aligned["dem_hr"], dem_profile
+    )
+    return {
+        "depth_lr_prepared_fp": depth_prepared_path,
+        "dem_hr_prepared_fp": dem_prepared_path,
+        "depth_lr_profile": depth_profile,
+        "dem_profile": dem_profile,
+        "depth_lr_nodata": aligned["depth_lr_nodata"],
+        "dem_hr_nodata": aligned["dem_hr_nodata"],
+        "crop_shape": aligned["crop_shape"],
+        "resampled": aligned["resampled"],
+        "depth_lr_shape": tuple(aligned["depth_lr"].shape),
+        "dem_hr_shape": tuple(aligned["dem_hr"].shape),
+        "dem_raw_shape": tuple(aligned["dem_raw_shape"]),
+        "dem_raw_profile": dem_raw_profile,
+    }

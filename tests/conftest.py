@@ -91,6 +91,121 @@ def tile_case(request, tile_case_catalog):
     return tile_case_catalog[case_name]
 
 
+TINY_MODEL_CFG_KW = dict(
+    base_filters=8,
+    levels=2,
+    enc_blocks=1,
+    dec_blocks=1,
+    fuse_filters=8,
+    fuse_blocks=1,
+    scale=4,
+    lr_tile=8,
+)
+
+
+@pytest.fixture(scope="session")
+def tiny_model_fp(tmp_path_factory) -> pathlib.Path:
+    """A small deterministic model artifact for pipeline/CLI tests."""
+    from floodsr_tpu.nn import ResUNetConfig, init_resunet
+    from floodsr_tpu.nn.checkpoint import save_artifact
+
+    cfg = ResUNetConfig(**TINY_MODEL_CFG_KW)
+    params, state = init_resunet(20260816, cfg)
+    fp = tmp_path_factory.mktemp("model") / "model_infer.fsrz"
+    save_artifact(fp, cfg, params, state, {"seed": 20260816, "purpose": "tests"})
+    return fp
+
+
+def _write_geotiff(fp, array, transform, crs, nodata=-9999.0):
+    from floodsr_tpu.io import write_raster
+
+    profile = {
+        "driver": "GTiff",
+        "height": int(array.shape[0]),
+        "width": int(array.shape[1]),
+        "count": 1,
+        "dtype": "float32",
+        "crs": crs,
+        "transform": transform,
+        "nodata": float(nodata),
+        "compress": "LZW",
+    }
+    write_raster(fp, np.asarray(array, np.float32), profile)
+
+
+@pytest.fixture(scope="session")
+def synthetic_tohr_tiles(tmp_path_factory):
+    """On-the-fly raster inputs for ToHR coverage tests (native 4x scale)."""
+    from floodsr_tpu.io import from_origin
+
+    root = tmp_path_factory.mktemp("tohr_tiles")
+    lr_shape = (16, 16)
+    hr_shape = (64, 64)
+    crs = "EPSG:32633"
+    lr_res, hr_res = 30.0, 7.5
+    x0, y0 = 500000.0, 4000000.0
+
+    rng = np.random.default_rng(7)
+    depth_lr = rng.uniform(0.0, 2.0, lr_shape).astype(np.float32)
+    dem = (
+        500.0
+        + np.cumsum(rng.normal(0, 0.5, hr_shape).astype(np.float32), axis=1)
+        + np.linspace(0, 50, hr_shape[0], dtype=np.float32)[:, None]
+    )
+
+    depth_lr_fp = root / "depth_lr.tif"
+    dem_fp = root / "dem.tif"
+    _write_geotiff(
+        depth_lr_fp, depth_lr,
+        from_origin(x0, y0 + lr_shape[0] * lr_res, lr_res, lr_res), crs,
+    )
+    _write_geotiff(
+        dem_fp, dem,
+        from_origin(x0, y0 + hr_shape[0] * hr_res, hr_res, hr_res), crs,
+    )
+    return {
+        "depth_lr_fp": depth_lr_fp,
+        "dem_fp": dem_fp,
+        "lr_shape": lr_shape,
+        "hr_shape": hr_shape,
+        "output_fp": root / "pred_sr.tif",
+    }
+
+
+@pytest.fixture(scope="session")
+def synthetic_nonnative_tiles(tmp_path_factory):
+    """DEM on a finer grid than lr_res/scale → exercises post-resample."""
+    from floodsr_tpu.io import from_origin
+
+    root = tmp_path_factory.mktemp("tohr_nonnative")
+    lr_shape = (16, 16)
+    dem_shape = (96, 96)  # 5 m over the same 480 m extent (model space is 64²)
+    crs = "EPSG:32633"
+    lr_res, dem_res = 30.0, 5.0
+    x0, y0 = 500000.0, 4000000.0
+
+    rng = np.random.default_rng(11)
+    depth_lr = rng.uniform(0.0, 3.0, lr_shape).astype(np.float32)
+    dem = 300.0 + np.cumsum(rng.normal(0, 0.4, dem_shape).astype(np.float32), axis=0)
+
+    depth_lr_fp = root / "depth_lr.tif"
+    dem_fp = root / "dem.tif"
+    _write_geotiff(
+        depth_lr_fp, depth_lr,
+        from_origin(x0, y0 + lr_shape[0] * lr_res, lr_res, lr_res), crs,
+    )
+    _write_geotiff(
+        dem_fp, dem,
+        from_origin(x0, y0 + dem_shape[0] * dem_res, dem_res, dem_res), crs,
+    )
+    return {
+        "depth_lr_fp": depth_lr_fp,
+        "dem_fp": dem_fp,
+        "dem_shape": dem_shape,
+        "output_fp": root / "pred_sr.tif",
+    }
+
+
 @pytest.fixture(scope="function")
 def models_manifest_fp(tmp_path: pathlib.Path) -> pathlib.Path:
     """Local one-model manifest pointing at a file:// blob with a real sha256."""

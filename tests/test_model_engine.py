@@ -1,0 +1,215 @@
+"""Model core + JAX engine: shapes, checkpoint roundtrip, engine contract."""
+
+import numpy as np
+import pytest
+
+from floodsr_tpu.engine import EngineBase, EngineJAX, ModelIOContract
+from floodsr_tpu.nn import ResUNetConfig, count_params, init_resunet, resunet_apply
+from floodsr_tpu.nn.checkpoint import load_artifact, save_artifact
+
+pytestmark = pytest.mark.unit
+
+TINY_CFG = ResUNetConfig(
+    base_filters=8,
+    levels=2,
+    enc_blocks=1,
+    dec_blocks=1,
+    fuse_filters=8,
+    fuse_blocks=1,
+    scale=4,
+    lr_tile=8,
+)
+
+
+@pytest.fixture(scope="session")
+def tiny_artifact(tmp_path_factory):
+    params, state = init_resunet(1234, TINY_CFG)
+    fp = tmp_path_factory.mktemp("artifact") / "tiny_model.fsrz"
+    save_artifact(fp, TINY_CFG, params, state, {"seed": 1234})
+    return fp
+
+
+@pytest.fixture(scope="session")
+def tiny_engine(tiny_artifact):
+    return EngineJAX(tiny_artifact, max_batch=4)
+
+
+class TestModelCore:
+    def test_default_config_param_count(self):
+        # Pinned: f=32, 2 blocks/stage layout (reference artifact is 12,045,568
+        # in its own unrecoverable layout; ours is a documented superset).
+        params, state = init_resunet(0, ResUNetConfig())
+        assert count_params(params) == 16_067_169
+        assert count_params(params) + count_params(state) == 16_079_265
+
+    def test_forward_shapes_and_dtype(self):
+        params, state = init_resunet(7, TINY_CFG)
+        depth = np.random.default_rng(0).random((2, 8, 8, 1), dtype=np.float32)
+        dem = np.random.default_rng(1).random((2, 32, 32, 1), dtype=np.float32)
+        out, new_state = resunet_apply(params, state, depth, dem, TINY_CFG)
+        assert out.shape == (2, 32, 32, 1)
+        assert out.dtype == np.float32
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_init_is_deterministic(self):
+        p1, _ = init_resunet(42, TINY_CFG)
+        p2, _ = init_resunet(42, TINY_CFG)
+        for a, b in zip(
+            np.asarray(p1["stem"]["w"]).ravel(), np.asarray(p2["stem"]["w"]).ravel()
+        ):
+            assert a == b
+        p3, _ = init_resunet(43, TINY_CFG)
+        assert not np.array_equal(p1["stem"]["w"], p3["stem"]["w"])
+
+    def test_train_mode_updates_state(self):
+        params, state = init_resunet(7, TINY_CFG)
+        depth = np.random.default_rng(0).random((2, 8, 8, 1), dtype=np.float32)
+        dem = np.random.default_rng(1).random((2, 32, 32, 1), dtype=np.float32)
+        _, new_state = resunet_apply(params, state, depth, dem, TINY_CFG, train=True)
+        before = np.asarray(state["enc"][0][0]["bn1"]["mean"])
+        after = np.asarray(new_state["enc"][0][0]["bn1"]["mean"])
+        assert not np.array_equal(before, after)
+
+    def test_config_roundtrip(self):
+        cfg = ResUNetConfig(base_filters=16, scale=8)
+        assert ResUNetConfig.from_dict(cfg.to_dict()) == cfg
+
+    def test_widths(self):
+        assert ResUNetConfig(base_filters=32).widths == (32, 64, 128, 256, 512)
+
+
+class TestCheckpoint:
+    def test_roundtrip_identity(self, tiny_artifact):
+        art = load_artifact(tiny_artifact)
+        params, state = init_resunet(1234, TINY_CFG)
+        import jax
+
+        for got, want in zip(jax.tree.leaves(art["params"]), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert art["config"] == TINY_CFG
+        assert art["manifest"]["metadata"] == {"seed": 1234}
+
+    def test_bad_artifact_raises(self, tmp_path):
+        fp = tmp_path / "junk.fsrz"
+        fp.write_bytes(b"not a zip at all")
+        with pytest.raises(ValueError):
+            load_artifact(fp)
+
+    def test_missing_artifact_raises(self, tmp_path):
+        with pytest.raises(AssertionError):
+            load_artifact(tmp_path / "missing.fsrz")
+
+
+class TestEngineContract:
+    def test_abc_cannot_instantiate(self):
+        with pytest.raises(TypeError):
+            EngineBase()
+
+    def test_contract_resolution(self, tiny_engine):
+        c = tiny_engine.contract
+        assert isinstance(c, ModelIOContract)
+        assert c.depth_input_name == "depth_lr"
+        assert c.dem_input_name == "dem_hr"
+        assert c.depth_lr_hwc == (8, 8, 1)
+        assert c.dem_hr_hwc == (32, 32, 1)
+        assert c.output_hwc == (32, 32, 1)
+        assert c.scale == 4
+
+    def test_missing_model_raises(self, tmp_path):
+        with pytest.raises(AssertionError):
+            EngineJAX(tmp_path / "none.fsrz")
+
+
+class TestEngineRunTile:
+    def _inputs(self, seed=0):
+        rng = np.random.default_rng(seed)
+        depth = rng.uniform(0, 3, (8, 8)).astype(np.float32)
+        dem = rng.uniform(500, 1000, (32, 32)).astype(np.float32)
+        return depth, dem
+
+    def test_result_keys_and_ranges(self, tiny_engine):
+        depth, dem = self._inputs()
+        r = tiny_engine.run_tile(depth, dem)
+        assert set(r) == {"prediction_m", "prediction_norm", "dem_stats_used", "runtime_s"}
+        assert r["prediction_m"].shape == (32, 32)
+        assert r["prediction_m"].dtype == np.float32
+        assert r["prediction_m"].min() >= 0.0
+        assert r["prediction_m"].max() <= 5.0
+        assert r["dem_stats_used"]["dem_min"] <= r["dem_stats_used"]["dem_max"]
+        assert r["runtime_s"] > 0
+
+    def test_determinism_on_repeat(self, tiny_engine):
+        depth, dem = self._inputs(3)
+        r1 = tiny_engine.run_tile(depth, dem)
+        r2 = tiny_engine.run_tile(depth, dem)
+        np.testing.assert_array_equal(r1["prediction_m"], r2["prediction_m"])
+
+    def test_nodata_replacement(self, tiny_engine):
+        depth, dem = self._inputs(4)
+        depth[0, :4] = -9999.0
+        r = tiny_engine.run_tile(depth, dem, depth_lr_nodata=-9999.0)
+        assert np.isfinite(r["prediction_m"]).all()
+
+    def test_normalized_passthrough_validates_range(self, tiny_engine):
+        depth = np.full((8, 8), 1.5, np.float32)  # out of [0,1]
+        dem = np.full((32, 32), 0.5, np.float32)
+        with pytest.raises(AssertionError):
+            tiny_engine.run_tile(depth, dem, normalize_inputs=False)
+
+    def test_normalized_passthrough_runs(self, tiny_engine):
+        depth = np.full((8, 8), 0.5, np.float32)
+        dem = np.full((32, 32), 0.5, np.float32)
+        r = tiny_engine.run_tile(depth, dem, normalize_inputs=False)
+        assert r["dem_stats_used"] == {"p_clip": 95.0, "dem_min": 0.0, "dem_max": 1.0}
+
+    def test_ref_stats_path(self, tiny_engine):
+        depth, dem = self._inputs(5)
+        stats = {"p_clip": 1000.0, "dem_min": 500.0, "dem_max": 1000.0}
+        r = tiny_engine.run_tile(depth, dem, dem_ref_stats=stats)
+        assert r["dem_stats_used"] == stats
+
+    def test_wrong_tile_shape_raises(self, tiny_engine):
+        with pytest.raises(AssertionError):
+            tiny_engine.run_tile(
+                np.zeros((16, 16), np.float32), np.zeros((32, 32), np.float32)
+            )
+
+    def test_nonfinite_rejected(self, tiny_engine):
+        depth, dem = self._inputs(6)
+        depth[0, 0] = np.nan
+        with pytest.raises(AssertionError):
+            tiny_engine.run_tile(depth, dem)
+
+
+class TestEngineRunTiles:
+    def test_batched_matches_single(self, tiny_engine):
+        rng = np.random.default_rng(9)
+        depth = rng.uniform(0, 3, (5, 8, 8)).astype(np.float32)
+        dem = rng.uniform(400, 900, (5, 32, 32)).astype(np.float32)
+        batched = tiny_engine.run_tiles(depth, dem)
+        for i in range(5):
+            single = tiny_engine.run_tile(depth[i], dem[i])
+            np.testing.assert_allclose(
+                batched["predictions_m"][i], single["prediction_m"], atol=1e-5
+            )
+            np.testing.assert_allclose(
+                batched["dem_stats_used"]["p_clip"][i],
+                single["dem_stats_used"]["p_clip"],
+                rtol=1e-6,
+            )
+
+    def test_bf16_path_runs(self, tiny_artifact):
+        eng = EngineJAX(tiny_artifact, compute_dtype="bfloat16", max_batch=2)
+        rng = np.random.default_rng(9)
+        depth = rng.uniform(0, 3, (2, 8, 8)).astype(np.float32)
+        dem = rng.uniform(400, 900, (2, 32, 32)).astype(np.float32)
+        r = eng.run_tiles(depth, dem)
+        assert r["predictions_m"].dtype == np.float32
+        assert np.isfinite(r["predictions_m"]).all()
+        eng.close()
+
+    def test_close_releases(self, tiny_artifact):
+        eng = EngineJAX(tiny_artifact)
+        eng.close()
+        with pytest.raises(AssertionError):
+            eng.run_tiles(np.zeros((1, 8, 8), np.float32), np.zeros((1, 32, 32), np.float32))

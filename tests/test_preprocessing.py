@@ -1,0 +1,201 @@
+"""Preprocessing: config resolution, alignment, prepared-raster writes, warp."""
+
+import json
+
+import numpy as np
+import pytest
+
+from floodsr_tpu.io import from_origin, read_raster, write_raster
+from floodsr_tpu.io.geotiff import raster_bounds
+from floodsr_tpu.ops.resample import pad_to_multiple, reproject_bilinear
+from floodsr_tpu.preprocessing import (
+    resolve_preprocess_config,
+    write_prepared_rasters,
+)
+
+pytestmark = pytest.mark.unit
+
+
+def _write(fp, arr, transform, crs="EPSG:32633", nodata=-9999.0):
+    write_raster(
+        fp,
+        np.asarray(arr, np.float32),
+        {
+            "height": arr.shape[0],
+            "width": arr.shape[1],
+            "count": 1,
+            "dtype": "float32",
+            "crs": crs,
+            "transform": transform,
+            "nodata": nodata,
+            "compress": "LZW",
+        },
+    )
+
+
+class TestResamplng:
+    def test_identity_grid(self, rng):
+        src = rng.normal(size=(32, 32)).astype(np.float32)
+        t = from_origin(0, 32, 1.0, 1.0)
+        out = reproject_bilinear(src, t, (32, 32), t)
+        np.testing.assert_allclose(out, src, atol=1e-5)
+
+    def test_2x_upsample_preserves_linear_field(self):
+        # Bilinear resampling reproduces an affine field exactly (interior).
+        yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        src = (2.0 * xx + 3.0 * yy).astype(np.float32)
+        t_src = from_origin(0, 16, 1.0, 1.0)
+        t_dst = from_origin(0, 16, 0.5, 0.5)
+        out = reproject_bilinear(src, t_src, (32, 32), t_dst)
+        want_x = (np.arange(32) + 0.5) * 0.5 - 0.5  # src pixel coords of dst centers
+        want_y = want_x.copy()
+        want = 2.0 * want_x[None, :] + 3.0 * want_y[:, None]
+        np.testing.assert_allclose(out[2:-2, 2:-2], want[2:-2, 2:-2].astype(np.float32), atol=1e-4)
+
+    def test_nodata_excluded_and_renormalized(self):
+        src = np.full((8, 8), 10.0, np.float32)
+        src[0, 0] = -9999.0
+        t = from_origin(0, 8, 1.0, 1.0)
+        out = reproject_bilinear(src, t, (8, 8), t, src_nodata=-9999.0, dst_nodata=-1.0)
+        assert out[0, 0] == -1.0  # fully nodata pixel
+        assert (out[1:, 1:] == 10.0).all()
+
+    def test_outside_source_gets_fill(self):
+        src = np.ones((4, 4), np.float32)
+        t_src = from_origin(0, 4, 1.0, 1.0)
+        t_dst = from_origin(100, 104, 1.0, 1.0)  # disjoint extent
+        out = reproject_bilinear(src, t_src, (4, 4), t_dst, dst_nodata=-5.0)
+        assert (out == -5.0).all()
+
+    def test_pad_to_multiple(self):
+        arr = np.ones((5, 7), np.float32)
+        out = pad_to_multiple(arr, 4)
+        assert out.shape == (8, 8)
+        assert out[5:].sum() == 0 and out[:, 7:].sum() == 0
+        assert pad_to_multiple(np.ones((4, 4), np.float32), 4).shape == (4, 4)
+
+
+class TestConfigResolution:
+    def test_defaults_without_train_config(self, tmp_path):
+        model_fp = tmp_path / "m.fsrz"
+        model_fp.write_bytes(b"x")
+        cfg = resolve_preprocess_config(model_fp)
+        assert cfg["max_depth"] == 5.0
+        assert cfg["dem_pct_clip"] == 95.0
+        assert cfg["dem_ref_stats"] is None
+        assert cfg["lr_tile"] is None
+        assert cfg["scale"] is None
+        assert cfg["model_dem_resolution"] == 2.0
+
+    def test_train_config_resolution(self, tmp_path):
+        model_fp = tmp_path / "m.fsrz"
+        model_fp.write_bytes(b"x")
+        (tmp_path / "train_config.json").write_text(
+            json.dumps(
+                {
+                    "max_depth": 8.0,
+                    "dem_pct_clip": 99.0,
+                    "dem_stats": {"p_clip": 100.0, "dem_min": 0.0, "dem_max": 50.0},
+                    "input_shape": [32, 32, 1],
+                    "upscale": 16,
+                    "dem_fp": "data/002_dem_clipped.tif",
+                }
+            )
+        )
+        cfg = resolve_preprocess_config(model_fp)
+        assert cfg["max_depth"] == 8.0
+        assert cfg["dem_pct_clip"] == 99.0
+        assert cfg["dem_ref_stats"] == {"dem_max": 50.0, "dem_min": 0.0, "p_clip": 100.0}
+        assert cfg["lr_tile"] == 32
+        assert cfg["scale"] == 16
+        assert cfg["model_dem_resolution"] == 2.0
+
+    def test_cli_overrides_win(self, tmp_path):
+        model_fp = tmp_path / "m.fsrz"
+        model_fp.write_bytes(b"x")
+        (tmp_path / "train_config.json").write_text(json.dumps({"max_depth": 8.0}))
+        cfg = resolve_preprocess_config(model_fp, max_depth=3.0, dem_pct_clip=90.0)
+        assert cfg["max_depth"] == 3.0
+        assert cfg["dem_pct_clip"] == 90.0
+
+    def test_dem_resolution_regex(self, tmp_path):
+        model_fp = tmp_path / "m.fsrz"
+        model_fp.write_bytes(b"x")
+        (tmp_path / "train_config.json").write_text(
+            json.dumps({"dem_fp": "tiles/030_dem.tif"})
+        )
+        assert resolve_preprocess_config(model_fp)["model_dem_resolution"] == 30.0
+
+
+class TestAlignment:
+    def test_prepared_rasters_geometry(self, tmp_path, rng):
+        lr = rng.uniform(0, 2, (16, 16)).astype(np.float32)
+        dem = rng.uniform(100, 200, (96, 96)).astype(np.float32)
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        _write(lr_fp, lr, from_origin(0, 480, 30.0, 30.0))
+        _write(dem_fp, dem, from_origin(0, 480, 5.0, 5.0))
+
+        prepped = write_prepared_rasters(lr_fp, dem_fp, scale=4, out_dir=tmp_path / "prep")
+        assert prepped["depth_lr_shape"] == (16, 16)
+        assert prepped["dem_hr_shape"] == (64, 64)  # lr_shape * scale
+        assert prepped["dem_raw_shape"] == (96, 96)
+        assert prepped["resampled"] is True
+
+        # Prepared rasters cover the LR bounds exactly.
+        _, _, dem_prof = read_raster(prepped["dem_hr_prepared_fp"])
+        np.testing.assert_allclose(raster_bounds(dem_prof), (0, 0, 480, 480), atol=1e-6)
+
+    def test_crs_mismatch_raises(self, tmp_path, rng):
+        lr = rng.uniform(0, 2, (8, 8)).astype(np.float32)
+        dem = rng.uniform(0, 10, (32, 32)).astype(np.float32)
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        _write(lr_fp, lr, from_origin(0, 240, 30.0, 30.0), crs="EPSG:32633")
+        _write(dem_fp, dem, from_origin(0, 240, 7.5, 7.5), crs="EPSG:32634")
+        with pytest.raises(AssertionError, match="CRS mismatch"):
+            write_prepared_rasters(lr_fp, dem_fp, scale=4, out_dir=tmp_path / "p")
+
+    def test_geographic_crs_rejected(self, tmp_path, rng):
+        lr = rng.uniform(0, 2, (8, 8)).astype(np.float32)
+        dem = rng.uniform(0, 10, (32, 32)).astype(np.float32)
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        _write(lr_fp, lr, from_origin(6.0, 50.0, 0.01, 0.01), crs="EPSG:4326")
+        _write(dem_fp, dem, from_origin(6.0, 50.0, 0.0025, 0.0025), crs="EPSG:4326")
+        with pytest.raises(AssertionError, match="projected"):
+            write_prepared_rasters(lr_fp, dem_fp, scale=4, out_dir=tmp_path / "p")
+
+    def test_depth_inherits_dem_crs_with_warning(self, tmp_path, rng, caplog):
+        lr = rng.uniform(0, 2, (8, 8)).astype(np.float32)
+        dem = rng.uniform(0, 10, (32, 32)).astype(np.float32)
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        _write(lr_fp, lr, from_origin(0, 240, 30.0, 30.0), crs=None)
+        _write(dem_fp, dem, from_origin(0, 240, 7.5, 7.5), crs="EPSG:32633")
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            prepped = write_prepared_rasters(lr_fp, dem_fp, scale=4, out_dir=tmp_path / "p")
+        assert any("assigning missing depth CRS" in r.message for r in caplog.records)
+        assert prepped["dem_hr_shape"] == (32, 32)
+
+    def test_negative_depth_rejected(self, tmp_path, rng):
+        lr = np.full((8, 8), -1.0, np.float32)
+        dem = rng.uniform(0, 10, (32, 32)).astype(np.float32)
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        _write(lr_fp, lr, from_origin(0, 240, 30.0, 30.0), nodata=None)
+        _write(dem_fp, dem, from_origin(0, 240, 7.5, 7.5))
+        with pytest.raises(AssertionError, match="negative"):
+            write_prepared_rasters(lr_fp, dem_fp, scale=4, out_dir=tmp_path / "p")
+
+    def test_nodata_replaced_in_prepared_outputs(self, tmp_path, rng):
+        lr = rng.uniform(0.5, 2, (8, 8)).astype(np.float32)
+        lr[0, 0] = -9999.0
+        dem = rng.uniform(100, 200, (32, 32)).astype(np.float32)
+        dem[:2, :2] = -9999.0
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        _write(lr_fp, lr, from_origin(0, 240, 30.0, 30.0))
+        _write(dem_fp, dem, from_origin(0, 240, 7.5, 7.5))
+        prepped = write_prepared_rasters(lr_fp, dem_fp, scale=4, out_dir=tmp_path / "p")
+        depth_out, _, _ = read_raster(prepped["depth_lr_prepared_fp"])
+        dem_out, _, _ = read_raster(prepped["dem_hr_prepared_fp"])
+        assert depth_out[0, 0] == 0.0
+        assert np.isfinite(dem_out).all()
+        assert (dem_out > -1000).all()

@@ -1,0 +1,160 @@
+"""End-to-end ToHR pipeline through the worker/tohr library surface."""
+
+import numpy as np
+import pytest
+
+from floodsr_tpu.io import read_raster
+from floodsr_tpu.io.geotiff import raster_bounds
+from floodsr_tpu.model_registry import resolve_model_worker_class
+from floodsr_tpu.tohr import tohr
+
+pytestmark = pytest.mark.e2e
+
+
+@pytest.fixture(scope="module")
+def worker_cls():
+    return resolve_model_worker_class("ResUNet_16x_DEM")
+
+
+class TestTohrNativeScale:
+    @pytest.mark.parametrize("window_method,tile_overlap", [("feather", 1), ("hard", 0)])
+    def test_end_to_end(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger, window_method, tile_overlap
+    ):
+        out_fp = tmp_path / f"pred_{window_method}.tif"
+        result = tohr(
+            model_version="ResUNet_16x_DEM",
+            model_fp=tiny_model_fp,
+            depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+            dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+            output_fp=out_fp,
+            window_method=window_method,
+            tile_overlap=tile_overlap,
+            logger=logger,
+        )
+        pred, nodata, profile = read_raster(result["output_fp"])
+        assert pred.shape == synthetic_tohr_tiles["hr_shape"]
+        assert pred.dtype == np.float32
+        assert np.isfinite(pred).all()
+        assert pred.min() >= 0.0 and pred.max() <= 5.0
+
+        # Low-depth mask: nothing in the open interval (0, 1e-3).
+        nonzero = pred[pred > 0]
+        assert (nonzero >= 1e-3).all()
+
+        # Output georeferencing matches the LR input bounds.
+        _, _, in_profile = read_raster(synthetic_tohr_tiles["depth_lr_fp"])
+        np.testing.assert_allclose(
+            raster_bounds(profile), raster_bounds(in_profile), atol=1e-6
+        )
+
+        diag = result["preprocess"]
+        assert diag["window_method"] == window_method
+        assert diag["tile_size_lr"] == 8
+        assert diag["tile_size_hr"] == 32
+        assert diag["model_scale"] == 4
+        assert diag["tile_cache_size"] >= 4
+        assert diag["tile_dem_stats"]["tile_count"] == diag["tile_cache_size"]
+        assert diag["prepared_inputs"]["post_sr_was_resampled"] is False
+        assert result["runtime_s"] > 0
+
+    def test_feather_and_hard_agree_where_tiles_are_interior_constant(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        # Same scene through both window methods: results differ only by
+        # blending, so they should be broadly similar (sanity bound).
+        outs = {}
+        for method, overlap in (("feather", 2), ("hard", 0)):
+            fp = tmp_path / f"agree_{method}.tif"
+            tohr(
+                model_version="ResUNet_16x_DEM",
+                model_fp=tiny_model_fp,
+                depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                output_fp=fp,
+                window_method=method,
+                tile_overlap=overlap,
+                logger=logger,
+            )
+            outs[method], _, _ = read_raster(fp)
+        diff = np.abs(outs["feather"] - outs["hard"])
+        assert float(np.median(diff)) < 0.5
+
+
+class TestTohrNonNativeScale:
+    def test_post_resample_path(self, tiny_model_fp, synthetic_nonnative_tiles, tmp_path, logger):
+        out_fp = tmp_path / "pred_nonnative.tif"
+        result = tohr(
+            model_version="ResUNet_16x_DEM",
+            model_fp=tiny_model_fp,
+            depth_lr_fp=synthetic_nonnative_tiles["depth_lr_fp"],
+            dem_hr_fp=synthetic_nonnative_tiles["dem_fp"],
+            output_fp=out_fp,
+            window_method="feather",
+            tile_overlap=1,
+            logger=logger,
+        )
+        pred, _, _ = read_raster(result["output_fp"])
+        # Output lands on the raw DEM grid, not the model-space grid.
+        assert pred.shape == synthetic_nonnative_tiles["dem_shape"]
+        diag = result["preprocess"]
+        assert diag["prepared_inputs"]["post_sr_was_resampled"] is True
+        assert diag["input_shape"]["model_space_crop_height"] == 64
+        assert diag["input_shape"]["output_shape"] == [96, 96]
+
+
+class TestWorkerValidation:
+    def test_tile_size_mismatch_raises(
+        self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            with pytest.raises(AssertionError):
+                worker.run(
+                    depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                    dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                    output_fp=tmp_path / "x.tif",
+                    tile_size=16,
+                )
+
+    def test_bad_window_method_raises(
+        self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            with pytest.raises(AssertionError):
+                worker.run(
+                    depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                    dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                    output_fp=tmp_path / "x.tif",
+                    window_method="blend",
+                )
+
+    def test_feather_requires_positive_overlap(
+        self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            with pytest.raises(AssertionError):
+                worker.run(
+                    depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                    dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                    output_fp=tmp_path / "x.tif",
+                    window_method="feather",
+                    tile_overlap=0,
+                )
+
+    def test_run_outside_context_raises(self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path):
+        worker = worker_cls(model_fp=tiny_model_fp)
+        with pytest.raises(AssertionError):
+            worker.run(
+                depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                output_fp=tmp_path / "x.tif",
+            )
+
+    def test_missing_input_raises(self, worker_cls, tiny_model_fp, tmp_path, logger):
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            with pytest.raises(AssertionError):
+                worker.run(
+                    depth_lr_fp=tmp_path / "missing.tif",
+                    dem_hr_fp=tmp_path / "missing_dem.tif",
+                    output_fp=tmp_path / "x.tif",
+                )
