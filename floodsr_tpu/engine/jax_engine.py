@@ -63,7 +63,7 @@ class EngineJAX(EngineBase):
         compute_dtype: str = "float32",
         max_batch: int = 8,
         mesh: "jax.sharding.Mesh | None" = None,
-        batch_axis: str = "data",
+        batch_axis: str = "dp",
     ):
         self._model_fp = Path(model_fp).expanduser().resolve()
         assert self._model_fp.exists(), f"model file does not exist: {self._model_fp}"
@@ -274,6 +274,91 @@ class EngineJAX(EngineBase):
             "predictions_norm": preds_norm,
             "dem_stats_used": stats_out,
             "runtime_s": float(runtime_s),
+        }
+
+    def run_scene(
+        self,
+        depth_pad: np.ndarray,
+        dem_pad: np.ndarray,
+        grid: dict[str, Any],
+        *,
+        overlap_hr: int,
+        max_depth: float,
+        dem_pct_clip: float,
+        crop_shape: tuple[int, int],
+        post_resample=None,
+        low_depth_mask_m: float = 1e-3,
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Fused whole-scene execution: one H2D, one jit region, one D2H.
+
+        ``depth_pad``/``dem_pad`` are the padded LR/HR scenes; ``grid`` comes
+        from :func:`floodsr_tpu.tiling.build_window_grid`. Returns the final
+        meter-domain scene (cropped, clipped, optionally post-resampled and
+        low-depth-masked on device) plus per-tile DEM stats.
+        """
+        from floodsr_tpu.engine.scene import build_scene_executor
+
+        assert self.params is not None and self.config is not None, (
+            "engine must be loaded before inference"
+        )
+        n = len(grid["y0"])
+        post_key = None
+        if post_resample is not None:
+            dst_shape, src_t, dst_t = post_resample
+            post_key = (tuple(dst_shape), tuple(src_t), tuple(dst_t))
+        key = (
+            "scene",
+            depth_pad.shape,
+            dem_pad.shape,
+            n,
+            int(grid["ny"]),
+            int(grid["nx"]),
+            overlap_hr,
+            float(max_depth),
+            float(dem_pct_clip),
+            tuple(crop_shape),
+            post_key,
+            float(low_depth_mask_m),
+        )
+        cached = self._jit_cache.get(key)
+        if cached is None:
+            fn, idx = build_scene_executor(
+                self.config,
+                scene_shape=dem_pad.shape,
+                grid=grid,
+                overlap_hr=overlap_hr,
+                chunk=self.max_batch,
+                max_depth=float(max_depth),
+                dem_pct_clip=float(dem_pct_clip),
+                crop_shape=tuple(crop_shape),
+                post_resample=post_resample,
+                low_depth_mask_m=float(low_depth_mask_m),
+                compute_dtype=self.compute_dtype,
+            )
+            idx = {k: jnp.asarray(v) for k, v in idx.items()}
+            cached = (fn, idx)
+            self._jit_cache[key] = cached
+        fn, idx = cached
+        t0 = time.perf_counter()
+        depth_dev = jnp.asarray(depth_pad, jnp.float32)
+        dem_dev = jnp.asarray(dem_pad, jnp.float32)
+        jax.block_until_ready(dem_dev)
+        t1 = time.perf_counter()
+        out, stats = fn(self.params, self.state, depth_dev, dem_dev, idx)
+        jax.block_until_ready(out)
+        t2 = time.perf_counter()
+        out.copy_to_host_async()
+        stats_np = np.asarray(stats)[:n]
+        out_np = np.asarray(out)
+        t3 = time.perf_counter()
+        self.log.debug(
+            f"run_scene timings: h2d={t1 - t0:.3f}s exec={t2 - t1:.3f}s "
+            f"d2h={t3 - t2:.3f}s tiles={n}"
+        )
+        return out_np, {
+            "p_clip": stats_np[:, 0],
+            "dem_min": stats_np[:, 1],
+            "dem_max": stats_np[:, 2],
         }
 
     def run_tile(

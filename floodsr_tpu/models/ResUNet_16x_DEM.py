@@ -26,23 +26,16 @@ from typing import Any
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from floodsr_tpu.engine import EngineJAX
 from floodsr_tpu.io.geotiff import pixel_size, raster_bounds
 from floodsr_tpu.models.base import Model
-from floodsr_tpu.ops.resample import reproject_bilinear
 from floodsr_tpu.preprocessing import (
     _read_single_band_raster,
     _write_single_band_raster,
     resolve_preprocess_config,
     write_prepared_rasters,
 )
-from floodsr_tpu.tiling import (
-    build_window_grid,
-    feather_weights_for_grid,
-    mosaic_scatter_add,
-)
+from floodsr_tpu.tiling import build_window_grid
 
 
 class ModelWorker(Model):
@@ -87,19 +80,25 @@ class ModelWorker(Model):
     def _run_tiled_model_on_prepared(
         self,
         *,
-        depth_lr_fp: str | Path,
-        dem_hr_fp: str | Path,
+        depth_lr_raw: np.ndarray,
+        dem_hr_raw: np.ndarray,
+        depth_lr_profile: dict,
+        dem_hr_profile: dict,
         preprocess_cfg: dict[str, object],
         model_lr_tile: int,
         model_scale: int,
         contract_hr_tile: int,
         window_method: str,
         overlap_lr: int,
+        post_resample: tuple | None = None,
     ) -> tuple[np.ndarray, int, dict[str, float] | None]:
-        """Batched tiled execution over prepared rasters → model-space meters.
+        """Fused tiled execution over prepared arrays → final meter-domain scene.
 
-        Returns the stitched prediction, the number of unique tiles executed
-        (the reference's tile-cache size), and a DEM-stat summary.
+        The whole compute path (tile gather, normalization, forward, feather
+        mosaic, optional post-resample, low-depth mask) runs inside one jit
+        region on device (:meth:`EngineJAX.run_scene`). Returns the finished
+        prediction, the number of unique tiles executed (the reference's
+        tile-cache size), and a DEM-stat summary.
         """
         log = self.log
         assert self.engine is not None, "worker must be entered before running inference"
@@ -107,8 +106,6 @@ class ModelWorker(Model):
             f"unsupported window_method={window_method}"
         )
 
-        depth_lr_raw, _d_nodata, depth_lr_profile = _read_single_band_raster(depth_lr_fp)
-        dem_hr_raw, _m_nodata, dem_hr_profile = _read_single_band_raster(dem_hr_fp)
         assert depth_lr_raw.ndim == 2 and dem_hr_raw.ndim == 2
         assert np.isfinite(depth_lr_raw).all(), "aligned depth contains non-finite values"
         assert np.isfinite(dem_hr_raw).all(), "aligned DEM contains non-finite values"
@@ -167,26 +164,17 @@ class ModelWorker(Model):
             f"  tile_size_hr={contract_hr_tile}\n  grid={grid['ny']}x{grid['nx']} ({n_tiles} tiles)"
         )
 
-        # Gather the full tile batch (host view; engine streams to device).
-        depth_tiles = np.empty((n_tiles, model_lr_tile, model_lr_tile), np.float32)
-        dem_tiles = np.empty((n_tiles, contract_hr_tile, contract_hr_tile), np.float32)
-        for k in range(n_tiles):
-            y0, x0 = int(grid["y0"][k]), int(grid["x0"][k])
-            ly, lx = y0 // model_scale, x0 // model_scale
-            depth_tiles[k] = depth_pad[ly : ly + model_lr_tile, lx : lx + model_lr_tile]
-            dem_tiles[k] = dem_pad[y0 : y0 + contract_hr_tile, x0 : x0 + contract_hr_tile]
-
-        result = self.engine.run_tiles(
-            depth_tiles,
-            dem_tiles,
+        prediction_out_m, stats = self.engine.run_scene(
+            depth_pad,
+            dem_pad,
+            grid,
+            overlap_hr=weight_overlap,
             max_depth=max_depth,
             dem_pct_clip=dem_pct_clip,
-            dem_ref_stats=None,
-            normalize_inputs=True,
-            logger=log,
+            crop_shape=(crop_h, crop_w),
+            post_resample=post_resample,
+            low_depth_mask_m=float(self.low_depth_mask_m),
         )
-        preds_m = result["predictions_m"]
-        stats = result["dem_stats_used"]
 
         # Reference-parity guard: a zero DEM range is only legal on pinned
         # (all-zero) padded tiles (reference: floodsr/preprocessing.py:71-82).
@@ -198,24 +186,6 @@ class ModelWorker(Model):
                 f"DEM range must be > 0; got min={stats['dem_min'][idx]}, "
                 f"max={stats['dem_max'][idx]} (tile {idx})"
             )
-
-        weights = feather_weights_for_grid(
-            contract_hr_tile,
-            weight_overlap,
-            jnp.asarray(grid["yi"]),
-            jnp.asarray(grid["xi"]),
-            grid["ny"],
-            grid["nx"],
-        )
-        sr_pad = np.asarray(
-            mosaic_scatter_add(
-                jnp.asarray(preds_m),
-                weights,
-                jnp.asarray(grid["y0"]),
-                jnp.asarray(grid["x0"]),
-                (hr_pad_h, hr_pad_w),
-            )
-        )
 
         tile_dem_stats_summary = None
         if n_tiles > 0:
@@ -230,10 +200,7 @@ class ModelWorker(Model):
                 "dem_range_max": float(dem_range_np.max()),
             }
 
-        prediction_depth_m = np.clip(sr_pad[:crop_h, :crop_w], 0.0, max_depth).astype(
-            np.float32, copy=False
-        )
-        return prediction_depth_m, n_tiles, tile_dem_stats_summary
+        return prediction_out_m, n_tiles, tile_dem_stats_summary
 
     # ------------------------------------------------------------------
 
@@ -343,40 +310,46 @@ class ModelWorker(Model):
                 f"dem_pct_clip={float(preprocess_cfg['dem_pct_clip'])}"
             )
 
-            prediction_model_m, tile_cache_size, tile_dem_stats = (
+            model_space_shape = tuple(prepped["dem_hr_shape"])
+            post_resampled = tuple(prepped["dem_raw_shape"]) != model_space_shape
+            post_spec = None
+            if post_resampled:
+                log.info(
+                    f"post-resampling model output from {model_space_shape} "
+                    f"to {tuple(prepped['dem_raw_shape'])} on raw DEM grid "
+                    "with bilinear interpolation (on device)."
+                )
+                post_spec = (
+                    tuple(prepped["dem_raw_shape"]),
+                    prepped["dem_profile"]["transform"],
+                    prepped["dem_raw_profile"]["transform"],
+                )
+
+            prediction_out_m, tile_cache_size, tile_dem_stats = (
                 self._run_tiled_model_on_prepared(
-                    depth_lr_fp=prepped["depth_lr_prepared_fp"],
-                    dem_hr_fp=prepped["dem_hr_prepared_fp"],
+                    depth_lr_raw=prepped["depth_lr"],
+                    dem_hr_raw=prepped["dem_hr"],
+                    depth_lr_profile=prepped["depth_lr_profile"],
+                    dem_hr_profile=prepped["dem_profile"],
                     preprocess_cfg=preprocess_cfg,
                     model_lr_tile=model_lr_tile,
                     model_scale=model_scale,
                     contract_hr_tile=contract_hr_tile,
                     window_method=window_method,
                     overlap_lr=overlap_lr,
+                    post_resample=post_spec,
                 )
             )
-            assert prediction_model_m.shape == tuple(prepped["dem_hr_shape"]), (
-                f"prediction shape {prediction_model_m.shape} must match "
-                f"preprocessed DEM shape {prepped['dem_hr_shape']}"
+            assert prediction_out_m.shape == tuple(prepped["dem_raw_shape"]), (
+                f"prediction shape {prediction_out_m.shape} must match "
+                f"raw DEM shape {prepped['dem_raw_shape']}"
             )
 
             output_profile = dict(prepped["dem_raw_profile"])
             output_profile.update(dtype="float32", count=1)
 
-            prediction_out_m = prediction_model_m
-            post_resampled = tuple(prepped["dem_raw_shape"]) != tuple(prediction_model_m.shape)
-            if post_resampled:
-                log.info(
-                    f"post-resampling model output from {prediction_model_m.shape} "
-                    f"to {tuple(prepped['dem_raw_shape'])} on raw DEM grid with bilinear interpolation."
-                )
-                prediction_out_m = reproject_bilinear(
-                    prediction_model_m,
-                    prepped["dem_profile"]["transform"],
-                    tuple(prepped["dem_raw_shape"]),
-                    prepped["dem_raw_profile"]["transform"],
-                )
-
+            # Device already clipped + masked; these host ops are idempotent
+            # re-verification kept for the reference's postprocess contract.
             prediction_out_m = np.clip(
                 prediction_out_m, 0.0, float(preprocess_cfg["max_depth"])
             ).astype(np.float32, copy=False)
@@ -435,8 +408,8 @@ class ModelWorker(Model):
                 "input_shape": {
                     "crop_height": int(prediction_out_m.shape[0]),
                     "crop_width": int(prediction_out_m.shape[1]),
-                    "model_space_crop_height": int(prediction_model_m.shape[0]),
-                    "model_space_crop_width": int(prediction_model_m.shape[1]),
+                    "model_space_crop_height": int(model_space_shape[0]),
+                    "model_space_crop_width": int(model_space_shape[1]),
                     "aligned_depth_shape": [int(x) for x in prepped["depth_lr_shape"]],
                     "aligned_dem_shape": [int(x) for x in prepped["dem_hr_shape"]],
                     "output_shape": [int(x) for x in prepped["dem_raw_shape"]],

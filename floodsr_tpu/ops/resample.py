@@ -13,6 +13,8 @@ jitted post-processing.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -138,6 +140,56 @@ def reproject_bilinear_jax(
     return jnp.where((wacc > 0) & inside, acc / jnp.maximum(wacc, 1e-12), fill).astype(
         jnp.float32
     )
+
+
+_DEVICE_WARP_THRESHOLD = 1 << 22  # ~4.2M destination pixels
+
+
+@lru_cache(maxsize=32)
+def _jitted_warp(
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+    src_nodata: float | None,
+    dst_nodata: float | None,
+):
+    import jax
+
+    return jax.jit(
+        lambda src: reproject_bilinear_jax(
+            src, src_transform, dst_shape, dst_transform, src_nodata, dst_nodata
+        )
+    )
+
+
+def reproject_bilinear_auto(
+    source: np.ndarray,
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+    src_nodata: float | None = None,
+    dst_nodata: float | None = None,
+) -> np.ndarray:
+    """Dispatch the warp to device for large grids, numpy for small ones.
+
+    Large scenes dominated the host profile (float64 numpy warp of a 4096²
+    grid ≈ 20 s on this class of host; the jitted device warp is milliseconds
+    plus one transfer each way). Small test-scale grids stay on the host to
+    avoid per-shape compiles. The jitted warp is cached per geometry so
+    repeat scenes don't recompile.
+    """
+    if int(dst_shape[0]) * int(dst_shape[1]) < _DEVICE_WARP_THRESHOLD:
+        return reproject_bilinear(
+            source, src_transform, dst_shape, dst_transform, src_nodata, dst_nodata
+        )
+    fn = _jitted_warp(
+        src_transform,
+        tuple(int(v) for v in dst_shape),
+        dst_transform,
+        None if src_nodata is None else float(src_nodata),
+        None if dst_nodata is None else float(dst_nodata),
+    )
+    return np.asarray(fn(jnp.asarray(source, jnp.float32)))
 
 
 def pad_to_multiple(

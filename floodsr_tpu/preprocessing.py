@@ -38,7 +38,7 @@ from floodsr_tpu.ops.normalize import (  # noqa: F401  (public API re-exports)
     replace_nodata_with_zero,
     scale_depth_log1p_np,
 )
-from floodsr_tpu.ops.resample import reproject_bilinear
+from floodsr_tpu.ops.resample import reproject_bilinear_auto as reproject_bilinear
 
 
 def load_train_config(model_fp: str | Path, logger=None) -> dict | None:
@@ -125,14 +125,25 @@ def _read_single_band_raster(fp: str | Path) -> tuple[np.ndarray, float | None, 
 
 
 def _write_single_band_raster(
-    fp: str | Path, arr: np.ndarray, profile: dict, driver: str | None = None
+    fp: str | Path,
+    arr: np.ndarray,
+    profile: dict,
+    driver: str | None = None,
+    compress: str | None = "keep",
 ) -> Path:
-    """Write a float32 single-band raster and return the output path."""
+    """Write a float32 single-band raster and return the output path.
+
+    ``compress="keep"`` preserves the profile's compression; any other value
+    (including None for uncompressed) overrides it — used for short-lived
+    prepared rasters where LZW-encoding a 60 MB scene is pure overhead.
+    """
     out_profile = dict(profile)
     out_profile.update(dtype="float32", count=1)
     out_profile["driver"] = driver or "GTiff"
     out_profile["height"] = int(arr.shape[0])
     out_profile["width"] = int(arr.shape[1])
+    if compress != "keep":
+        out_profile["compress"] = compress
     return write_raster(fp, arr.astype(np.float32, copy=False), out_profile)
 
 
@@ -310,13 +321,16 @@ def write_prepared_rasters(
         transform=aligned["dem_raw_transform"],
     )
 
+    # Prepared rasters are short-lived intermediates: write uncompressed.
     depth_prepared_path = _write_single_band_raster(
-        depth_prepared_fp, aligned["depth_lr"], depth_profile
+        depth_prepared_fp, aligned["depth_lr"], depth_profile, compress=None
     )
     dem_prepared_path = _write_single_band_raster(
-        dem_prepared_fp, aligned["dem_hr"], dem_profile
+        dem_prepared_fp, aligned["dem_hr"], dem_profile, compress=None
     )
     return {
+        "depth_lr": aligned["depth_lr"],
+        "dem_hr": aligned["dem_hr"],
         "depth_lr_prepared_fp": depth_prepared_path,
         "dem_hr_prepared_fp": dem_prepared_path,
         "depth_lr_profile": depth_profile,

@@ -12,8 +12,10 @@ import logging
 import os
 import pathlib
 
-# Must be configured before jax is imported anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend BEFORE any jax use. The environment may pre-register
+# a TPU plugin (sitecustomize) and pre-set JAX_PLATFORMS to it, so a plain
+# setdefault is not enough — tests must never run over the TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,6 +26,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-test")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
 import numpy as np
 import pytest

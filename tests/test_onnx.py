@@ -1,0 +1,286 @@
+"""ONNX reader + JAX executor: wire-format parsing and op semantics vs torch.
+
+The image has no ``onnx`` package (torch cannot export), so these tests build
+ONNX protobuf bytes directly with a minimal encoder and cross-validate the
+JAX executor against torch forward passes using identical weights.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from floodsr_tpu.nn.onnx_exec import OnnxGraphExecutor
+from floodsr_tpu.nn.onnx_reader import count_parameters, load_model
+
+pytestmark = pytest.mark.unit
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf / ONNX encoder (tests only)
+# ---------------------------------------------------------------------------
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(fnum: int, wtype: int) -> bytes:
+    return _varint((fnum << 3) | wtype)
+
+
+def _len_field(fnum: int, payload: bytes) -> bytes:
+    return _tag(fnum, 2) + _varint(len(payload)) + payload
+
+
+def _varint_field(fnum: int, v: int) -> bytes:
+    return _tag(fnum, 0) + _varint(v)
+
+
+def _str_field(fnum: int, s: str) -> bytes:
+    return _len_field(fnum, s.encode())
+
+
+def _tensor(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    dtype_code = {np.float32: 1, np.int64: 7}[arr.dtype.type]
+    payload = b"".join(_varint_field(1, int(d)) for d in arr.shape)
+    payload += _varint_field(2, dtype_code)
+    payload += _str_field(8, name)
+    payload += _len_field(9, arr.tobytes())
+    return payload
+
+
+def _attr(name: str, value) -> bytes:
+    payload = _str_field(1, name)
+    if isinstance(value, float):
+        payload += _tag(2, 5) + struct.pack("<f", value) + _varint_field(20, 1)
+    elif isinstance(value, int):
+        payload += _varint_field(3, value) + _varint_field(20, 2)
+    elif isinstance(value, str):
+        payload += _len_field(4, value.encode()) + _varint_field(20, 3)
+    elif isinstance(value, (list, tuple)) and all(isinstance(v, int) for v in value):
+        payload += b"".join(_varint_field(8, int(v)) for v in value) + _varint_field(20, 7)
+    else:
+        raise TypeError(f"unsupported attr {name}={value!r}")
+    return payload
+
+
+def _node(op: str, inputs, outputs, attrs=None, name="") -> bytes:
+    payload = b"".join(_str_field(1, i) for i in inputs)
+    payload += b"".join(_str_field(2, o) for o in outputs)
+    payload += _str_field(3, name or op.lower())
+    payload += _str_field(4, op)
+    for key, value in (attrs or {}).items():
+        payload += _len_field(5, _attr(key, value))
+    return payload
+
+
+def _value_info(name: str, shape) -> bytes:
+    dims = b""
+    for d in shape:
+        dims += _len_field(1, _varint_field(1, int(d)))
+    shape_proto = dims
+    tensor_type = _varint_field(1, 1) + _len_field(2, shape_proto)
+    type_proto = _len_field(1, tensor_type)
+    return _str_field(1, name) + _len_field(2, type_proto)
+
+
+def build_onnx(nodes, initializers, inputs, outputs) -> bytes:
+    graph = b"".join(_len_field(1, n) for n in nodes)
+    graph += _str_field(2, "g")
+    graph += b"".join(_len_field(5, _tensor(n, a)) for n, a in initializers.items())
+    graph += b"".join(_len_field(11, _value_info(n, s)) for n, s in inputs)
+    graph += b"".join(_len_field(12, _value_info(n, s)) for n, s in outputs)
+    model = _varint_field(1, 7)  # ir_version
+    model += _str_field(2, "floodsr-tpu-test")
+    model += _len_field(7, graph)
+    model += _len_field(8, _varint_field(2, 13))  # opset 13
+    return model
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+class TestParser:
+    def test_parse_roundtrip(self, rng):
+        w = rng.normal(size=(4, 1, 3, 3)).astype(np.float32)
+        data = build_onnx(
+            [_node("Conv", ["x", "w"], ["y"], {"strides": [1, 1], "pads": [1, 1, 1, 1]})],
+            {"w": w},
+            [("x", (1, 1, 8, 8))],
+            [("y", (1, 4, 8, 8))],
+        )
+        model = load_model(data)
+        assert model.ir_version == 7
+        assert model.opset == 13
+        assert model.producer == "floodsr-tpu-test"
+        assert len(model.nodes) == 1
+        assert model.nodes[0].op_type == "Conv"
+        assert model.nodes[0].attributes["pads"] == [1, 1, 1, 1]
+        np.testing.assert_array_equal(model.initializers["w"], w)
+        assert [vi.name for vi in model.graph_inputs] == ["x"]
+        assert count_parameters(model) == w.size
+
+    def test_not_onnx_raises(self):
+        with pytest.raises(ValueError):
+            load_model(b"\x0a\x02hi")  # field 1 as LEN: no graph
+
+
+class TestExecutorVsTorch:
+    def _run_ours(self, data: bytes, feeds: dict) -> np.ndarray:
+        model = load_model(data)
+        executor = OnnxGraphExecutor(model)
+        out = executor(feeds)
+        return np.asarray(list(out.values())[0])
+
+    def test_conv_bn_relu(self, rng):
+        torch_net = nn.Sequential(
+            nn.Conv2d(2, 6, 3, padding=1), nn.BatchNorm2d(6), nn.ReLU()
+        ).eval()
+        with torch.no_grad():
+            torch_net[1].running_mean.copy_(torch.randn(6))
+            torch_net[1].running_var.copy_(torch.rand(6) + 0.5)
+        x = rng.normal(size=(1, 2, 10, 10)).astype(np.float32)
+        want = torch_net(torch.from_numpy(x)).detach().numpy()
+
+        conv, bn = torch_net[0], torch_net[1]
+        data = build_onnx(
+            [
+                _node("Conv", ["x", "w", "b"], ["c"], {"strides": [1, 1], "pads": [1, 1, 1, 1]}),
+                _node(
+                    "BatchNormalization",
+                    ["c", "scale", "offset", "mean", "var"],
+                    ["n"],
+                    {"epsilon": float(bn.eps)},
+                ),
+                _node("Relu", ["n"], ["y"]),
+            ],
+            {
+                "w": conv.weight.detach().numpy(),
+                "b": conv.bias.detach().numpy(),
+                "scale": bn.weight.detach().numpy(),
+                "offset": bn.bias.detach().numpy(),
+                "mean": bn.running_mean.numpy(),
+                "var": bn.running_var.numpy(),
+            },
+            [("x", x.shape)],
+            [("y", want.shape)],
+        )
+        got = self._run_ours(data, {"x": x})
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_strided_conv_same_upper(self, rng):
+        # tf2onnx-style SAME_UPPER auto padding with stride 2: total pad is
+        # k - stride = 1, placed at the END (unlike torch's symmetric pad).
+        torch_net = nn.Conv2d(3, 5, 3, stride=2, padding=0).eval()
+        x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+        x_padded = torch.nn.functional.pad(torch.from_numpy(x), (0, 1, 0, 1))
+        want = torch_net(x_padded).detach().numpy()
+        data = build_onnx(
+            [_node("Conv", ["x", "w", "b"], ["y"], {"strides": [2, 2], "auto_pad": "SAME_UPPER"})],
+            {"w": torch_net.weight.detach().numpy(), "b": torch_net.bias.detach().numpy()},
+            [("x", x.shape)],
+            [("y", want.shape)],
+        )
+        got = self._run_ours(data, {"x": x})
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    @pytest.mark.parametrize("stride,kernel", [(2, 2), (2, 4), (4, 4)])
+    def test_conv_transpose(self, rng, stride, kernel):
+        pad = (kernel - stride) // 2
+        torch_net = nn.ConvTranspose2d(4, 3, kernel, stride=stride, padding=pad).eval()
+        x = rng.normal(size=(1, 4, 6, 6)).astype(np.float32)
+        want = torch_net(torch.from_numpy(x)).detach().numpy()
+        data = build_onnx(
+            [
+                _node(
+                    "ConvTranspose",
+                    ["x", "w", "b"],
+                    ["y"],
+                    {"strides": [stride, stride], "pads": [pad, pad, pad, pad]},
+                )
+            ],
+            {"w": torch_net.weight.detach().numpy(), "b": torch_net.bias.detach().numpy()},
+            [("x", x.shape)],
+            [("y", want.shape)],
+        )
+        got = self._run_ours(data, {"x": x})
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_avgpool_concat_add(self, rng):
+        x = rng.normal(size=(1, 2, 8, 8)).astype(np.float32)
+        pool = nn.AvgPool2d(2)
+        want_pool = pool(torch.from_numpy(x)).numpy()
+        want = np.concatenate([want_pool, want_pool + 1.0], axis=1)
+        data = build_onnx(
+            [
+                _node("AveragePool", ["x"], ["p"], {"kernel_shape": [2, 2], "strides": [2, 2]}),
+                _node("Add", ["p", "one"], ["p1"]),
+                _node("Concat", ["p", "p1"], ["y"], {"axis": 1}),
+            ],
+            {"one": np.ones((1,), np.float32)},
+            [("x", x.shape)],
+            [("y", want.shape)],
+        )
+        got = self._run_ours(data, {"x": x})
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_mini_dual_input_sr_graph(self, rng):
+        """A miniature of the reference's dual-input graph shape: depth_lr +
+        dem_hr -> pooled concat -> conv -> convT upsample -> fuse -> head."""
+        depth = rng.uniform(0, 1, (1, 1, 4, 4)).astype(np.float32)
+        dem = rng.uniform(0, 1, (1, 1, 8, 8)).astype(np.float32)
+
+        conv = nn.Conv2d(2, 4, 3, padding=1).eval()
+        up = nn.ConvTranspose2d(4, 4, 2, stride=2).eval()
+        head = nn.Conv2d(5, 1, 1).eval()
+        with torch.no_grad():
+            t_pool = nn.functional.avg_pool2d(torch.from_numpy(dem), 2)
+            t_cat = torch.cat([torch.from_numpy(depth), t_pool], dim=1)
+            t_feat = torch.relu(conv(t_cat))
+            t_up = torch.relu(up(t_feat))
+            t_fuse = torch.cat([t_up, torch.from_numpy(dem)], dim=1)
+            want = head(t_fuse).numpy()
+
+        data = build_onnx(
+            [
+                _node("AveragePool", ["dem_hr"], ["dem_lr"], {"kernel_shape": [2, 2], "strides": [2, 2]}),
+                _node("Concat", ["depth_lr", "dem_lr"], ["cat"], {"axis": 1}),
+                _node("Conv", ["cat", "w1", "b1"], ["f0"], {"strides": [1, 1], "pads": [1, 1, 1, 1]}),
+                _node("Relu", ["f0"], ["f"]),
+                _node("ConvTranspose", ["f", "w2", "b2"], ["u0"], {"strides": [2, 2], "pads": [0, 0, 0, 0]}),
+                _node("Relu", ["u0"], ["u"]),
+                _node("Concat", ["u", "dem_hr"], ["fuse"], {"axis": 1}),
+                _node("Conv", ["fuse", "w3", "b3"], ["depth_hr_pred"], {"strides": [1, 1], "pads": [0, 0, 0, 0]}),
+            ],
+            {
+                "w1": conv.weight.detach().numpy(),
+                "b1": conv.bias.detach().numpy(),
+                "w2": up.weight.detach().numpy(),
+                "b2": up.bias.detach().numpy(),
+                "w3": head.weight.detach().numpy(),
+                "b3": head.bias.detach().numpy(),
+            },
+            [("depth_lr", depth.shape), ("dem_hr", dem.shape)],
+            [("depth_hr_pred", want.shape)],
+        )
+        model = load_model(data)
+        assert [vi.name for vi in model.graph_inputs] == ["depth_lr", "dem_hr"]
+        executor = OnnxGraphExecutor(model)
+        got = np.asarray(executor({"depth_lr": depth, "dem_hr": dem})["depth_hr_pred"])
+        np.testing.assert_allclose(got, want, atol=1e-5)

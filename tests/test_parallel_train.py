@@ -1,0 +1,209 @@
+"""Multi-device sharding (virtual 8-CPU mesh) and the training subsystem."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from floodsr_tpu.nn import ResUNetConfig
+from floodsr_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_sharding_rules,
+)
+from floodsr_tpu.train import (
+    PatchDataset,
+    TrainConfig,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+    restore_train_state,
+    save_train_state,
+    split_indices,
+)
+from floodsr_tpu.train.trainer import export_inference_artifact, make_optimizer
+
+TINY = ResUNetConfig(
+    base_filters=8,
+    levels=2,
+    enc_blocks=1,
+    dec_blocks=1,
+    fuse_filters=8,
+    fuse_blocks=1,
+    scale=4,
+    lr_tile=8,
+)
+
+
+def _batch(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "depth_lr": rng.uniform(0, 1, (n, 8, 8)).astype(np.float32),
+        "dem_hr": rng.uniform(0, 1, (n, 32, 32)).astype(np.float32),
+        "target_hr": rng.uniform(0, 1, (n, 32, 32)).astype(np.float32),
+    }
+
+
+@pytest.mark.multidev
+class TestMesh:
+    def test_virtual_devices_present(self):
+        assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(8, tp=2)
+        assert mesh.shape == {"dp": 4, "tp": 2}
+        mesh = make_mesh(4)
+        assert mesh.shape == {"dp": 4, "tp": 1}
+        with pytest.raises(AssertionError):
+            make_mesh(8, dp=3, tp=2)
+
+    def test_param_sharding_rules(self):
+        mesh = make_mesh(8, tp=2)
+        params = {"w": np.zeros((3, 3, 8, 16)), "b": np.zeros((16,)), "odd": np.zeros((7,))}
+        rules = param_sharding_rules(mesh, params)
+        assert rules["w"].spec == jax.sharding.PartitionSpec(None, None, None, "tp")
+        assert rules["b"].spec == jax.sharding.PartitionSpec("tp")
+        assert rules["odd"].spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.multidev
+class TestShardedInference:
+    def test_engine_mesh_matches_single_device(self, tiny_model_fp):
+        from floodsr_tpu.engine import EngineJAX
+
+        mesh = make_mesh(8, tp=1)
+        eng_sharded = EngineJAX(tiny_model_fp, max_batch=8, mesh=mesh)
+        eng_single = EngineJAX(tiny_model_fp, max_batch=8)
+        rng = np.random.default_rng(3)
+        depth = rng.uniform(0, 3, (8, 8, 8)).astype(np.float32)
+        dem = rng.uniform(400, 900, (8, 32, 32)).astype(np.float32)
+        a = eng_sharded.run_tiles(depth, dem)
+        b = eng_single.run_tiles(depth, dem)
+        np.testing.assert_allclose(
+            a["predictions_m"], b["predictions_m"], atol=1e-5
+        )
+        eng_sharded.close()
+        eng_single.close()
+
+
+class TestTrainData:
+    def test_split_deterministic_and_disjoint(self):
+        train, val = split_indices(100, 0.2, seed=5)
+        train2, val2 = split_indices(100, 0.2, seed=5)
+        np.testing.assert_array_equal(train, train2)
+        np.testing.assert_array_equal(val, val2)
+        assert len(val) == 20
+        assert set(train).isdisjoint(set(val))
+        train3, _ = split_indices(100, 0.2, seed=6)
+        assert not np.array_equal(train, train3)
+
+    def test_batches_shapes_and_normalization(self):
+        rng = np.random.default_rng(0)
+        ds = PatchDataset(
+            depth_lr=rng.uniform(0, 5, (10, 8, 8)).astype(np.float32),
+            dem_hr=rng.uniform(100, 300, (10, 32, 32)).astype(np.float32),
+            target_hr=rng.uniform(0, 5, (10, 32, 32)).astype(np.float32),
+        )
+        batch = next(iter(ds.batches(np.arange(10), 4, steps=1)))
+        assert batch["depth_lr"].shape == (4, 8, 8)
+        assert batch["dem_hr"].shape == (4, 32, 32)
+        for key in ("depth_lr", "dem_hr", "target_hr"):
+            assert batch[key].min() >= 0.0 and batch[key].max() <= 1.0
+
+    def test_augmentation_is_deterministic(self):
+        rng = np.random.default_rng(0)
+        ds = PatchDataset(
+            depth_lr=rng.uniform(0, 5, (6, 8, 8)).astype(np.float32),
+            dem_hr=rng.uniform(100, 300, (6, 32, 32)).astype(np.float32),
+            target_hr=rng.uniform(0, 5, (6, 32, 32)).astype(np.float32),
+        )
+        b1 = next(iter(ds.batches(np.arange(6), 2, seed=9, augment=True, steps=1)))
+        b2 = next(iter(ds.batches(np.arange(6), 2, seed=9, augment=True, steps=1)))
+        np.testing.assert_array_equal(b1["dem_hr"], b2["dem_hr"])
+
+
+class TestTrainStep:
+    def test_single_device_loss_decreases(self):
+        cfg = TrainConfig(total_steps=20, base_lr=1e-2)
+        state = init_train_state(0, TINY, cfg)
+        step = make_train_step(TINY, cfg, donate=False)
+        batch = _batch()
+        losses = []
+        for _ in range(6):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+        assert int(state.step) == 6
+
+    def test_lr_schedule_piecewise(self):
+        cfg = TrainConfig(total_steps=100, base_lr=1e-4, second_lr=5e-5)
+        opt = make_optimizer(cfg)
+        import optax
+
+        sched = optax.piecewise_constant_schedule(
+            init_value=cfg.base_lr,
+            boundaries_and_scales={50: cfg.second_lr / cfg.base_lr},
+        )
+        assert float(sched(0)) == pytest.approx(1e-4)
+        assert float(sched(80)) == pytest.approx(5e-5)
+
+    @pytest.mark.multidev
+    def test_sharded_step_matches_single(self):
+        cfg = TrainConfig(total_steps=10)
+        mesh = make_mesh(8, tp=2)
+        state_a = init_train_state(1, TINY, cfg)
+        state_b = init_train_state(1, TINY, cfg)
+        batch = _batch(n=8, seed=2)
+
+        step_single = make_train_step(TINY, cfg, donate=False)
+        step_sharded = make_train_step(TINY, cfg, mesh=mesh, donate=False)
+
+        sharded_batch = {
+            k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch.items()
+        }
+        state_a, m_a = step_single(state_a, batch)
+        state_b, m_b = step_sharded(state_b, sharded_batch)
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+        # Parameters agree after one step.
+        leaf_a = jax.tree.leaves(state_a.params)[0]
+        leaf_b = jax.tree.leaves(state_b.params)[0]
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b), atol=1e-6)
+
+    def test_eval_step_metrics(self):
+        cfg = TrainConfig(total_steps=10)
+        state = init_train_state(0, TINY, cfg)
+        eval_step = make_eval_step(TINY, cfg)
+        metrics = eval_step(state, _batch(n=4))
+        for key in ("psnr", "ssim", "rmse_m", "rmse_wet_m", "csi"):
+            assert key in metrics
+
+
+class TestCheckpointing:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = TrainConfig(total_steps=10)
+        state = init_train_state(0, TINY, cfg)
+        step = make_train_step(TINY, cfg, donate=False)
+        state, _ = step(state, _batch())
+        fp = tmp_path / "ckpt.fsrz"
+        save_train_state(fp, state, TINY, {"note": "test"})
+        restored, cfg_restored = restore_train_state(fp, cfg)
+        assert cfg_restored == TINY
+        assert int(restored.step) == 1
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_export_inference_artifact_loads_in_engine(self, tmp_path):
+        from floodsr_tpu.engine import EngineJAX
+
+        cfg = TrainConfig(total_steps=10)
+        state = init_train_state(0, TINY, cfg)
+        fp = tmp_path / "infer.fsrz"
+        export_inference_artifact(fp, state, TINY, {"exported": True})
+        eng = EngineJAX(fp, max_batch=2)
+        r = eng.run_tile(
+            np.random.default_rng(0).uniform(0, 2, (8, 8)).astype(np.float32),
+            np.random.default_rng(1).uniform(100, 400, (32, 32)).astype(np.float32),
+        )
+        assert np.isfinite(r["prediction_m"]).all()
+        eng.close()
