@@ -85,8 +85,17 @@ class EngineJAX(EngineBase):
         return self._model_fp
 
     def load(self) -> None:
-        """Load artifact, resolve contract, place params on device."""
+        """Load artifact, resolve contract, place params on device.
+
+        Accepts native ``.fsrz`` checkpoints or ONNX files — the latter run
+        through the in-tree ONNX→JAX graph executor, so the reference's
+        released ``model_infer.onnx`` works directly (reference contract
+        resolution mirrored from ``floodsr/engine/ort.py:75-102``).
+        """
         self.log.debug(f"loading JAX engine artifact from\n    {self._model_fp}")
+        if self._model_fp.suffix.lower() == ".onnx":
+            self._load_onnx()
+            return
         artifact = load_artifact(self._model_fp)
         self.config = artifact["config"]
         contract = artifact["manifest"]["io_contract"]
@@ -114,12 +123,87 @@ class EngineJAX(EngineBase):
             f"dtype={self.compute_dtype.__name__}"
         )
 
+    def _load_onnx(self) -> None:
+        """Resolve contract + forward fn from an ONNX graph (JAX executor)."""
+        from floodsr_tpu.nn.onnx_exec import OnnxGraphExecutor
+        from floodsr_tpu.nn.onnx_reader import load_model
+
+        model = load_model(self._model_fp)
+        executor = OnnxGraphExecutor(model)
+        inputs = {vi.name: vi for vi in model.graph_inputs}
+        assert "depth_lr" in inputs, "model input 'depth_lr' not found"
+        assert "dem_hr" in inputs, "model input 'dem_hr' not found"
+        assert model.outputs, "model outputs are empty"
+        output_name = model.outputs[0].name
+
+        def resolve_hwc(vi, name):
+            dims = vi.shape
+            assert len(dims) == 4, f"{name} must be rank-4 NHWC; got {dims}"
+            h, w, c = dims[1], dims[2], dims[3]
+            assert isinstance(h, int) and h > 0, f"{name} height must be fixed int; got {h}"
+            assert isinstance(w, int) and w > 0, f"{name} width must be fixed int; got {w}"
+            assert isinstance(c, int) and c == 1, f"{name} channels must be 1; got {c}"
+            return (h, w, c)
+
+        depth_lr_hwc = resolve_hwc(inputs["depth_lr"], "depth_lr")
+        dem_hr_hwc = resolve_hwc(inputs["dem_hr"], "dem_hr")
+        output_hwc = resolve_hwc(model.outputs[0], output_name)
+        assert dem_hr_hwc == output_hwc, (
+            f"DEM input shape {dem_hr_hwc} must match output shape {output_hwc}"
+        )
+        assert dem_hr_hwc[0] % depth_lr_hwc[0] == 0, (
+            f"HR/LR height ratio must be integer; got HR={dem_hr_hwc}, LR={depth_lr_hwc}"
+        )
+        self.contract = ModelIOContract(
+            depth_input_name="depth_lr",
+            dem_input_name="dem_hr",
+            output_name=output_name,
+            depth_lr_hwc=depth_lr_hwc,
+            dem_hr_hwc=dem_hr_hwc,
+            output_hwc=output_hwc,
+            scale=int(dem_hr_hwc[0] // depth_lr_hwc[0]),
+        )
+        # Minimal config so the scene executor knows the tile geometry.
+        self.config = ResUNetConfig(
+            lr_tile=depth_lr_hwc[0], scale=self.contract.scale
+        )
+
+        def onnx_forward(params, state, depth_nhwc, dem_nhwc):
+            outs = executor({"depth_lr": depth_nhwc, "dem_hr": dem_nhwc})
+            return outs[output_name]
+
+        self._forward_override = onnx_forward
+        self.params = {}
+        self.state = {}
+        self.log.info(
+            f"loaded ONNX model '{self._model_fp.name}' via JAX graph executor; "
+            f"opset={model.opset} producer='{model.producer}' "
+            f"params={sum(a.size for a in model.initializers.values()):,} "
+            f"scale={self.contract.scale}"
+        )
+
+    def forward_callable(self):
+        """(params, state, depth_nhwc, dem_nhwc, compute_dtype) → pred_nhwc."""
+        override = getattr(self, "_forward_override", None)
+        if override is not None:
+            return lambda p, s, d, m, dtype=None: override(p, s, d, m)
+        cfg = self.config
+
+        def run(params, state, depth, dem, dtype=jnp.float32):
+            out, _ = resunet_apply(
+                params, state, depth, dem, cfg, train=False, compute_dtype=dtype
+            )
+            return out
+
+        return run
+
     def close(self) -> None:
         """Release device buffers and compiled executables."""
         self.params = None
         self.state = None
         self.contract = None
         self.config = None
+        self._forward_override = None
         self._jit_cache.clear()
 
     # -- compiled kernels ---------------------------------------------------
@@ -138,8 +222,8 @@ class EngineJAX(EngineBase):
         if fn is not None:
             return fn
 
-        cfg = self.config
         compute_dtype = self.compute_dtype
+        forward = self.forward_callable()
 
         def run(params, state, depth_lr, dem_hr, ref_stats):
             if normalize:
@@ -161,16 +245,10 @@ class EngineJAX(EngineBase):
                     "dem_min": jnp.zeros((depth_lr.shape[0],)),
                     "dem_max": jnp.ones((depth_lr.shape[0],)),
                 }
-            pred_norm, _ = resunet_apply(
-                params,
-                state,
-                depth_norm[..., None],
-                dem_norm[..., None],
-                cfg,
-                train=False,
-                compute_dtype=compute_dtype,
+            pred = forward(
+                params, state, depth_norm[..., None], dem_norm[..., None], compute_dtype
             )
-            pred_norm = pred_norm[..., 0]
+            pred_norm = pred[..., 0]
             pred_m = invert_depth_log1p(pred_norm, max_depth)
             return pred_m, pred_norm, stats
 
@@ -278,10 +356,11 @@ class EngineJAX(EngineBase):
 
     def run_scene(
         self,
-        depth_pad: np.ndarray,
-        dem_pad: np.ndarray,
+        depth_raw,
+        dem_raw,
         grid: dict[str, Any],
         *,
+        scene_shape: tuple[int, int],
         overlap_hr: int,
         max_depth: float,
         dem_pct_clip: float,
@@ -291,10 +370,13 @@ class EngineJAX(EngineBase):
     ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
         """Fused whole-scene execution: one H2D, one jit region, one D2H.
 
-        ``depth_pad``/``dem_pad`` are the padded LR/HR scenes; ``grid`` comes
-        from :func:`floodsr_tpu.tiling.build_window_grid`. Returns the final
-        meter-domain scene (cropped, clipped, optionally post-resampled and
-        low-depth-masked on device) plus per-tile DEM stats.
+        ``depth_raw``/``dem_raw`` are UNPADDED LR/HR scenes — numpy arrays or
+        jax arrays already resident on device (e.g. straight from the device
+        warp); padding to ``scene_shape`` (the tile-aligned extent) happens
+        inside the jit. ``grid`` comes from
+        :func:`floodsr_tpu.tiling.build_window_grid` over ``scene_shape``.
+        Returns the finished meter-domain scene (cropped, clipped, optionally
+        post-resampled and low-depth-masked on device) plus per-tile DEM stats.
         """
         from floodsr_tpu.engine.scene import build_scene_executor
 
@@ -308,8 +390,9 @@ class EngineJAX(EngineBase):
             post_key = (tuple(dst_shape), tuple(src_t), tuple(dst_t))
         key = (
             "scene",
-            depth_pad.shape,
-            dem_pad.shape,
+            tuple(depth_raw.shape),
+            tuple(dem_raw.shape),
+            tuple(scene_shape),
             n,
             int(grid["ny"]),
             int(grid["nx"]),
@@ -324,7 +407,7 @@ class EngineJAX(EngineBase):
         if cached is None:
             fn, idx = build_scene_executor(
                 self.config,
-                scene_shape=dem_pad.shape,
+                scene_shape=tuple(scene_shape),
                 grid=grid,
                 overlap_hr=overlap_hr,
                 chunk=self.max_batch,
@@ -334,17 +417,28 @@ class EngineJAX(EngineBase):
                 post_resample=post_resample,
                 low_depth_mask_m=float(low_depth_mask_m),
                 compute_dtype=self.compute_dtype,
+                forward_fn=self.forward_callable(),
             )
-            idx = {k: jnp.asarray(v) for k, v in idx.items()}
+            idx = jax.tree.map(jnp.asarray, idx)
             cached = (fn, idx)
             self._jit_cache[key] = cached
         fn, idx = cached
         t0 = time.perf_counter()
-        depth_dev = jnp.asarray(depth_pad, jnp.float32)
-        dem_dev = jnp.asarray(dem_pad, jnp.float32)
+        depth_dev = jax.device_put(np.ascontiguousarray(depth_raw)) if isinstance(
+            depth_raw, np.ndarray
+        ) else depth_raw
+        dem_dev = jax.device_put(np.ascontiguousarray(dem_raw)) if isinstance(
+            dem_raw, np.ndarray
+        ) else dem_raw
         jax.block_until_ready(dem_dev)
         t1 = time.perf_counter()
-        out, stats = fn(self.params, self.state, depth_dev, dem_dev, idx)
+        out, stats = fn(
+            self.params,
+            self.state,
+            depth_dev.astype(jnp.float32),
+            dem_dev.astype(jnp.float32),
+            idx,
+        )
         jax.block_until_ready(out)
         t2 = time.perf_counter()
         out.copy_to_host_async()

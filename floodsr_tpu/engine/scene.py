@@ -89,6 +89,7 @@ def build_scene_executor(
     post_resample: tuple[tuple[int, int], Affine, Affine] | None = None,
     low_depth_mask_m: float = 1e-3,
     compute_dtype=jnp.float32,
+    forward_fn=None,
 ):
     """Build ``(jitted_fn, padded_index_arrays)`` for one scene geometry.
 
@@ -108,17 +109,42 @@ def build_scene_executor(
         return np.concatenate([np.asarray(a, np.int32), np.full(n_pad - n, fill, np.int32)])
 
     idx = {
-        "y0": pad_idx(grid["y0"]).reshape(-1, chunk),
-        "x0": pad_idx(grid["x0"]).reshape(-1, chunk),
-        "yi": pad_idx(grid["yi"]).reshape(-1, chunk),
-        "xi": pad_idx(grid["xi"]).reshape(-1, chunk),
-        "valid": np.concatenate(
-            [np.ones(n, np.float32), np.zeros(n_pad - n, np.float32)]
-        ).reshape(-1, chunk),
+        "chunks": {
+            "y0": pad_idx(grid["y0"]).reshape(-1, chunk),
+            "x0": pad_idx(grid["x0"]).reshape(-1, chunk),
+            "yi": pad_idx(grid["yi"]).reshape(-1, chunk),
+            "xi": pad_idx(grid["xi"]).reshape(-1, chunk),
+            "valid": np.concatenate(
+                [np.ones(n, np.float32), np.zeros(n_pad - n, np.float32)]
+            ).reshape(-1, chunk),
+        }
     }
 
-    def scene_fn(params, state, depth_pad, dem_pad, idx):
-        h, w = scene_shape
+    # Rectilinear post-resample factorizes into two MXU matmuls (a TPU
+    # element-wise gather over a scene-sized grid costs ~seconds); the
+    # interpolation matrices ride along with the index arrays.
+    post_separable = False
+    if post_resample is not None:
+        from floodsr_tpu.ops.resample import separable_resample_matrices
+
+        dst_shape, src_t, dst_t = post_resample
+        if src_t.is_rectilinear() and dst_t.is_rectilinear():
+            ry, rx = separable_resample_matrices(crop_shape, src_t, dst_shape, dst_t)
+            idx["post_ry"] = ry
+            idx["post_rx"] = rx
+            post_separable = True
+
+    def scene_fn(params, state, depth_raw, dem_raw, idx):
+        # Pad to the tile grid on device (static pad widths).
+        dem_pad = jnp.pad(
+            dem_raw,
+            ((0, scene_shape[0] - dem_raw.shape[0]), (0, scene_shape[1] - dem_raw.shape[1])),
+        )
+        lr_shape = (scene_shape[0] // scale, scene_shape[1] // scale)
+        depth_pad = jnp.pad(
+            depth_raw,
+            ((0, lr_shape[0] - depth_raw.shape[0]), (0, lr_shape[1] - depth_raw.shape[1])),
+        )
 
         def chunk_step(carry, chunk_idx):
             accum, wsum = carry
@@ -129,15 +155,21 @@ def build_scene_executor(
 
             depth_norm = scale_depth_log1p(depth_tiles, max_depth)
             dem_norm, stats = normalize_dem_batch(dem_tiles, dem_pct_clip)
-            pred_norm, _ = resunet_apply(
-                params,
-                state,
-                depth_norm[..., None],
-                dem_norm[..., None],
-                cfg,
-                train=False,
-                compute_dtype=compute_dtype,
-            )
+            if forward_fn is not None:
+                pred_norm = forward_fn(
+                    params, state, depth_norm[..., None], dem_norm[..., None],
+                    compute_dtype,
+                )
+            else:
+                pred_norm, _ = resunet_apply(
+                    params,
+                    state,
+                    depth_norm[..., None],
+                    dem_norm[..., None],
+                    cfg,
+                    train=False,
+                    compute_dtype=compute_dtype,
+                )
             pred_m = invert_depth_log1p(pred_norm[..., 0], max_depth)
 
             weights = _feather_weights_chunk(
@@ -165,13 +197,21 @@ def build_scene_executor(
             jnp.zeros(scene_shape, jnp.float32),
             jnp.zeros(scene_shape, jnp.float32),
         )
-        (accum, wsum), stats = jax.lax.scan(chunk_step, init, idx)
+        (accum, wsum), stats = jax.lax.scan(chunk_step, init, idx["chunks"])
         scene = jnp.where(wsum > 0, accum / jnp.maximum(wsum, 1e-6), 0.0)
 
         out = jnp.clip(scene[: crop_shape[0], : crop_shape[1]], 0.0, max_depth)
         if post_resample is not None:
             dst_shape, src_transform, dst_transform = post_resample
-            out = reproject_bilinear_jax(out, src_transform, dst_shape, dst_transform)
+            if post_separable:
+                out = jnp.dot(
+                    idx["post_ry"], out, preferred_element_type=jnp.float32
+                )
+                out = jnp.dot(
+                    out, idx["post_rx"].T, preferred_element_type=jnp.float32
+                )
+            else:
+                out = reproject_bilinear_jax(out, src_transform, dst_shape, dst_transform)
             out = jnp.clip(out, 0.0, max_depth)
         out = jnp.where(out < low_depth_mask_m, 0.0, out)
         return out.astype(jnp.float32), stats.reshape(-1, 3)

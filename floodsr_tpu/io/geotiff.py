@@ -211,6 +211,43 @@ def read_raster(
     return arr, nodata, profile
 
 
+def read_raster_header(fp: str | Path) -> dict:
+    """Read only the georeferencing profile (IFD tags, no pixel decode).
+
+    Used for cheap post-write verification — shape/bounds checks don't need
+    a full strip decode of a multi-MB scene.
+    """
+    path = Path(fp).expanduser().resolve()
+    if not path.exists():
+        raise AssertionError(f"raster does not exist: {path}")
+    data = path.read_bytes()
+    order = data[:2].decode("ascii", "replace")
+    if order not in ("II", "MM"):
+        raise ValueError(f"not a TIFF file: bad byte order {order!r}")
+    page = _tiff._read_ifd(data, order)
+    tags = page.tags
+    nodata = None
+    nodata_text = tags.get(TAG_GDAL_NODATA)
+    if nodata_text is not None:
+        try:
+            nodata = float(str(nodata_text).strip())
+        except ValueError:
+            nodata = None
+    return {
+        "driver": "GTiff",
+        "dtype": str(np.dtype(page.dtype.newbyteorder("="))),
+        "nodata": nodata,
+        "width": page.width,
+        "height": page.height,
+        "count": page.samples_per_pixel,
+        "crs": _crs_from_geokeys(tags),
+        "transform": _transform_from_tags(tags) or Affine.identity(),
+        "compress": _TIFF_TO_COMPRESS.get(
+            int(tags.get(_tiff.TAG_COMPRESSION, _tiff.COMPRESSION_NONE))
+        ),
+    }
+
+
 def write_raster(
     fp: str | Path,
     array: np.ndarray,

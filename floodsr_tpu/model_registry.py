@@ -227,6 +227,38 @@ class HttpRetrievalBackend(WeightsRetrievalBackend):
             return _stream_response_to_destination(asset_response, destination, logger=log)
 
 
+class BuiltinRetrievalBackend(WeightsRetrievalBackend):
+    """Generate parameter-only artifacts locally (``builtin:<name>`` URLs).
+
+    Used for models whose "weights" are a small canonical parameter file
+    (e.g. CostGrow) — fetchable fully offline with a pinned sha256.
+    """
+
+    name = "builtin"
+
+    _ARTIFACTS = {
+        "costgrow-params-v1": json.dumps(
+            {
+                "model_version": "CostGrow",
+                "max_grow_coarse_pixels": 4,
+                "terrain_penalty_scale": 1.0,
+                "decay_per_meter": 0.0,
+                "output_kind": "wse",
+            },
+            indent=2,
+        )
+        + "\n",
+    }
+
+    def retrieve(self, source: str, destination: Path) -> Path:
+        name = source.split(":", 1)[1] if ":" in source else source
+        if name not in self._ARTIFACTS:
+            raise ValueError(f"unknown builtin artifact '{name}'")
+        destination.parent.mkdir(parents=True, exist_ok=True)
+        destination.write_text(self._ARTIFACTS[name], encoding="utf-8")
+        return destination
+
+
 class FileRetrievalBackend(WeightsRetrievalBackend):
     """Retrieve weights from plain paths or ``file://`` URIs."""
 
@@ -308,11 +340,15 @@ def get_retrieval_backend(
         return HttpRetrievalBackend()
     if backend_name == "file":
         return FileRetrievalBackend()
+    if backend_name == "builtin":
+        return BuiltinRetrievalBackend()
     if backend_name is not None:
         raise ValueError(f"unsupported backend '{backend_name}'")
     scheme = urlparse(source_url).scheme.lower()
     if scheme in {"http", "https"}:
         return HttpRetrievalBackend()
+    if scheme == "builtin":
+        return BuiltinRetrievalBackend()
     if scheme in {"", "file"}:
         return FileRetrievalBackend()
     raise ValueError(f"unable to select backend for URL scheme '{scheme}'")

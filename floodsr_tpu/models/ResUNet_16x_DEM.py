@@ -108,7 +108,9 @@ class ModelWorker(Model):
 
         assert depth_lr_raw.ndim == 2 and dem_hr_raw.ndim == 2
         assert np.isfinite(depth_lr_raw).all(), "aligned depth contains non-finite values"
-        assert np.isfinite(dem_hr_raw).all(), "aligned DEM contains non-finite values"
+        if isinstance(dem_hr_raw, np.ndarray):
+            assert np.isfinite(dem_hr_raw).all(), "aligned DEM contains non-finite values"
+        # (device-resident DEMs were finite-checked by the aligner)
 
         max_depth = float(preprocess_cfg["max_depth"])
         dem_pct_clip = float(preprocess_cfg["dem_pct_clip"])
@@ -128,19 +130,10 @@ class ModelWorker(Model):
             f"  max_depth={max_depth}\n  dem_pct_clip={dem_pct_clip}"
         )
 
-        # Pad both arrays so fixed-size tiles exactly cover the extent.
-        pad_h = (math.ceil(crop_h / contract_hr_tile) * contract_hr_tile) - crop_h
-        pad_w = (math.ceil(crop_w / contract_hr_tile) * contract_hr_tile) - crop_w
-        dem_pad = np.pad(dem_hr_raw, ((0, pad_h), (0, pad_w)), constant_values=0.0)
-        hr_pad_h, hr_pad_w = dem_pad.shape
-        depth_pad = np.pad(
-            depth_lr_raw,
-            (
-                (0, hr_pad_h // model_scale - depth_lr_raw.shape[0]),
-                (0, hr_pad_w // model_scale - depth_lr_raw.shape[1]),
-            ),
-            constant_values=0.0,
-        )
+        # Tile-aligned extent; the padding itself happens on device in the
+        # scene executor.
+        hr_pad_h = math.ceil(crop_h / contract_hr_tile) * contract_hr_tile
+        hr_pad_w = math.ceil(crop_w / contract_hr_tile) * contract_hr_tile
 
         overlap_hr = overlap_lr * model_scale
         if window_method == "hard":
@@ -165,9 +158,10 @@ class ModelWorker(Model):
         )
 
         prediction_out_m, stats = self.engine.run_scene(
-            depth_pad,
-            dem_pad,
+            depth_lr_raw,
+            dem_hr_raw,
             grid,
+            scene_shape=(hr_pad_h, hr_pad_w),
             overlap_hr=weight_overlap,
             max_depth=max_depth,
             dem_pct_clip=dem_pct_clip,
@@ -237,8 +231,10 @@ class ModelWorker(Model):
             f"dem_hr\n    {dem_hr_path}\noutput\n    {out_path}"
         )
 
-        depth_lr_raw, _, depth_lr_raw_profile = _read_single_band_raster(depth_lr_path)
-        dem_hr_raw, _, dem_hr_raw_profile = _read_single_band_raster(dem_hr_path)
+        t_read0 = time.perf_counter()
+        depth_lr_raw, depth_lr_raw_nodata, depth_lr_raw_profile = _read_single_band_raster(depth_lr_path)
+        dem_hr_raw, dem_hr_raw_nodata, dem_hr_raw_profile = _read_single_band_raster(dem_hr_path)
+        log.debug(f"stage timings: read={time.perf_counter() - t_read0:.3f}s")
         depth_lr_bounds = raster_bounds(depth_lr_raw_profile)
         log.info(
             "raw inputs\n"
@@ -294,13 +290,27 @@ class ModelWorker(Model):
             raise AssertionError(f"tile_overlap must be >= 0; got {overlap_lr}")
 
         with tempfile.TemporaryDirectory(prefix="floodsr-prep-") as prepped_dir:
+            t_prep0 = time.perf_counter()
             prepped = write_prepared_rasters(
                 depth_lr_fp=depth_lr_path,
                 dem_hr_fp=dem_hr_path,
                 scale=model_scale,
                 out_dir=prepped_dir,
                 logger=log,
+                # Hot path: align in memory (no temp writes) and keep the
+                # warped DEM on device for the fused scene executor.
+                write_files=False,
+                device_dem=True,
+                preread={
+                    "depth": depth_lr_raw,
+                    "depth_nodata": depth_lr_raw_nodata,
+                    "depth_profile": depth_lr_raw_profile,
+                    "dem": dem_hr_raw,
+                    "dem_nodata": dem_hr_raw_nodata,
+                    "dem_profile": dem_hr_raw_profile,
+                },
             )
+            log.debug(f"stage timings: prepare={time.perf_counter() - t_prep0:.3f}s")
             log.info(
                 "preprocessing complete\n"
                 f"  scale={model_scale} (HR/LR ratio)\n"
@@ -325,6 +335,7 @@ class ModelWorker(Model):
                     prepped["dem_raw_profile"]["transform"],
                 )
 
+            t_tiled0 = time.perf_counter()
             prediction_out_m, tile_cache_size, tile_dem_stats = (
                 self._run_tiled_model_on_prepared(
                     depth_lr_raw=prepped["depth_lr"],
@@ -340,6 +351,7 @@ class ModelWorker(Model):
                     post_resample=post_spec,
                 )
             )
+            log.debug(f"stage timings: tiled_run={time.perf_counter() - t_tiled0:.3f}s")
             assert prediction_out_m.shape == tuple(prepped["dem_raw_shape"]), (
                 f"prediction shape {prediction_out_m.shape} must match "
                 f"raw DEM shape {prepped['dem_raw_shape']}"
@@ -348,14 +360,12 @@ class ModelWorker(Model):
             output_profile = dict(prepped["dem_raw_profile"])
             output_profile.update(dtype="float32", count=1)
 
-            # Device already clipped + masked; these host ops are idempotent
-            # re-verification kept for the reference's postprocess contract.
-            prediction_out_m = np.clip(
-                prediction_out_m, 0.0, float(preprocess_cfg["max_depth"])
-            ).astype(np.float32, copy=False)
-            prediction_out_m = np.where(
-                prediction_out_m < float(self.low_depth_mask_m), 0.0, prediction_out_m
-            ).astype(np.float32, copy=False)
+            # The device path already clipped to [0, max_depth] and applied
+            # the low-depth mask; a cheap range guard replaces host re-work.
+            assert prediction_out_m.dtype == np.float32
+            assert float(prediction_out_m.max(initial=0.0)) <= float(
+                preprocess_cfg["max_depth"]
+            ) + 1e-6, "device postprocess failed to clip to max_depth" 
 
             prepared_dem_bounds = raster_bounds(prepped["dem_raw_profile"])
             assert all(
@@ -366,8 +376,12 @@ class ModelWorker(Model):
                 f"incoming low-res bounds {depth_lr_bounds}"
             )
 
+            t_write0 = time.perf_counter()
             out_written_fp = _write_single_band_raster(out_path, prediction_out_m, output_profile)
-            _, _, written_profile = _read_single_band_raster(out_written_fp)
+            log.debug(f"stage timings: write={time.perf_counter() - t_write0:.3f}s")
+            from floodsr_tpu.io.geotiff import read_raster_header
+
+            written_profile = read_raster_header(out_written_fp)
             written_shape = (int(written_profile["height"]), int(written_profile["width"]))
             assert written_shape == tuple(prepped["dem_raw_shape"]), (
                 f"written output shape {written_shape} must match raw DEM shape "
@@ -415,8 +429,16 @@ class ModelWorker(Model):
                     "output_shape": [int(x) for x in prepped["dem_raw_shape"]],
                 },
                 "prepared_inputs": {
-                    "depth_lr_prepared_fp": str(prepped["depth_lr_prepared_fp"]),
-                    "dem_hr_prepared_fp": str(prepped["dem_hr_prepared_fp"]),
+                    "depth_lr_prepared_fp": (
+                        str(prepped["depth_lr_prepared_fp"])
+                        if prepped["depth_lr_prepared_fp"] is not None
+                        else None
+                    ),
+                    "dem_hr_prepared_fp": (
+                        str(prepped["dem_hr_prepared_fp"])
+                        if prepped["dem_hr_prepared_fp"] is not None
+                        else None
+                    ),
                     "prepped_depth_was_resampled": bool(prepped["resampled"]),
                     "prepped_dem_was_resampled": bool(prepped["resampled"]),
                     "post_sr_was_resampled": bool(post_resampled),

@@ -142,6 +142,77 @@ def reproject_bilinear_jax(
     )
 
 
+def bilinear_axis_matrix(
+    src_size: int,
+    src_origin: float,
+    src_step: float,
+    dst_size: int,
+    dst_origin: float,
+    dst_step: float,
+) -> np.ndarray:
+    """Dense 1-D bilinear interpolation matrix ``[dst_size, src_size]``.
+
+    For rectilinear (axis-aligned) transforms, 2-D bilinear resampling
+    factorizes into ``Ry @ src @ Rx.T`` — two dense matmuls that run on the
+    MXU instead of an element-wise gather (which is ~100× slower on TPU for
+    scene-sized grids). Sample positions follow the pixel-center convention
+    with clamp-to-edge, matching :func:`reproject_bilinear` inside bounds.
+    """
+    dst_centers = dst_origin + (np.arange(dst_size, dtype=np.float64) + 0.5) * dst_step
+    src_coords = (dst_centers - src_origin) / src_step - 0.5
+    i0 = np.floor(src_coords).astype(np.int64)
+    frac = (src_coords - i0).astype(np.float64)
+    i0c = np.clip(i0, 0, src_size - 1)
+    i1c = np.clip(i0 + 1, 0, src_size - 1)
+    matrix = np.zeros((dst_size, src_size), np.float32)
+    rows = np.arange(dst_size)
+    # Accumulate (i0 and i1 coincide at clamped edges).
+    np.add.at(matrix, (rows, i0c), (1.0 - frac).astype(np.float32))
+    np.add.at(matrix, (rows, i1c), frac.astype(np.float32))
+    return matrix
+
+
+def separable_resample_matrices(
+    src_shape: tuple[int, int],
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(Ry, Rx) for :func:`bilinear_axis_matrix`-based separable resampling."""
+    if not (src_transform.is_rectilinear() and dst_transform.is_rectilinear()):
+        raise ValueError("separable resampling requires rectilinear transforms")
+    ry = bilinear_axis_matrix(
+        src_shape[0], src_transform.f, src_transform.e,
+        dst_shape[0], dst_transform.f, dst_transform.e,
+    )
+    rx = bilinear_axis_matrix(
+        src_shape[1], src_transform.c, src_transform.a,
+        dst_shape[1], dst_transform.c, dst_transform.a,
+    )
+    return ry, rx
+
+
+def reproject_nearest(
+    source: np.ndarray,
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+    fill=0,
+) -> np.ndarray:
+    """Nearest-neighbor resample (used for validity masks, GDAL convention)."""
+    if source.ndim != 2:
+        raise AssertionError(f"source must be 2D; got {source.shape}")
+    h_s, w_s = source.shape
+    v, u = _dst_center_coords_in_src(dst_shape, dst_transform, src_transform, np)
+    r = np.round(v).astype(np.int64)
+    c = np.round(u).astype(np.int64)
+    inside = (r >= 0) & (r < h_s) & (c >= 0) & (c < w_s)
+    rr = np.clip(r, 0, h_s - 1)
+    cc = np.clip(c, 0, w_s - 1)
+    out = np.where(inside, source[rr, cc], fill)
+    return out.astype(source.dtype)
+
+
 _DEVICE_WARP_THRESHOLD = 1 << 22  # ~4.2M destination pixels
 
 
@@ -152,8 +223,34 @@ def _jitted_warp(
     dst_transform: Affine,
     src_nodata: float | None,
     dst_nodata: float | None,
+    src_shape: tuple[int, int] | None = None,
 ):
     import jax
+
+    # Rectilinear warps with no live nodata sentinel factor into two MXU
+    # matmuls — ~100× faster than a scene-sized gather on TPU. In this
+    # pipeline the source was already nodata→0-replaced upstream, so a
+    # nonzero sentinel cannot occur in the data (zero sentinels fall back to
+    # the nodata-aware gather path).
+    if (
+        src_shape is not None
+        and src_transform.is_rectilinear()
+        and dst_transform.is_rectilinear()
+        and (src_nodata is None or src_nodata != 0.0)
+    ):
+        ry, rx = separable_resample_matrices(
+            src_shape, src_transform, dst_shape, dst_transform
+        )
+        ry_j = jax.device_put(ry)
+        rx_t = jax.device_put(np.ascontiguousarray(rx.T))
+
+        def warp(src):
+            import jax.numpy as jnp
+
+            out = jnp.dot(ry_j, src.astype(jnp.float32), preferred_element_type=jnp.float32)
+            return jnp.dot(out, rx_t, preferred_element_type=jnp.float32)
+
+        return jax.jit(warp)
 
     return jax.jit(
         lambda src: reproject_bilinear_jax(
@@ -188,6 +285,7 @@ def reproject_bilinear_auto(
         dst_transform,
         None if src_nodata is None else float(src_nodata),
         None if dst_nodata is None else float(dst_nodata),
+        src_shape=tuple(int(v) for v in source.shape),
     )
     return np.asarray(fn(jnp.asarray(source, jnp.float32)))
 

@@ -121,7 +121,7 @@ def resolve_preprocess_config(
 def _read_single_band_raster(fp: str | Path) -> tuple[np.ndarray, float | None, dict]:
     """Read a single-band raster from disk."""
     arr, nodata, profile = read_raster(fp)
-    return arr.astype(np.float32), nodata, profile
+    return arr.astype(np.float32, copy=False), nodata, profile
 
 
 def _write_single_band_raster(
@@ -147,11 +147,25 @@ def _write_single_band_raster(
     return write_raster(fp, arr.astype(np.float32, copy=False), out_profile)
 
 
+def _replace_nodata_any(arr, nodata):
+    """Nodata→0 that stays on device for jax arrays."""
+    if isinstance(arr, np.ndarray):
+        return replace_nodata_with_zero(arr, nodata)
+    import jax.numpy as jnp
+
+    arr = arr.astype(jnp.float32)
+    if nodata is None:
+        return arr
+    return jnp.where(jnp.isclose(arr, nodata), 0.0, arr)
+
+
 def _align_depth_and_dem_inputs(
     depth_lr_fp: str | Path,
     dem_hr_fp: str | Path,
     scale: int,
     logger=None,
+    preread: dict | None = None,
+    device_dem: bool = False,
 ) -> dict[str, Any]:
     """Align inputs for model scale: keep LR depth native, resample DEM.
 
@@ -168,8 +182,16 @@ def _align_depth_and_dem_inputs(
     assert depth_path.exists(), f"low-res depth raster does not exist: {depth_path}"
     assert dem_path.exists(), f"hires DEM raster does not exist: {dem_path}"
 
-    depth_raw, depth_nodata, depth_profile = _read_single_band_raster(depth_path)
-    dem_raw, dem_nodata, dem_profile = _read_single_band_raster(dem_path)
+    if preread is not None:
+        depth_raw = preread["depth"]
+        depth_nodata = preread["depth_nodata"]
+        depth_profile = dict(preread["depth_profile"])
+        dem_raw = preread["dem"]
+        dem_nodata = preread["dem_nodata"]
+        dem_profile = dict(preread["dem_profile"])
+    else:
+        depth_raw, depth_nodata, depth_profile = _read_single_band_raster(depth_path)
+        dem_raw, dem_nodata, dem_profile = _read_single_band_raster(dem_path)
     assert depth_profile["count"] == 1, "depth raster must have 1 band"
     assert dem_profile["count"] == 1, "DEM raster must have 1 band"
 
@@ -239,17 +261,39 @@ def _align_depth_and_dem_inputs(
     dem_model_transform = bounds_to_transform(
         *depth_bounds, width=target_hr_w, height=target_hr_h
     )
-    dem_model = reproject_bilinear(
-        dem_crop,
-        dem_crop_transform,
-        (target_hr_h, target_hr_w),
-        dem_model_transform,
-        src_nodata=dem_nodata,
-        dst_nodata=dem_nodata,
-    )
-    dem_model = replace_nodata_with_zero(dem_model, dem_nodata)
-    if not np.isfinite(dem_model).all():
-        raise AssertionError("resampled DEM contains non-finite values")
+    if device_dem:
+        # Keep the warped DEM on device: the consumer (the fused scene
+        # executor) reads it there, so a host round-trip would just burn the
+        # device→host link.
+        import jax.numpy as jnp
+
+        from floodsr_tpu.ops.resample import _jitted_warp
+
+        warp = _jitted_warp(
+            dem_crop_transform,
+            (target_hr_h, target_hr_w),
+            dem_model_transform,
+            None if dem_nodata is None else float(dem_nodata),
+            None if dem_nodata is None else float(dem_nodata),
+            src_shape=tuple(int(v) for v in dem_crop.shape),
+        )
+        dem_model = _replace_nodata_any(warp(jnp.asarray(dem_crop)), dem_nodata)
+        # No host-blocking finite check here: the inputs are finite (validated
+        # above) and the nodata-renormalized bilinear warp of finite values is
+        # finite by construction; a scalar pull would stall the pipeline on a
+        # device sync.
+    else:
+        dem_model = reproject_bilinear(
+            dem_crop,
+            dem_crop_transform,
+            (target_hr_h, target_hr_w),
+            dem_model_transform,
+            src_nodata=dem_nodata,
+            dst_nodata=dem_nodata,
+        )
+        dem_model = replace_nodata_with_zero(dem_model, dem_nodata)
+        if not np.isfinite(dem_model).all():
+            raise AssertionError("resampled DEM contains non-finite values")
     was_resampled = bool(
         dem_model.shape != dem_crop.shape
         or not all(
@@ -284,12 +328,28 @@ def write_prepared_rasters(
     logger=None,
     depth_lr_prepared_fp: str | Path | None = None,
     dem_hr_prepared_fp: str | Path | None = None,
+    write_files: bool = True,
+    preread: dict | None = None,
+    device_dem: bool = False,
 ) -> dict[str, object]:
-    """Write aligned/resized depth and DEM rasters to disk for inference."""
+    """Align depth/DEM for inference; optionally write the prepared rasters.
+
+    With ``write_files=False`` the aligned arrays are returned in memory only
+    (the ``*_prepared_fp`` keys are None) — the hot inference path skips the
+    short-lived temp files entirely. ``device_dem=True`` keeps the warped DEM
+    on device for direct consumption by the scene executor.
+    """
     log = logger or logging.getLogger(__name__)
     out_dir = Path(out_dir).expanduser()
     out_dir.mkdir(parents=True, exist_ok=True)
-    aligned = _align_depth_and_dem_inputs(depth_lr_fp, dem_hr_fp, scale=scale, logger=log)
+    aligned = _align_depth_and_dem_inputs(
+        depth_lr_fp,
+        dem_hr_fp,
+        scale=scale,
+        logger=log,
+        preread=preread,
+        device_dem=device_dem,
+    )
 
     depth_prepared_fp = (
         Path(depth_lr_prepared_fp)
@@ -321,13 +381,17 @@ def write_prepared_rasters(
         transform=aligned["dem_raw_transform"],
     )
 
-    # Prepared rasters are short-lived intermediates: write uncompressed.
-    depth_prepared_path = _write_single_band_raster(
-        depth_prepared_fp, aligned["depth_lr"], depth_profile, compress=None
-    )
-    dem_prepared_path = _write_single_band_raster(
-        dem_prepared_fp, aligned["dem_hr"], dem_profile, compress=None
-    )
+    if write_files:
+        # Prepared rasters are short-lived intermediates: write uncompressed.
+        depth_prepared_path = _write_single_band_raster(
+            depth_prepared_fp, aligned["depth_lr"], depth_profile, compress=None
+        )
+        dem_prepared_path = _write_single_band_raster(
+            dem_prepared_fp, np.asarray(aligned["dem_hr"]), dem_profile, compress=None
+        )
+    else:
+        depth_prepared_path = None
+        dem_prepared_path = None
     return {
         "depth_lr": aligned["depth_lr"],
         "dem_hr": aligned["dem_hr"],

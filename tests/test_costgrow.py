@@ -1,0 +1,209 @@
+"""CostGrow: wavefront kernels vs Dijkstra oracle, and the worker end-to-end."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from floodsr_tpu.io import from_origin, read_raster, write_raster
+from floodsr_tpu.model_registry import fetch_model, resolve_model_worker_class
+from floodsr_tpu.ops.costgrow import (
+    keep_components_connected_to_anchor_jax,
+    mcp_distance_jax,
+    mcp_fill_jax,
+    mcp_fill_numpy,
+)
+
+pytestmark = pytest.mark.unit
+
+
+class TestWavefrontKernels:
+    def test_distance_matches_dijkstra_unit_cost(self, rng):
+        h = w = 24
+        domain = np.ones((h, w), bool)
+        domain[10:14, 2:20] = False  # a wall with a gap
+        domain[10:14, 20:22] = True
+        seeds = np.zeros((h, w), bool)
+        seeds[2, 2] = True
+        _, want = mcp_fill_numpy(
+            np.zeros((h, w), np.float32), seeds, np.ones((h, w)), domain
+        )
+        got = np.asarray(mcp_distance_jax(jnp.asarray(seeds), jnp.asarray(domain)))
+        finite = np.isfinite(want)
+        np.testing.assert_allclose(got[finite], want[finite], atol=1e-4)
+        np.testing.assert_array_equal(np.isfinite(got), finite)
+
+    def test_fill_values_match_dijkstra_weighted(self, rng):
+        h = w = 20
+        domain = np.ones((h, w), bool)
+        cost = rng.uniform(1.0, 5.0, (h, w))
+        seeds = np.zeros((h, w), bool)
+        seeds[0, 0] = True
+        seeds[h - 1, w - 1] = True
+        seed_values = np.full((h, w), np.nan, np.float32)
+        seed_values[0, 0] = 100.0
+        seed_values[h - 1, w - 1] = 200.0
+        want_fill, want_dist = mcp_fill_numpy(seed_values, seeds, cost, domain)
+        got_fill, got_dist = mcp_fill_jax(
+            jnp.asarray(seed_values),
+            jnp.asarray(seeds),
+            jnp.asarray(cost, dtype=jnp.float32),
+            jnp.asarray(domain),
+        )
+        np.testing.assert_allclose(np.asarray(got_dist), want_dist, rtol=1e-4)
+        # Values match wherever the nearest seed is unambiguous (distance gap).
+        d_a = want_dist  # to nearest seed
+        got_fill = np.asarray(got_fill)
+        agree = got_fill == want_fill
+        both_nan = np.isnan(got_fill) & np.isnan(want_fill)
+        assert (agree | both_nan).mean() > 0.95
+
+    def test_target_mask_restricts_fill(self):
+        h = w = 12
+        domain = np.ones((h, w), bool)
+        seeds = np.zeros((h, w), bool)
+        seeds[0, 0] = True
+        seed_values = np.where(seeds, 7.0, np.nan).astype(np.float32)
+        target = np.zeros((h, w), bool)
+        target[:4, :4] = True
+        filled, _ = mcp_fill_jax(
+            jnp.asarray(seed_values),
+            jnp.asarray(seeds),
+            jnp.ones((h, w), jnp.float32),
+            jnp.asarray(domain),
+            target_mask=jnp.asarray(target),
+        )
+        filled = np.asarray(filled)
+        assert np.isfinite(filled[:4, :4]).all()
+        assert np.isnan(filled[6:, 6:]).all()
+
+    def test_domain_blocks_propagation(self):
+        h = w = 16
+        domain = np.ones((h, w), bool)
+        domain[:, 8] = False  # full vertical wall
+        seeds = np.zeros((h, w), bool)
+        seeds[8, 2] = True
+        dist = np.asarray(mcp_distance_jax(jnp.asarray(seeds), jnp.asarray(domain)))
+        assert np.isfinite(dist[:, :8]).all()
+        assert not np.isfinite(dist[:, 9:]).any()
+
+    def test_connected_components_filter(self):
+        wet = np.zeros((16, 16), bool)
+        wet[2:6, 2:6] = True     # blob A (anchored)
+        wet[10:14, 10:14] = True  # blob B (isolated)
+        anchors = np.zeros((16, 16), bool)
+        anchors[3, 3] = True
+        keep = np.asarray(
+            keep_components_connected_to_anchor_jax(jnp.asarray(wet), jnp.asarray(anchors))
+        )
+        assert keep[2:6, 2:6].all()
+        assert not keep[10:14, 10:14].any()
+
+    def test_diagonal_connectivity(self):
+        wet = np.zeros((8, 8), bool)
+        wet[0, 0] = wet[1, 1] = wet[2, 2] = True  # diagonal chain
+        anchors = np.zeros((8, 8), bool)
+        anchors[0, 0] = True
+        keep = np.asarray(
+            keep_components_connected_to_anchor_jax(jnp.asarray(wet), jnp.asarray(anchors))
+        )
+        assert keep[2, 2]
+
+
+class TestCostGrowWorker:
+    @pytest.fixture(scope="class")
+    def costgrow_scene(self, tmp_path_factory):
+        """A valley DEM with a coarse WSE covering the channel."""
+        root = tmp_path_factory.mktemp("costgrow")
+        h = w = 64
+        yy = np.abs(np.arange(h) - h / 2)[:, None]
+        dem = (100.0 + yy * 0.5 + np.linspace(0, 3, w)[None, :]).astype(np.float32)
+        # Coarse WSE (8x coarser): water at 102.5 m over the channel.
+        wse_lr = np.full((8, 8), np.nan, np.float32)
+        wse_lr[3:5, :] = 102.5
+        wse_fp = root / "wse_lr.tif"
+        dem_fp = root / "dem.tif"
+        nodata = -9999.0
+        write_raster(
+            wse_fp,
+            np.where(np.isfinite(wse_lr), wse_lr, nodata),
+            {
+                "height": 8, "width": 8, "count": 1, "dtype": "float32",
+                "crs": "EPSG:32633", "nodata": nodata,
+                "transform": from_origin(0, 512, 64.0, 64.0), "compress": "LZW",
+            },
+        )
+        write_raster(
+            dem_fp,
+            dem,
+            {
+                "height": h, "width": w, "count": 1, "dtype": "float32",
+                "crs": "EPSG:32633", "nodata": nodata,
+                "transform": from_origin(0, 512, 8.0, 8.0), "compress": "LZW",
+            },
+        )
+        params_fp = root / "costgrow_params.json"
+        params_fp.write_text(
+            json.dumps({"model_version": "CostGrow", "max_grow_coarse_pixels": 2})
+        )
+        return {"wse_fp": wse_fp, "dem_fp": dem_fp, "params_fp": params_fp, "dem": dem}
+
+    def test_worker_end_to_end(self, costgrow_scene, tmp_path, logger):
+        worker_cls = resolve_model_worker_class("CostGrow")
+        out_fp = tmp_path / "wse_grown.tif"
+        with worker_cls(model_fp=costgrow_scene["params_fp"], logger=logger) as worker:
+            result = worker.run(
+                depth_lr_fp=costgrow_scene["wse_fp"],
+                dem_hr_fp=costgrow_scene["dem_fp"],
+                output_fp=out_fp,
+            )
+        out, nodata, profile = read_raster(out_fp)
+        assert out.shape == (64, 64)
+        wet = ~np.isclose(out, nodata)
+        assert wet.any()
+        # Output WSE clears the terrain wherever wet.
+        assert (out[wet] > costgrow_scene["dem"][wet]).all()
+        diag = result["preprocess"]
+        assert diag["downscale"] == 8
+        assert diag["max_grow_fine_pixels"] == 16.0
+        assert diag["wet_pixel_count"] == int(wet.sum())
+
+    def test_depth_output_kind(self, costgrow_scene, tmp_path, logger):
+        params_fp = tmp_path / "p.json"
+        params_fp.write_text(json.dumps({"output_kind": "depth", "max_grow_coarse_pixels": 2}))
+        worker_cls = resolve_model_worker_class("CostGrow")
+        out_fp = tmp_path / "depth.tif"
+        with worker_cls(model_fp=params_fp, logger=logger) as worker:
+            worker.run(
+                depth_lr_fp=costgrow_scene["wse_fp"],
+                dem_hr_fp=costgrow_scene["dem_fp"],
+                output_fp=out_fp,
+                max_depth=5.0,
+            )
+        out, nodata, _ = read_raster(out_fp)
+        wet = ~np.isclose(out, nodata)
+        assert (out[wet] >= 0).all() and (out[wet] <= 5.0).all()
+
+    def test_registry_builtin_fetch(self, tmp_path):
+        fp = fetch_model("CostGrow", cache_dir=tmp_path / "cache")
+        payload = json.loads(fp.read_text())
+        assert payload["model_version"] == "CostGrow"
+
+    def test_cli_tohr_costgrow(self, costgrow_scene, tmp_path, capsys):
+        from floodsr_tpu.cli import main
+
+        out_fp = tmp_path / "cli_costgrow.tif"
+        code = main(
+            [
+                "tohr",
+                "--in", str(costgrow_scene["wse_fp"]),
+                "--dem", str(costgrow_scene["dem_fp"]),
+                "--out", str(out_fp),
+                "--model-version", "CostGrow",
+                "--model-path", str(costgrow_scene["params_fp"]),
+            ]
+        )
+        assert code == 0
+        assert out_fp.exists()

@@ -140,6 +140,103 @@ class TestParser:
             load_model(b"\x0a\x02hi")  # field 1 as LEN: no graph
 
 
+def build_dual_input_onnx(lr_tile=4, scale=2, channels=4, seed=0):
+    """NHWC dual-input SR graph matching the engine contract conventions.
+
+    Inputs ``depth_lr [N,h,w,1]`` / ``dem_hr [N,H,W,1]`` (NHWC like the
+    tf2onnx-exported reference), internal NCHW compute via Transpose.
+    """
+    rng = np.random.default_rng(seed)
+    hr = lr_tile * scale
+    w_conv = (rng.normal(size=(channels, 2, 3, 3)) * 0.2).astype(np.float32)
+    b_conv = np.zeros(channels, np.float32)
+    w_up = (rng.normal(size=(channels, channels, scale, scale)) * 0.2).astype(np.float32)
+    b_up = np.zeros(channels, np.float32)
+    w_head = (rng.normal(size=(1, channels + 1, 1, 1)) * 0.2).astype(np.float32)
+    b_head = np.array([0.3], np.float32)
+    nodes = [
+        _node("Transpose", ["depth_lr"], ["d_nchw"], {"perm": [0, 3, 1, 2]}),
+        _node("Transpose", ["dem_hr"], ["m_nchw"], {"perm": [0, 3, 1, 2]}),
+        _node(
+            "AveragePool", ["m_nchw"], ["m_lr"],
+            {"kernel_shape": [scale, scale], "strides": [scale, scale]},
+        ),
+        _node("Concat", ["d_nchw", "m_lr"], ["cat"], {"axis": 1}),
+        _node("Conv", ["cat", "w1", "b1"], ["f0"], {"strides": [1, 1], "pads": [1, 1, 1, 1]}),
+        _node("Relu", ["f0"], ["f"]),
+        _node(
+            "ConvTranspose", ["f", "w2", "b2"], ["u0"],
+            {"strides": [scale, scale], "pads": [0, 0, 0, 0]},
+        ),
+        _node("Relu", ["u0"], ["u"]),
+        _node("Concat", ["u", "m_nchw"], ["fuse"], {"axis": 1}),
+        _node("Conv", ["fuse", "w3", "b3"], ["p_nchw"], {"strides": [1, 1], "pads": [0, 0, 0, 0]}),
+        _node("Transpose", ["p_nchw"], ["depth_hr_pred"], {"perm": [0, 2, 3, 1]}),
+    ]
+    inits = {"w1": w_conv, "b1": b_conv, "w2": w_up, "b2": b_up, "w3": w_head, "b3": b_head}
+    return build_onnx(
+        nodes,
+        inits,
+        [("depth_lr", (1, lr_tile, lr_tile, 1)), ("dem_hr", (1, hr, hr, 1))],
+        [("depth_hr_pred", (1, hr, hr, 1))],
+    )
+
+
+class TestEngineWithOnnxArtifact:
+    @pytest.fixture(scope="class")
+    def onnx_model_fp(self, tmp_path_factory):
+        fp = tmp_path_factory.mktemp("onnx_model") / "model_infer.onnx"
+        fp.write_bytes(build_dual_input_onnx())
+        return fp
+
+    def test_engine_loads_onnx_and_resolves_contract(self, onnx_model_fp):
+        from floodsr_tpu.engine import EngineJAX
+
+        eng = EngineJAX(onnx_model_fp, max_batch=4)
+        assert eng.contract.depth_lr_hwc == (4, 4, 1)
+        assert eng.contract.dem_hr_hwc == (8, 8, 1)
+        assert eng.contract.scale == 2
+        r = eng.run_tile(
+            np.random.default_rng(0).uniform(0, 2, (4, 4)).astype(np.float32),
+            np.random.default_rng(1).uniform(100, 300, (8, 8)).astype(np.float32),
+        )
+        assert r["prediction_m"].shape == (8, 8)
+        assert np.isfinite(r["prediction_m"]).all()
+        eng.close()
+
+    def test_tohr_with_onnx_model(self, onnx_model_fp, tmp_path, logger):
+        from floodsr_tpu.io import from_origin, read_raster, write_raster
+        from floodsr_tpu.tohr import tohr
+
+        rng = np.random.default_rng(3)
+        lr = rng.uniform(0, 2, (8, 8)).astype(np.float32)
+        dem = rng.uniform(100, 200, (16, 16)).astype(np.float32)
+
+        def prof(a, res, top):
+            return {
+                "height": a.shape[0], "width": a.shape[1], "count": 1,
+                "dtype": "float32", "crs": "EPSG:32633", "nodata": -9999.0,
+                "transform": from_origin(0.0, top, res, res), "compress": "LZW",
+            }
+
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        write_raster(lr_fp, lr, prof(lr, 30.0, 240.0))
+        write_raster(dem_fp, dem, prof(dem, 15.0, 240.0))
+        out_fp = tmp_path / "sr.tif"
+        result = tohr(
+            model_version="ResUNet_16x_DEM",
+            model_fp=onnx_model_fp,
+            depth_lr_fp=lr_fp,
+            dem_hr_fp=dem_fp,
+            output_fp=out_fp,
+            tile_overlap=1,
+            logger=logger,
+        )
+        pred, _, _ = read_raster(result["output_fp"])
+        assert pred.shape == (16, 16)
+        assert np.isfinite(pred).all()
+
+
 class TestExecutorVsTorch:
     def _run_ours(self, data: bytes, feeds: dict) -> np.ndarray:
         model = load_model(data)

@@ -67,6 +67,26 @@ class TestResamplng:
         out = reproject_bilinear(src, t_src, (4, 4), t_dst, dst_nodata=-5.0)
         assert (out == -5.0).all()
 
+    def test_separable_matches_gather_interior(self, rng):
+        from floodsr_tpu.ops.resample import separable_resample_matrices
+
+        src = rng.normal(size=(40, 48)).astype(np.float32)
+        t_src = from_origin(0, 40, 1.0, 1.0)
+        t_dst = from_origin(2, 38, 1.25, 1.25)
+        dst_shape = (28, 34)
+        want = reproject_bilinear(src, t_src, dst_shape, t_dst)
+        ry, rx = separable_resample_matrices(src.shape, t_src, dst_shape, t_dst)
+        got = ry @ src @ rx.T
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_separable_identity(self, rng):
+        from floodsr_tpu.ops.resample import separable_resample_matrices
+
+        src = rng.normal(size=(16, 16)).astype(np.float32)
+        t = from_origin(0, 16, 1.0, 1.0)
+        ry, rx = separable_resample_matrices(src.shape, t, (16, 16), t)
+        np.testing.assert_allclose(ry @ src @ rx.T, src, atol=1e-6)
+
     def test_pad_to_multiple(self):
         arr = np.ones((5, 7), np.float32)
         out = pad_to_multiple(arr, 4)
