@@ -64,7 +64,9 @@ class EngineJAX(EngineBase):
         max_batch: int = 8,
         mesh: "jax.sharding.Mesh | None" = None,
         batch_axis: str = "dp",
+        output_transfer: str = "uint16",
     ):
+        assert output_transfer in {"uint16", "float32"}, output_transfer
         self._model_fp = Path(model_fp).expanduser().resolve()
         assert self._model_fp.exists(), f"model file does not exist: {self._model_fp}"
         self.log = logger or logging.getLogger(__name__)
@@ -72,6 +74,7 @@ class EngineJAX(EngineBase):
         self.max_batch = int(max_batch)
         self.mesh = mesh
         self.batch_axis = batch_axis
+        self.output_transfer = output_transfer
         self.config: ResUNetConfig | None = None
         self.params = None
         self.state = None
@@ -402,6 +405,7 @@ class EngineJAX(EngineBase):
             tuple(crop_shape),
             post_key,
             float(low_depth_mask_m),
+            self.output_transfer,
         )
         cached = self._jit_cache.get(key)
         if cached is None:
@@ -418,6 +422,7 @@ class EngineJAX(EngineBase):
                 low_depth_mask_m=float(low_depth_mask_m),
                 compute_dtype=self.compute_dtype,
                 forward_fn=self.forward_callable(),
+                transfer_dtype=self.output_transfer,
             )
             idx = jax.tree.map(jnp.asarray, idx)
             cached = (fn, idx)
@@ -444,6 +449,11 @@ class EngineJAX(EngineBase):
         out.copy_to_host_async()
         stats_np = np.asarray(stats)[:n]
         out_np = np.asarray(out)
+        if self.output_transfer == "uint16":
+            out_np = out_np.astype(np.float32) * (float(max_depth) / 65535.0)
+            out_np = np.where(out_np < low_depth_mask_m, 0.0, out_np).astype(
+                np.float32
+            )
         t3 = time.perf_counter()
         self.log.debug(
             f"run_scene timings: h2d={t1 - t0:.3f}s exec={t2 - t1:.3f}s "

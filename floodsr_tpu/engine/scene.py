@@ -90,6 +90,7 @@ def build_scene_executor(
     low_depth_mask_m: float = 1e-3,
     compute_dtype=jnp.float32,
     forward_fn=None,
+    transfer_dtype: str = "float32",
 ):
     """Build ``(jitted_fn, padded_index_arrays)`` for one scene geometry.
 
@@ -214,6 +215,13 @@ def build_scene_executor(
                 out = reproject_bilinear_jax(out, src_transform, dst_shape, dst_transform)
             out = jnp.clip(out, 0.0, max_depth)
         out = jnp.where(out < low_depth_mask_m, 0.0, out)
+        if transfer_dtype == "uint16":
+            # Fixed-point transfer encoding: halves device→host bytes on
+            # tunnel-limited hosts; quantization step max_depth/65535
+            # (~7.6e-5 m at the default 5 m) is two orders below the 1e-3 m
+            # parity gate. The host dequantizes and re-applies the mask.
+            out = jnp.round(out * (65535.0 / max_depth)).astype(jnp.uint16)
+            return out, stats.reshape(-1, 3)
         return out.astype(jnp.float32), stats.reshape(-1, 3)
 
     fn = jax.jit(scene_fn)

@@ -232,8 +232,22 @@ class ModelWorker(Model):
         )
 
         t_read0 = time.perf_counter()
-        depth_lr_raw, depth_lr_raw_nodata, depth_lr_raw_profile = _read_single_band_raster(depth_lr_path)
         dem_hr_raw, dem_hr_raw_nodata, dem_hr_raw_profile = _read_single_band_raster(dem_hr_path)
+        assert np.isfinite(
+            np.where(
+                np.isclose(dem_hr_raw, dem_hr_raw_nodata)
+                if dem_hr_raw_nodata is not None
+                else False,
+                0.0,
+                dem_hr_raw,
+            )
+        ).all(), "DEM contains non-finite values"
+        # Start the (large) DEM upload immediately; device_put is async, so
+        # the transfer overlaps the depth read and alignment bookkeeping.
+        import jax
+
+        dem_hr_dev = jax.device_put(np.ascontiguousarray(dem_hr_raw))
+        depth_lr_raw, depth_lr_raw_nodata, depth_lr_raw_profile = _read_single_band_raster(depth_lr_path)
         log.debug(f"stage timings: read={time.perf_counter() - t_read0:.3f}s")
         depth_lr_bounds = raster_bounds(depth_lr_raw_profile)
         log.info(
@@ -305,7 +319,7 @@ class ModelWorker(Model):
                     "depth": depth_lr_raw,
                     "depth_nodata": depth_lr_raw_nodata,
                     "depth_profile": depth_lr_raw_profile,
-                    "dem": dem_hr_raw,
+                    "dem": dem_hr_dev,
                     "dem_nodata": dem_hr_raw_nodata,
                     "dem_profile": dem_hr_raw_profile,
                 },

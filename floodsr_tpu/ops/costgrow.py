@@ -73,6 +73,14 @@ def _relax_distance_value(dist, value, cost):
     return best_d, best_v
 
 
+def _pallas_block_rows(h: int, w: int) -> int:
+    """Largest row-band (multiple of 8) fitting the stencil's VMEM working set."""
+    budget = 10 * 1024 * 1024  # bytes; ~11 band-sized f32 buffers live at once
+    rows = budget // max(1, 11 * w * 4)
+    rows = max(8, min(256, (rows // 8) * 8))
+    return rows
+
+
 def mcp_fill_jax(
     seed_values: jnp.ndarray,
     seed_mask: jnp.ndarray,
@@ -81,20 +89,52 @@ def mcp_fill_jax(
     target_mask: jnp.ndarray | None = None,
     max_iters: int | None = None,
     relaxations_per_check: int = 8,
+    use_pallas: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Propagate seed values along least-cost paths; returns (filled, costs).
 
     Matches ``mcp_fill_fast`` semantics (reference notebook cell 6): the
     filled array keeps seed values on seeds, copies the source seed's value
     onto reachable target cells, and leaves everything else untouched.
+
+    On TPU the relaxation runs as a Pallas row-band stencil
+    (:mod:`floodsr_tpu.ops.pallas.costgrow_stencil`); elsewhere (or with
+    ``use_pallas=False``) the vectorized shift formulation is used.
     """
     h, w = seed_values.shape
     if max_iters is None:
         max_iters = h + w
+    if use_pallas is None:
+        from floodsr_tpu.ops.pallas.costgrow_stencil import pallas_available
+
+        use_pallas = pallas_available()
+
     cost = jnp.where(domain_mask, cost_surface.astype(jnp.float32), jnp.inf)
     valid_seeds = seed_mask & domain_mask
     dist0 = jnp.where(valid_seeds, 0.0, jnp.inf).astype(jnp.float32)
     val0 = jnp.where(valid_seeds, seed_values, jnp.nan).astype(jnp.float32)
+
+    pad_h = 0
+    if use_pallas:
+        from floodsr_tpu.ops.pallas.costgrow_stencil import relax_step_pallas
+
+        block_rows = _pallas_block_rows(h, w)
+        pad_h = (-h) % block_rows
+        if pad_h:
+            # Impassable padding rows: infinite cost blocks traversal.
+            dist0 = jnp.pad(dist0, ((0, pad_h), (0, 0)), constant_values=jnp.inf)
+            val0 = jnp.pad(val0, ((0, pad_h), (0, 0)), constant_values=jnp.nan)
+            cost_p = jnp.pad(cost, ((0, pad_h), (0, 0)), constant_values=jnp.inf)
+        else:
+            cost_p = cost
+
+        def relax(dist, value):
+            return relax_step_pallas(dist, value, cost_p, block_rows=block_rows)
+
+    else:
+
+        def relax(dist, value):
+            return _relax_distance_value(dist, value, cost)
 
     def cond(state):
         dist, value, prev_dist, it = state
@@ -105,12 +145,18 @@ def mcp_fill_jax(
         dist, value, _prev, it = state
         prev = dist
         for _ in range(relaxations_per_check):
-            dist, value = _relax_distance_value(dist, value, cost)
+            dist, value = relax(dist, value)
         return dist, value, prev, it + relaxations_per_check
 
     dist, value, _, _ = jax.lax.while_loop(
         cond, body, (dist0, val0, jnp.full_like(dist0, jnp.inf), jnp.int32(0))
     )
+    if pad_h:
+        dist = dist[:h]
+        value = value[:h]
+    if use_pallas:
+        # Boundary-fill sentinels (~3e38) are not reachable distances.
+        dist = jnp.where(dist > 1e37, jnp.inf, dist)
 
     if target_mask is None:
         fill_here = domain_mask & ~valid_seeds

@@ -240,10 +240,11 @@ def _align_depth_and_dem_inputs(
     row0, col0 = max(0, row_off), max(0, col_off)
     dem_crop = dem_raw[row0 : row_off + win_h, col0 : col_off + win_w]
     assert dem_crop.size > 0, f"clipped DEM is empty for bounds {lr_bounds}"
-    dem_crop = replace_nodata_with_zero(dem_crop, dem_nodata)
+    dem_crop = _replace_nodata_any(dem_crop, dem_nodata)
     dem_crop_transform = window_transform(row0, col0, dem_t)
 
-    if not np.isfinite(dem_crop).all():
+    if isinstance(dem_crop, np.ndarray) and not np.isfinite(dem_crop).all():
+        # Device-resident DEMs were finite-checked by the caller pre-upload.
         raise AssertionError("DEM contains non-finite values after clipping")
     if not np.isfinite(depth_lr).all():
         raise AssertionError("low-res depth contains non-finite values")

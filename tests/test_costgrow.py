@@ -112,6 +112,68 @@ class TestWavefrontKernels:
         assert keep[2, 2]
 
 
+class TestPallasStencil:
+    """Interpret-mode exactness of the Pallas relaxation vs the jnp reference."""
+
+    def _setup(self, rng, h=16, w=24):
+        dist = np.full((h, w), np.inf, np.float32)
+        value = np.full((h, w), np.nan, np.float32)
+        dist[3, 5] = 0.0
+        value[3, 5] = 10.0
+        dist[h - 4, w - 4] = 0.0
+        value[h - 4, w - 4] = 20.0
+        cost = rng.uniform(1, 4, (h, w)).astype(np.float32)
+        return dist, value, cost
+
+    def test_single_step_matches_reference(self, rng):
+        from floodsr_tpu.ops.costgrow import _relax_distance_value
+        from floodsr_tpu.ops.pallas.costgrow_stencil import relax_step_pallas
+
+        dist, value, cost = self._setup(rng)
+        want_d, want_v = _relax_distance_value(
+            jnp.asarray(dist), jnp.asarray(value), jnp.asarray(cost)
+        )
+        got_d, got_v = relax_step_pallas(
+            jnp.asarray(dist), jnp.asarray(value), jnp.asarray(cost),
+            block_rows=8, interpret=True,
+        )
+        wd, gd = np.asarray(want_d), np.asarray(got_d)
+        finite = np.isfinite(wd)
+        np.testing.assert_allclose(gd[finite], wd[finite], atol=1e-5)
+        assert ((gd > 1e37) == ~finite).all()
+        wv, gv = np.asarray(want_v), np.asarray(got_v)
+        both = np.isfinite(wv) & np.isfinite(gv)
+        np.testing.assert_allclose(gv[both], wv[both], atol=1e-5)
+        assert (np.isnan(wv) == np.isnan(gv)).all()
+
+    def test_multi_step_across_block_boundaries(self, rng):
+        from floodsr_tpu.ops.costgrow import _relax_distance_value
+        from floodsr_tpu.ops.pallas.costgrow_stencil import relax_step_pallas
+
+        dist, value, cost = self._setup(rng, h=24, w=16)
+        d_ref, v_ref = jnp.asarray(dist), jnp.asarray(value)
+        d_pl, v_pl = jnp.asarray(dist), jnp.asarray(value)
+        for _ in range(10):  # wavefront crosses the block_rows=8 boundaries
+            d_ref, v_ref = _relax_distance_value(d_ref, v_ref, jnp.asarray(cost))
+            d_pl, v_pl = relax_step_pallas(
+                d_pl, v_pl, jnp.asarray(cost), block_rows=8, interpret=True
+            )
+        wd, gd = np.asarray(d_ref), np.asarray(d_pl)
+        finite = np.isfinite(wd)
+        assert (finite == (gd < 1e37)).all()
+        np.testing.assert_allclose(gd[finite], wd[finite], atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(v_pl)[finite], np.asarray(v_ref)[finite], atol=1e-4
+        )
+
+    def test_block_rows_sizing(self):
+        from floodsr_tpu.ops.costgrow import _pallas_block_rows
+
+        assert _pallas_block_rows(4096, 4096) % 8 == 0
+        assert 8 <= _pallas_block_rows(4096, 4096) <= 256
+        assert _pallas_block_rows(64, 64) == 256
+
+
 class TestCostGrowWorker:
     @pytest.fixture(scope="class")
     def costgrow_scene(self, tmp_path_factory):
