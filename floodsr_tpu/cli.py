@@ -226,6 +226,18 @@ def main_cli(args: argparse.Namespace) -> int:
         if args.fetch_out is not None and not args.fetch_hrdem:
             raise ValueError("--fetch-out requires --fetch-hrdem")
 
+        # Layered defaults (ADR-0011 pattern): CLI > env > user config file.
+        from floodsr_tpu.config import load_config
+
+        config = load_config()
+        if args.cache_dir is None and config.cache_dir:
+            args.cache_dir = Path(config.cache_dir)
+        if args.manifest is None and config.manifest_fp:
+            args.manifest = Path(config.manifest_fp)
+        if args.model_version is None and args.model_path is None:
+            args.model_version = config.default_model_version
+        window_method = args.window_method or config.window_method
+
         model_version, model_fp = _resolve_tohr_model_spec(args)
         output_fp = (
             args.out if args.out is not None else _resolve_default_output_path(args.in_fp)
@@ -250,10 +262,15 @@ def main_cli(args: argparse.Namespace) -> int:
             output_fp=output_fp,
             max_depth=args.max_depth,
             dem_pct_clip=args.dem_pct_clip,
-            window_method=args.window_method,
+            window_method=window_method,
             tile_overlap=args.tile_overlap,
             tile_size=args.tile_size,
             logger=log,
+            engine_options={
+                "compute_dtype": config.compute_dtype,
+                "max_batch": config.max_batch,
+                "output_transfer": config.output_transfer,
+            },
         )
         print(result["output_fp"])
         return 0
@@ -419,8 +436,9 @@ def _parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         help="Optional DEM percentile clip override when train stats are incomplete.",
     )
     tohr_parser.add_argument(
-        "--window-method", choices=("hard", "feather"), default="feather",
-        help="Tile mosaicing method for ToHR.",
+        "--window-method", choices=("hard", "feather"), default=None,
+        help="Tile mosaicing method for ToHR (default: feather, or the "
+        "user-config value).",
     )
     tohr_parser.add_argument(
         "--tile-overlap", type=int, default=None,

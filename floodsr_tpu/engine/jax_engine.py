@@ -320,21 +320,40 @@ class EngineJAX(EngineBase):
         preds_norm = np.empty_like(dem)
         stats_out = {k: np.empty((n,), np.float32) for k in ("p_clip", "dem_min", "dem_max")}
 
-        pos = 0
-        while pos < n:
-            take = min(self.max_batch, n - pos)
-            bucket = _bucket_size(take, self.max_batch)
-            if self.mesh is not None:
-                # Keep the batch divisible by the mesh so sharding is even.
-                mesh_size = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-                bucket = max(bucket, mesh_size)
-                bucket = ((bucket + mesh_size - 1) // mesh_size) * mesh_size
-            d = depth[pos : pos + take]
-            m = dem[pos : pos + take]
-            if take < bucket:
-                pad = bucket - take
-                d = np.concatenate([d, np.zeros((pad,) + d.shape[1:], np.float32)])
-                m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], np.float32)])
+        def host_chunks():
+            pos = 0
+            while pos < n:
+                take = min(self.max_batch, n - pos)
+                bucket = _bucket_size(take, self.max_batch)
+                if self.mesh is not None:
+                    # Keep the batch divisible by the mesh so sharding is even.
+                    mesh_size = int(
+                        np.prod([self.mesh.shape[a] for a in self.mesh.axis_names])
+                    )
+                    bucket = max(bucket, mesh_size)
+                    bucket = ((bucket + mesh_size - 1) // mesh_size) * mesh_size
+                d = depth[pos : pos + take]
+                m = dem[pos : pos + take]
+                if take < bucket:
+                    pad = bucket - take
+                    d = np.concatenate([d, np.zeros((pad,) + d.shape[1:], np.float32)])
+                    m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], np.float32)])
+                yield {"pos": pos, "take": take, "bucket": bucket, "d": d, "m": m}
+                pos += take
+
+        # Double-buffered host→device feed: batch k+1 uploads while batch k
+        # computes (SURVEY §7: replaces the reference's synchronous per-tile feed).
+        from floodsr_tpu.parallel.streaming import prefetch_to_device
+
+        metas: list[tuple[int, int, int]] = []
+
+        def array_chunks():
+            for chunk in host_chunks():
+                metas.append((chunk["pos"], chunk["take"], chunk["bucket"]))
+                yield (chunk["d"], chunk["m"])
+
+        for i, (d_dev, m_dev) in enumerate(prefetch_to_device(array_chunks())):
+            pos, take, bucket = metas[i]
             fn = self._forward_fn(
                 bucket,
                 max_depth,
@@ -342,12 +361,11 @@ class EngineJAX(EngineBase):
                 normalize_inputs,
                 ref_stats_arr is not None,
             )
-            pm, pn, stats = fn(self.params, self.state, jnp.asarray(d), jnp.asarray(m), ref_stats_arr)
+            pm, pn, stats = fn(self.params, self.state, d_dev, m_dev, ref_stats_arr)
             preds_m[pos : pos + take] = np.asarray(pm)[:take]
             preds_norm[pos : pos + take] = np.asarray(pn)[:take]
             for k in stats_out:
                 stats_out[k][pos : pos + take] = np.asarray(stats[k])[:take]
-            pos += take
 
         runtime_s = time.perf_counter() - start
         return {

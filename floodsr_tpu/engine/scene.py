@@ -205,11 +205,17 @@ def build_scene_executor(
         if post_resample is not None:
             dst_shape, src_transform, dst_transform = post_resample
             if post_separable:
+                # HIGHEST precision: the TPU default multiplies in bf16, which
+                # costs ~1e-2 m on meter-domain depths.
                 out = jnp.dot(
-                    idx["post_ry"], out, preferred_element_type=jnp.float32
+                    idx["post_ry"], out,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 out = jnp.dot(
-                    out, idx["post_rx"].T, preferred_element_type=jnp.float32
+                    out, idx["post_rx"].T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             else:
                 out = reproject_bilinear_jax(out, src_transform, dst_shape, dst_transform)

@@ -8,11 +8,15 @@ raw DEM grid, low-depth masking, bounds-asserted GeoTIFF write, and the same
 diagnostics dict keys.
 
 TPU-native execution: instead of a per-origin Python loop with an N=1 engine
-call per tile (reference hot loop at ``:187-193`` of the call stack), all
-window origins are gathered into one tile batch, normalized + run through the
-jitted ResUNet in bucketed batches (``EngineJAX.run_tiles``), and blended
-with a device-side feather scatter-add mosaic. Per-origin de-duplication is
-inherent (the origin grid is unique), matching the reference's tile cache.
+call per tile (reference hot loop at ``:187-193`` of the call stack), the
+whole scene runs as ONE jit region (``EngineJAX.run_scene`` →
+``engine/scene.py``): device-side padding and tile gather, per-tile
+normalization, scanned ResUNet forward, meter-domain inverse, feather
+scatter-add mosaic, separable-matmul post-resample, and the low-depth mask —
+with a single host→HBM upload (started asynchronously right after the DEM
+read) and a single download (uint16 fixed-point by default). Per-origin
+de-duplication is inherent (the origin grid is unique), matching the
+reference's tile cache.
 """
 
 from __future__ import annotations
@@ -52,11 +56,13 @@ class ModelWorker(Model):
         compute_dtype: str = "float32",
         max_batch: int = 8,
         mesh=None,
+        output_transfer: str = "uint16",
     ):
         super().__init__(model_fp=model_fp, model_version=self.model_version, logger=logger)
         self.compute_dtype = compute_dtype
         self.max_batch = int(max_batch)
         self.mesh = mesh
+        self.output_transfer = output_transfer
         self.engine: EngineJAX | None = None
 
     def __enter__(self):
@@ -66,6 +72,7 @@ class ModelWorker(Model):
             compute_dtype=self.compute_dtype,
             max_batch=self.max_batch,
             mesh=self.mesh,
+            output_transfer=self.output_transfer,
         )
         return self
 

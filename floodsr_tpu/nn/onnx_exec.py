@@ -94,6 +94,7 @@ class OnnxGraphExecutor:
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=groups,
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         if b is not None:
             out = out + b.reshape(1, -1, 1, 1)
@@ -161,6 +162,7 @@ class OnnxGraphExecutor:
             rhs_dilation=dilations,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         if b is not None:
             out = out + b.reshape(1, -1, 1, 1)
@@ -311,6 +313,7 @@ class OnnxGraphExecutor:
                 result = jnp.matmul(
                     env[node.inputs[0]], env[node.inputs[1]],
                     preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
                 )
             elif op == "Gemm":
                 a = env[node.inputs[0]]

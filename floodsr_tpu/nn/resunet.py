@@ -194,6 +194,16 @@ def count_params(params: Params) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _precision_for(dtype) -> lax.Precision:
+    # On TPU the DEFAULT matmul/conv precision multiplies in bfloat16 even for
+    # float32 operands (measured 0.047 m TPU-vs-CPU output RMSE through this
+    # network — 47× the ≤1e-3 m parity gate). The float32 path pins HIGH
+    # (bf16x3 passes, ~1e-5 relative; measured TPU-vs-CPU RMSE well inside the
+    # gate at ~2× the speed of HIGHEST); the explicit bfloat16 path keeps the
+    # fast single-pass default.
+    return lax.Precision.HIGH if dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     w = p["w"].astype(x.dtype)
     out = lax.conv_general_dilated(
@@ -203,6 +213,7 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=_precision_for(x.dtype),
     )
     return (out + p["b"]).astype(x.dtype)
 
@@ -216,6 +227,7 @@ def _conv_transpose(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=_precision_for(x.dtype),
     )
     return (out + p["b"]).astype(x.dtype)
 

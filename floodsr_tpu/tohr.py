@@ -21,15 +21,27 @@ def tohr(
     tile_overlap: int | None = None,
     tile_size: int | None = None,
     logger=None,
+    engine_options: dict | None = None,
 ) -> dict[str, object]:
-    """Run one ToHR pass through the model worker lifecycle."""
+    """Run one ToHR pass through the model worker lifecycle.
+
+    ``engine_options`` (e.g. ``compute_dtype``, ``max_batch``,
+    ``output_transfer`` from :mod:`floodsr_tpu.config`) are forwarded to the
+    worker constructor where its signature accepts them.
+    """
+    import inspect
+
     log = logger or logging.getLogger(__name__)
     assert model_version, "model_version cannot be empty"
     model_path = Path(model_fp).expanduser().resolve()
     assert model_path.exists(), f"model file does not exist: {model_path}"
 
     worker_class = resolve_model_worker_class(model_version)
-    worker = worker_class(model_fp=model_path, logger=log)
+    accepted = inspect.signature(worker_class.__init__).parameters
+    options = {
+        k: v for k, v in (engine_options or {}).items() if k in accepted
+    }
+    worker = worker_class(model_fp=model_path, logger=log, **options)
     with worker as ready_worker:
         result = ready_worker.run(
             depth_lr_fp=depth_lr_fp,

@@ -27,6 +27,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-test")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
+# Isolate tests from any user config file on this machine.
+os.environ["FLOODSR_CONFIG_FILE"] = "/nonexistent/floodsr-test-config.json"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -87,6 +87,40 @@ class TestShardedInference:
         eng_single.close()
 
 
+class TestStreaming:
+    def test_prefetch_preserves_order_and_values(self):
+        from floodsr_tpu.parallel.streaming import prefetch_to_device
+
+        batches = [{"a": np.full((4,), i, np.float32)} for i in range(7)]
+        out = list(prefetch_to_device(iter(batches), buffer_size=3))
+        assert len(out) == 7
+        for i, batch in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(batch["a"]), batches[i]["a"])
+            assert isinstance(batch["a"], jax.Array)
+
+    def test_prefetch_short_iterator(self):
+        from floodsr_tpu.parallel.streaming import prefetch_to_device
+
+        out = list(prefetch_to_device(iter([np.ones(2)]), buffer_size=4))
+        assert len(out) == 1
+
+    def test_prefetch_empty(self):
+        from floodsr_tpu.parallel.streaming import prefetch_to_device
+
+        assert list(prefetch_to_device(iter([]), buffer_size=2)) == []
+
+    @pytest.mark.multidev
+    def test_prefetch_with_sharding(self):
+        from floodsr_tpu.parallel.streaming import prefetch_to_device
+
+        mesh = make_mesh(8, tp=1)
+        sharding = batch_sharding(mesh)
+        batches = [np.arange(16, dtype=np.float32).reshape(16, 1) for _ in range(3)]
+        out = list(prefetch_to_device(iter(batches), sharding=sharding))
+        assert len(out) == 3
+        assert out[0].sharding == sharding
+
+
 class TestTrainData:
     def test_split_deterministic_and_disjoint(self):
         train, val = split_indices(100, 0.2, seed=5)
