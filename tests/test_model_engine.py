@@ -208,6 +208,31 @@ class TestEngineRunTiles:
         assert np.isfinite(r["predictions_m"]).all()
         eng.close()
 
+    def test_uint16_transfer_matches_f32_within_quantization(self, tiny_artifact):
+        from floodsr_tpu.tiling import build_window_grid
+
+        rng = np.random.default_rng(12)
+        depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
+        dem = rng.uniform(300, 800, (64, 64)).astype(np.float32)
+        grid = build_window_grid(64, 64, 32, 24)
+
+        outs = {}
+        for transfer in ("float32", "uint16"):
+            eng = EngineJAX(tiny_artifact, max_batch=4, output_transfer=transfer)
+            out, _ = eng.run_scene(
+                depth, dem, grid,
+                scene_shape=(64, 64), overlap_hr=8,
+                max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
+            )
+            outs[transfer] = out
+            eng.close()
+        # Quantization step is 5/65535 ≈ 7.6e-5 m; half-step rounding error.
+        assert np.abs(outs["uint16"] - outs["float32"]).max() <= 5.0 / 65535.0
+        # Low-depth mask holds in both paths.
+        for out in outs.values():
+            nonzero = out[out > 0]
+            assert (nonzero >= 1e-3).all()
+
     def test_close_releases(self, tiny_artifact):
         eng = EngineJAX(tiny_artifact)
         eng.close()
