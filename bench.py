@@ -196,8 +196,8 @@ def main() -> int:
                     "metric": (
                         "SR megapixels/sec/chip on 16x tohr (rss_mersch_A-shaped "
                         "scene): on-chip pipeline (normalize+forward+invert+"
-                        "feather mosaic), f32; vs reference CPU ORT window-"
-                        "compute rate 6.3 MP/s"
+                        f"feather mosaic), {compute_dtype}; vs reference CPU ORT "
+                        "window-compute rate 6.3 MP/s"
                     ),
                     "value": round(pipe_f32, 2),
                     "unit": "MP/s",
