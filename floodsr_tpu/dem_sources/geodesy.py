@@ -160,7 +160,10 @@ class LambertConformalConic2SP:
         dy = rho0 - (y - self.false_northing)
         rho = math.copysign(math.hypot(dx, dy), n)
         t = (rho / (_A * f)) ** (1 / n)
-        theta = math.atan2(math.copysign(dx, n), math.copysign(dy, n))
+        # Snyder eq. 14-11: negate both components when n < 0 (south-facing
+        # cones); the signs of dx/dy themselves must be preserved.
+        sign = 1.0 if n >= 0 else -1.0
+        theta = math.atan2(sign * dx, sign * dy)
         lam = theta / n + math.radians(self.lon0_deg)
         phi = math.pi / 2 - 2 * math.atan(t)
         for _ in range(8):

@@ -1,0 +1,184 @@
+"""DEM sources: projection math, STAC client (offline transport), fetch+merge."""
+
+import json
+
+import numpy as np
+import pytest
+
+from floodsr_tpu.dem_sources import fetch_dem
+from floodsr_tpu.dem_sources.geodesy import (
+    projection_for,
+    transform_bounds,
+    transform_points,
+)
+from floodsr_tpu.dem_sources import hrdem_stac
+from floodsr_tpu.io import from_origin, read_raster, write_raster
+
+pytestmark = pytest.mark.unit
+
+
+class TestGeodesy:
+    def test_utm_central_meridian_anchor(self):
+        utm31 = projection_for(32631)
+        x, y = utm31.forward(3.0, 0.0)
+        assert x == pytest.approx(500000.0)
+        assert y == pytest.approx(0.0)
+
+    def test_utm33_known_point(self):
+        # Canonical test point: UTM 33N (500000, 4649776.22) ≈ (15°E, 42°N).
+        lon, lat = projection_for(32633).inverse(500000.0, 4649776.22)
+        assert lon == pytest.approx(15.0, abs=1e-9)
+        assert lat == pytest.approx(42.0, abs=1e-6)
+
+    def test_utm_south_false_northing(self):
+        south = projection_for(32733)
+        x, y = south.forward(15.0, -10.0)
+        assert y > 8_000_000  # southern hemisphere offsets by 10,000,000
+
+    @pytest.mark.parametrize("epsg,lon,lat", [
+        (32631, 4.5, 51.2),
+        (32633, 14.2, 41.8),
+        (26917, -81.0, 43.5),
+        (3979, -75.7, 45.4),
+        (3978, -106.3, 52.1),
+        (3857, -0.1, 51.5),
+        (2169, 6.13, 49.61),
+    ])
+    def test_roundtrip(self, epsg, lon, lat):
+        proj = projection_for(epsg)
+        x, y = proj.forward(lon, lat)
+        lon2, lat2 = proj.inverse(x, y)
+        assert lon2 == pytest.approx(lon, abs=1e-7)
+        assert lat2 == pytest.approx(lat, abs=1e-7)
+
+    def test_canada_lambert_origin(self):
+        lcc = projection_for(3979)
+        assert lcc.forward(-95.0, 49.0) == (pytest.approx(0.0), pytest.approx(0.0))
+
+    def test_transform_bounds_orders_correctly(self):
+        bounds = transform_bounds(32631, 4326, 400000, 5600000, 500000, 5700000)
+        assert bounds[0] < bounds[2] and bounds[1] < bounds[3]
+        assert 1.0 < bounds[0] < 3.1 and 50.0 < bounds[1] < 52.0
+
+    def test_geographic_passthrough(self):
+        pts = transform_points(4326, 4326, [(10.0, 50.0)])
+        assert pts == [(10.0, 50.0)]
+
+    def test_unsupported_epsg_raises(self):
+        with pytest.raises(ValueError, match="unsupported CRS"):
+            projection_for(27700)  # OSGB not implemented
+
+
+class TestHrdemFetch:
+    @pytest.fixture()
+    def lowres_and_asset(self, tmp_path):
+        """LR depth raster + a local DEM 'asset' covering its bounds."""
+        crs = "EPSG:3979"
+        lr = np.full((8, 8), 1.0, np.float32)
+        lr_fp = tmp_path / "lowres.tif"
+        write_raster(
+            lr_fp, lr,
+            {
+                "height": 8, "width": 8, "count": 1, "dtype": "float32",
+                "crs": crs, "nodata": -9999.0,
+                "transform": from_origin(1510000.0, -170000.0, 30.0, 30.0),
+                "compress": "LZW",
+            },
+        )
+        dem = (300 + np.arange(300 * 300).reshape(300, 300) % 50).astype(np.float32)
+        asset_fp = tmp_path / "asset_dtm.tif"
+        write_raster(
+            asset_fp, dem,
+            {
+                "height": 300, "width": 300, "count": 1, "dtype": "float32",
+                "crs": crs, "nodata": -32767.0,
+                "transform": from_origin(1509970.0, -169970.0, 1.0, 1.0),
+                "compress": "LZW",
+            },
+        )
+        return lr_fp, asset_fp
+
+    def test_write_dem_from_local_asset(self, lowres_and_asset, tmp_path):
+        lr_fp, asset_fp = lowres_and_asset
+        out_fp = tmp_path / "merged_dem.tif"
+        written = hrdem_stac.write_dem_from_asset_hrefs(lr_fp, [str(asset_fp)], out_fp)
+        dem, nodata, profile = read_raster(written)
+        # Target grid: LR bounds at the asset's 1 m resolution → 240².
+        assert dem.shape == (240, 240)
+        assert nodata == -9999.0  # depth nodata wins the resolution order
+        valid = ~np.isclose(dem, nodata)
+        assert valid.mean() > 0.95
+        assert profile["crs"].epsg == 3979
+
+    def test_fetch_via_injected_stac_transport(self, lowres_and_asset, tmp_path):
+        lr_fp, asset_fp = lowres_and_asset
+        requests = []
+
+        def fake_transport(url, data, headers):
+            requests.append((url, data))
+            assert url.endswith("/search")
+            body = json.loads(data)
+            assert body["collections"] == ["hrdem-mosaic-1m"]
+            assert len(body["bbox"]) == 4
+            return json.dumps(
+                {
+                    "features": [
+                        {"id": "tile-1", "assets": {"dtm": {"href": str(asset_fp)}}},
+                        {"id": "tile-2", "assets": {"other": {"href": "x"}}},
+                    ]
+                }
+            ).encode()
+
+        hrdem_stac.set_transport(fake_transport)
+        hrdem_stac._SESSION_FETCH_CACHE.clear()
+        try:
+            result = fetch_dem(
+                source_id="hrdem", depth_lr_fp=lr_fp, output_fp=tmp_path / "fetched.tif"
+            )
+        finally:
+            hrdem_stac.set_transport(None)
+        assert result.source_id == "hrdem"
+        assert result.item_ids == ["tile-1"]
+        assert result.dem_fp.exists()
+        dem, _, _ = read_raster(result.dem_fp)
+        assert dem.shape == (240, 240)
+        assert len(requests) == 1
+
+    def test_session_cache_skips_second_query(self, lowres_and_asset, tmp_path):
+        lr_fp, asset_fp = lowres_and_asset
+        calls = []
+
+        def fake_transport(url, data, headers):
+            calls.append(url)
+            return json.dumps(
+                {"features": [{"id": "t", "assets": {"dtm": {"href": str(asset_fp)}}}]}
+            ).encode()
+
+        hrdem_stac.set_transport(fake_transport)
+        hrdem_stac._SESSION_FETCH_CACHE.clear()
+        try:
+            first = fetch_dem(source_id="hrdem", depth_lr_fp=lr_fp)
+            second = fetch_dem(
+                source_id="hrdem", depth_lr_fp=lr_fp, output_fp=tmp_path / "copy.tif"
+            )
+        finally:
+            hrdem_stac.set_transport(None)
+            hrdem_stac._SESSION_FETCH_CACHE.clear()
+        assert len(calls) == 1  # second fetch served from the session cache
+        assert second.dem_fp == (tmp_path / "copy.tif").resolve()
+        assert second.dem_fp.exists()
+
+    def test_empty_stac_result_raises(self, lowres_and_asset):
+        lr_fp, _ = lowres_and_asset
+        hrdem_stac.set_transport(lambda u, d, h: b'{"features": []}')
+        hrdem_stac._SESSION_FETCH_CACHE.clear()
+        try:
+            with pytest.raises(RuntimeError, match="0 items"):
+                fetch_dem(source_id="hrdem", depth_lr_fp=lr_fp)
+        finally:
+            hrdem_stac.set_transport(None)
+
+    def test_unknown_source_rejected(self, lowres_and_asset):
+        lr_fp, _ = lowres_and_asset
+        with pytest.raises(AssertionError, match="unsupported DEM source_id"):
+            fetch_dem(source_id="nope", depth_lr_fp=lr_fp)
