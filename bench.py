@@ -39,8 +39,8 @@ import tempfile
 import time
 from pathlib import Path
 
-# Allow the persistent compile cache to amortize repeat bench runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
+# No persistent compile cache here: it does nothing for the TPU backend
+# (remote compile bypasses it) and cross-host CPU AOT entries risk SIGILL.
 
 import numpy as np
 

@@ -441,6 +441,8 @@ class EngineJAX(EngineBase):
                 compute_dtype=self.compute_dtype,
                 forward_fn=self.forward_callable(),
                 transfer_dtype=self.output_transfer,
+                mesh=self.mesh,
+                batch_axis=self.batch_axis,
             )
             idx = jax.tree.map(jnp.asarray, idx)
             cached = (fn, idx)

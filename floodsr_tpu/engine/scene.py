@@ -91,6 +91,8 @@ def build_scene_executor(
     compute_dtype=jnp.float32,
     forward_fn=None,
     transfer_dtype: str = "float32",
+    mesh=None,
+    batch_axis: str = "dp",
 ):
     """Build ``(jitted_fn, padded_index_arrays)`` for one scene geometry.
 
@@ -98,11 +100,20 @@ def build_scene_executor(
     ``(scene_out, stats)`` where ``scene_out`` is the finished meter-domain
     scene (post-resampled + masked when configured) and ``stats`` are per-tile
     DEM normalization stats ``[N_pad, 3]``.
+
+    With a ``mesh``, each scan step's tile chunk is sharded over ``batch_axis``
+    (data-parallel forward over ICI); scene buffers and inputs stay replicated
+    and the partitioner inserts the gathers feeding the mosaic accumulation.
     """
     tile = cfg.hr_tile
     lr_tile = cfg.lr_tile
     scale = cfg.scale
     n = len(grid["y0"])
+    if mesh is not None:
+        # Chunks must split evenly across the data-parallel axis.
+        dp = int(mesh.shape[batch_axis])
+        chunk = max(chunk, dp)
+        chunk = -(-chunk // dp) * dp
     n_pad = -(-n // chunk) * chunk
     ny, nx = int(grid["ny"]), int(grid["nx"])
 
@@ -230,5 +241,22 @@ def build_scene_executor(
             return out, stats.reshape(-1, 3)
         return out.astype(jnp.float32), stats.reshape(-1, 3)
 
-    fn = jax.jit(scene_fn)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        chunk_sharded = NamedSharding(mesh, PartitionSpec(None, batch_axis))
+        idx_shardings: dict[str, Any] = {
+            "chunks": {k: chunk_sharded for k in idx["chunks"]}
+        }
+        if "post_ry" in idx:
+            idx_shardings["post_ry"] = repl
+            idx_shardings["post_rx"] = repl
+        fn = jax.jit(
+            scene_fn,
+            in_shardings=(repl, repl, repl, repl, idx_shardings),
+            out_shardings=(repl, repl),
+        )
+    else:
+        fn = jax.jit(scene_fn)
     return fn, idx

@@ -121,6 +121,35 @@ class TestStreaming:
         assert out[0].sharding == sharding
 
 
+@pytest.mark.multidev
+class TestShardedScene:
+    def test_scene_executor_sharded_matches_single(self, tiny_model_fp):
+        from floodsr_tpu.engine import EngineJAX
+        from floodsr_tpu.tiling import build_window_grid
+
+        rng = np.random.default_rng(5)
+        depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
+        dem = rng.uniform(300, 800, (64, 64)).astype(np.float32)
+        grid = build_window_grid(64, 64, 32, 24)
+
+        outs = {}
+        for name, mesh in (("single", None), ("sharded", make_mesh(8, tp=1))):
+            eng = EngineJAX(tiny_model_fp, max_batch=8, mesh=mesh)
+            out, stats = eng.run_scene(
+                depth, dem, grid,
+                scene_shape=(64, 64), overlap_hr=8,
+                max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
+            )
+            outs[name] = (out, stats)
+            eng.close()
+        np.testing.assert_allclose(
+            outs["sharded"][0], outs["single"][0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            outs["sharded"][1]["p_clip"], outs["single"][1]["p_clip"], rtol=1e-5
+        )
+
+
 class TestTrainData:
     def test_split_deterministic_and_disjoint(self):
         train, val = split_indices(100, 0.2, seed=5)
