@@ -36,11 +36,25 @@ def tiny_engine(tiny_artifact):
 
 class TestModelCore:
     def test_default_config_param_count(self):
-        # Pinned: f=32, 2 blocks/stage layout (reference artifact is 12,045,568
-        # in its own unrecoverable layout; ours is a documented superset).
+        # Pinned: f=32, 2 blocks/stage, hr_s2d=2 layout (reference artifact is
+        # 12,045,568 in its own unrecoverable layout; ours is a documented
+        # superset; hr_s2d=1 reproduces the reference-prose HR layout).
         params, state = init_resunet(0, ResUNetConfig())
-        assert count_params(params) == 16_067_169
-        assert count_params(params) + count_params(state) == 16_079_265
+        assert count_params(params) == 16_184_420
+        assert count_params(params) + count_params(state) == 16_196_772
+        params1, state1 = init_resunet(0, ResUNetConfig(hr_s2d=1))
+        assert count_params(params1) == 16_067_169
+
+    def test_s2d_variant_output_shape(self):
+        cfg = ResUNetConfig(
+            base_filters=8, levels=2, enc_blocks=1, dec_blocks=1,
+            fuse_filters=8, fuse_blocks=1, scale=4, lr_tile=8, hr_s2d=2,
+        )
+        params, state = init_resunet(3, cfg)
+        depth = np.zeros((2, 8, 8, 1), np.float32)
+        dem = np.zeros((2, 32, 32, 1), np.float32)
+        out, _ = resunet_apply(params, state, depth, dem, cfg)
+        assert out.shape == (2, 32, 32, 1)
 
     def test_forward_shapes_and_dtype(self):
         params, state = init_resunet(7, TINY_CFG)
@@ -189,8 +203,10 @@ class TestEngineRunTiles:
         batched = tiny_engine.run_tiles(depth, dem)
         for i in range(5):
             single = tiny_engine.run_tile(depth[i], dem[i])
+            # Batch-size-dependent XLA scheduling reorders f32 accumulation;
+            # 5e-5 m is 20x inside the 1e-3 m parity budget.
             np.testing.assert_allclose(
-                batched["predictions_m"][i], single["prediction_m"], atol=1e-5
+                batched["predictions_m"][i], single["prediction_m"], atol=5e-5
             )
             np.testing.assert_allclose(
                 batched["dem_stats_used"]["p_clip"][i],

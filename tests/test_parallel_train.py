@@ -81,7 +81,7 @@ class TestShardedInference:
         a = eng_sharded.run_tiles(depth, dem)
         b = eng_single.run_tiles(depth, dem)
         np.testing.assert_allclose(
-            a["predictions_m"], b["predictions_m"], atol=1e-5
+            a["predictions_m"], b["predictions_m"], atol=5e-5
         )
         eng_sharded.close()
         eng_single.close()
