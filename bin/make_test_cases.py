@@ -46,11 +46,11 @@ CRS = "EPSG:32633"
 X0, Y0 = 500000.0, 4000000.0
 
 TEST_MODEL_CFG = ResUNetConfig(
-    base_filters=8,
+    base_filters=16,
     levels=2,
     enc_blocks=1,
     dec_blocks=1,
-    fuse_filters=8,
+    fuse_filters=16,
     fuse_blocks=1,
     scale=4,
     lr_tile=8,
@@ -85,11 +85,15 @@ def _terrain(shape: tuple[int, int], seed: int) -> np.ndarray:
 
 
 def _truth_depth(dem: np.ndarray, seed: int, wse_offset: float = 6.0) -> np.ndarray:
-    """Plausible truth: water surface minus terrain, clipped to [0, 5]."""
-    rng = np.random.default_rng(np.random.Philox(seed + 1))
+    """Plausible truth: a sloping water surface minus terrain, clipped to [0, 5].
+
+    Deterministic in the DEM (hydraulics-style): the HR truth is recoverable
+    from the HR DEM + the coarse water surface, so a DEM-conditioned model can
+    beat plain bilinear upsampling — the reference's headline quality claim.
+    """
+    del seed  # deterministic given the DEM
     wse = dem.mean() + wse_offset + np.linspace(-2, 2, dem.shape[1], dtype=np.float32)[None, :]
     depth = np.clip(wse - dem, 0.0, 5.0)
-    depth *= (rng.random(dem.shape) > 0.05).astype(np.float32)
     return depth.astype(np.float32)
 
 
@@ -98,7 +102,7 @@ def _box_mean(arr: np.ndarray, k: int) -> np.ndarray:
     return arr.reshape(h // k, k, w // k, k).mean(axis=(1, 3)).astype(np.float32)
 
 
-def _make_model(train_steps: int = 300) -> Path:
+def _make_model(train_steps: int = 6000) -> Path:
     """Train the committed test artifact on synthetic patches.
 
     Exercises the full training subsystem (deterministic split, augmentation,
@@ -111,7 +115,7 @@ def _make_model(train_steps: int = 300) -> Path:
     ARTIFACT_DIR.mkdir(parents=True, exist_ok=True)
 
     # Build a synthetic patch set with the same statistics as the cases.
-    n_scenes, k = 24, 4
+    n_scenes, k = 96, 4
     dems, truths, lrs = [], [], []
     for i in range(n_scenes):
         dem = _terrain((64, 64), seed=9000 + i)
@@ -134,7 +138,7 @@ def _make_model(train_steps: int = 300) -> Path:
     )
     train_idx, _ = split_indices(len(dataset), val_fraction=0.1, seed=MODEL_SEED)
 
-    train_cfg = TrainConfig(total_steps=train_steps, base_lr=2e-3, second_lr=5e-4)
+    train_cfg = TrainConfig(total_steps=train_steps, base_lr=2e-3, second_lr=3e-4)
     state = init_train_state(MODEL_SEED, TEST_MODEL_CFG, train_cfg)
     step_fn = make_train_step(TEST_MODEL_CFG, train_cfg, donate=False)
     losses = []
