@@ -36,6 +36,7 @@ from floodsr_tpu.engine.base import EngineBase, ModelIOContract
 from floodsr_tpu.nn.checkpoint import load_artifact
 from floodsr_tpu.nn.resunet import ResUNetConfig, resunet_apply
 from floodsr_tpu.ops.normalize import (
+    _parse_dem_normalization_stats,
     invert_depth_log1p,
     normalize_dem_batch,
     normalize_dem_with_stats,
@@ -307,14 +308,11 @@ class EngineJAX(EngineBase):
 
         ref_stats_arr = None
         if dem_ref_stats is not None:
-            ref_stats_arr = jnp.asarray(
-                [
-                    float(dem_ref_stats["p_clip"]),
-                    float(dem_ref_stats["dem_min"]),
-                    float(dem_ref_stats["dem_max"]),
-                ],
-                dtype=jnp.float32,
-            )
+            # Reject zero-range / non-finite stats up front (mirrors the
+            # reference's normalize_dem guard) instead of silently
+            # normalizing the DEM to zeros on device.
+            p_clip, dem_min, dem_max = _parse_dem_normalization_stats(dem_ref_stats)
+            ref_stats_arr = jnp.asarray([p_clip, dem_min, dem_max], dtype=jnp.float32)
 
         preds_m = np.empty_like(dem)
         preds_norm = np.empty_like(dem)

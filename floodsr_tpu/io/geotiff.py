@@ -110,7 +110,12 @@ def _geo_tags_for(
 ) -> list[tuple[int, int, object]]:
     extra: list[tuple[int, int, object]] = []
     if transform is not None:
-        if not transform.is_rectilinear():
+        # PixelScale+Tiepoint can only express north-up grids (positive x
+        # scale, negative y scale); anything else — including south-up
+        # rectilinear — must go through ModelTransformation or it would
+        # silently round-trip with flipped georeferencing.
+        north_up = transform.a > 0 and transform.e < 0
+        if not transform.is_rectilinear() or not north_up:
             extra.append(
                 (
                     TAG_MODEL_TRANSFORMATION,

@@ -273,8 +273,10 @@ class OnnxGraphExecutor:
                     to = _ONNX_DTYPES.get(int(_attr(node, "to", 1)), np.float32)
                     result = result.astype(to)
             elif op == "Clip":
+                # Opset-11+ passes min/max as optional inputs (either may be
+                # an empty name); earlier opsets use attributes.
                 x = env[node.inputs[0]]
-                lo = env[node.inputs[1]] if len(node.inputs) > 2 and node.inputs[1] else _attr(node, "min", -np.inf)
+                lo = env[node.inputs[1]] if len(node.inputs) > 1 and node.inputs[1] else _attr(node, "min", -np.inf)
                 hi = env[node.inputs[2]] if len(node.inputs) > 2 and node.inputs[2] else _attr(node, "max", np.inf)
                 result = jnp.clip(x, lo, hi)
             elif op == "Pad":
@@ -285,7 +287,19 @@ class OnnxGraphExecutor:
                     raw = np.asarray(_attr(node, "pads"), int)
                 half = len(raw) // 2
                 pad_width = [(int(raw[i]), int(raw[i + half])) for i in range(half)]
-                result = jnp.pad(x, pad_width)
+                mode = _attr(node, "mode", b"constant")
+                mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+                if mode == "constant":
+                    cval = 0.0
+                    if len(node.inputs) > 2 and node.inputs[2] and node.inputs[2] in env:
+                        cval = float(np.asarray(env[node.inputs[2]]).reshape(()))
+                    result = jnp.pad(x, pad_width, constant_values=cval)
+                elif mode == "reflect":
+                    result = jnp.pad(x, pad_width, mode="reflect")
+                elif mode == "edge":
+                    result = jnp.pad(x, pad_width, mode="edge")
+                else:
+                    raise NotImplementedError(f"Pad mode {mode!r} not supported")
             elif op == "Reshape":
                 shape = np.asarray(env[node.inputs[1]]).astype(int).tolist()
                 x = env[node.inputs[0]]

@@ -103,7 +103,10 @@ def mcp_fill_jax(
     """
     h, w = seed_values.shape
     if max_iters is None:
-        max_iters = h + w
+        # Worst-case least-cost path visits every cell once (serpentine
+        # channels); h*w relaxations guarantee convergence, and the
+        # while_loop exits as soon as a sweep changes nothing.
+        max_iters = h * w
     if use_pallas is None:
         from floodsr_tpu.ops.pallas.costgrow_stencil import pallas_available
 
@@ -189,7 +192,9 @@ def keep_components_connected_to_anchor_jax(
     """Keep wet cells 8-connected to any anchor (reference notebook cell 22)."""
     h, w = wet_mask.shape
     if max_iters is None:
-        max_iters = h + w
+        # A connected component can snake through every wet cell, so the
+        # safe dilation bound is h*w; convergence exits the loop early.
+        max_iters = h * w
     wet = wet_mask.astype(bool)
     reach0 = (anchor_mask & wet).astype(bool)
 

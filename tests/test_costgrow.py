@@ -269,3 +269,31 @@ class TestCostGrowWorker:
         )
         assert code == 0
         assert out_fp.exists()
+
+
+class TestLongPathConvergence:
+    def test_serpentine_path_longer_than_h_plus_w(self):
+        # A serpentine corridor forces a least-cost path of ~h*w/2 cells,
+        # far beyond the old h+w iteration cap; the default bound must
+        # still converge to the Dijkstra oracle.
+        h, w = 12, 12
+        domain = np.zeros((h, w), bool)
+        for r in range(0, h, 2):
+            domain[r, :] = True
+        for k, r in enumerate(range(1, h, 2)):
+            domain[r, w - 1 if k % 2 == 0 else 0] = True
+        seeds = np.zeros((h, w), bool)
+        seeds[0, 0] = True
+        seed_values = np.where(seeds, 42.0, np.nan).astype(np.float32)
+        cost = np.ones((h, w), np.float32)
+        want_fill, want_dist = mcp_fill_numpy(seed_values, seeds, cost, domain)
+        got_fill, got_dist = mcp_fill_jax(
+            jnp.asarray(seed_values), jnp.asarray(seeds),
+            jnp.asarray(cost), jnp.asarray(domain),
+        )
+        finite = np.isfinite(want_dist)
+        assert want_dist[finite].max() > h + w  # the old cap would truncate
+        np.testing.assert_allclose(np.asarray(got_dist)[finite], want_dist[finite], rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got_fill)[domain], want_fill[domain], atol=1e-5
+        )

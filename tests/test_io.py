@@ -239,3 +239,21 @@ class TestGeoTiff:
         fp = tmp_path / "pil.tif"
         write_raster(fp, arr, self._profile(arr))
         np.testing.assert_array_equal(np.array(Image.open(fp)), arr)
+
+
+class TestNonNorthUpTransforms:
+    def test_south_up_rectilinear_roundtrip(self, tmp_path):
+        # South-up (positive y scale) cannot ride PixelScale+Tiepoint; it
+        # must round-trip exactly via ModelTransformation, not flip.
+        arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+        transform = Affine(30.0, 0.0, 500000.0, 0.0, 30.0, 4000000.0)
+        profile = {
+            "dtype": "float32", "nodata": None, "width": 4, "height": 3,
+            "count": 1, "crs": CRS(32633), "transform": transform,
+            "compress": "LZW",
+        }
+        fp = tmp_path / "southup.tif"
+        write_raster(fp, arr, profile)
+        got, _, got_profile = read_raster(fp)
+        np.testing.assert_array_equal(got, arr)
+        assert got_profile["transform"].almost_equals(transform), got_profile["transform"]

@@ -254,3 +254,19 @@ class TestEngineRunTiles:
         eng.close()
         with pytest.raises(AssertionError):
             eng.run_tiles(np.zeros((1, 8, 8), np.float32), np.zeros((1, 32, 32), np.float32))
+
+
+class TestRunTilesRefStatsValidation:
+    def test_zero_range_ref_stats_raise(self, tiny_engine):
+        depth = np.zeros((1, 8, 8), np.float32)
+        dem = np.zeros((1, 32, 32), np.float32)
+        bad = {"p_clip": 5.0, "dem_min": 5.0, "dem_max": 5.0}
+        with pytest.raises(AssertionError, match="range"):
+            tiny_engine.run_tiles(depth, dem, dem_ref_stats=bad)
+
+    def test_non_finite_ref_stats_raise(self, tiny_engine):
+        depth = np.zeros((1, 8, 8), np.float32)
+        dem = np.zeros((1, 32, 32), np.float32)
+        bad = {"p_clip": float("nan"), "dem_min": 0.0, "dem_max": 1.0}
+        with pytest.raises(AssertionError, match="finite"):
+            tiny_engine.run_tiles(depth, dem, dem_ref_stats=bad)

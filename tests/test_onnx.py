@@ -381,3 +381,62 @@ class TestExecutorVsTorch:
         executor = OnnxGraphExecutor(model)
         got = np.asarray(executor({"depth_lr": depth, "dem_hr": dem})["depth_hr_pred"])
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestOpEdgeCases:
+    """Edge-case op semantics flagged in review: Clip min-only, Pad modes."""
+
+    def _run(self, data: bytes, feeds: dict) -> np.ndarray:
+        model = load_model(data)
+        out = OnnxGraphExecutor(model)(feeds)
+        return np.asarray(list(out.values())[0])
+
+    def test_clip_min_only_input(self, rng):
+        # Opset-11+ Clip with exactly (x, min): must clip the low side.
+        x = rng.normal(size=(2, 3)).astype(np.float32)
+        data = build_onnx(
+            [_node("Clip", ["x", "lo"], ["y"])],
+            {"lo": np.float32(0.0).reshape(())},
+            [("x", x.shape)],
+            [("y", x.shape)],
+        )
+        got = self._run(data, {"x": x})
+        np.testing.assert_allclose(got, np.clip(x, 0.0, None), atol=0)
+
+    def test_clip_min_and_max_inputs(self, rng):
+        x = rng.normal(size=(2, 3)).astype(np.float32)
+        data = build_onnx(
+            [_node("Clip", ["x", "lo", "hi"], ["y"])],
+            {"lo": np.float32(-0.5).reshape(()), "hi": np.float32(0.5).reshape(())},
+            [("x", x.shape)],
+            [("y", x.shape)],
+        )
+        got = self._run(data, {"x": x})
+        np.testing.assert_allclose(got, np.clip(x, -0.5, 0.5), atol=0)
+
+    def test_pad_reflect_and_edge_modes(self, rng):
+        x = rng.normal(size=(1, 1, 4, 4)).astype(np.float32)
+        pads = np.array([0, 0, 1, 1, 0, 0, 1, 1], np.int64)
+        for mode in ("reflect", "edge"):
+            data = build_onnx(
+                [_node("Pad", ["x", "pads"], ["y"], {"mode": mode})],
+                {"pads": pads},
+                [("x", x.shape)],
+                [("y", (1, 1, 6, 6))],
+            )
+            got = self._run(data, {"x": x})
+            want = np.pad(x, [(0, 0), (0, 0), (1, 1), (1, 1)], mode=mode)
+            np.testing.assert_allclose(got, want, atol=0, err_msg=mode)
+
+    def test_pad_constant_value_input(self, rng):
+        x = rng.normal(size=(1, 1, 4, 4)).astype(np.float32)
+        pads = np.array([0, 0, 1, 1, 0, 0, 1, 1], np.int64)
+        data = build_onnx(
+            [_node("Pad", ["x", "pads", "cval"], ["y"])],
+            {"pads": pads, "cval": np.float32(7.5).reshape(())},
+            [("x", x.shape)],
+            [("y", (1, 1, 6, 6))],
+        )
+        got = self._run(data, {"x": x})
+        want = np.pad(x, [(0, 0), (0, 0), (1, 1), (1, 1)], constant_values=7.5)
+        np.testing.assert_allclose(got, want, atol=0)
