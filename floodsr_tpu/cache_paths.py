@@ -1,32 +1,36 @@
-"""Cache path helpers for model weights (reference parity: ``floodsr/cache_paths.py``).
+"""Where downloaded model weights live on disk.
 
-Layout: ``<cache>/<model_version>/<file_name>`` under the platform user cache
-(or an explicit override). The richer cache-policy surface the reference only
-specifies as future work (ADR-0012) is implemented in
-:mod:`floodsr_tpu.cache_policy`.
+Layout (same as the reference, so a user's existing cache keeps working)::
+
+    <user cache>/floodsr/<model_version>/<file_name>
+
+with the platform user-cache root from ``platformdirs`` unless the caller
+passes an explicit directory. TTL/purge policy on top of this layout lives in
+:mod:`floodsr_tpu.cache_policy` (the reference spec'd it in ADR-0012 but
+never built it).
 """
 
 from __future__ import annotations
 
-import logging
 from pathlib import Path
 
 from platformdirs import user_cache_dir
 
 APP_NAME = "floodsr"
 APP_AUTHOR = "floodsr"
-log = logging.getLogger(__name__)
 
 
-def get_cache_dir(cache_dir: str | Path | None = None) -> Path:
-    """Return a writable cache directory, creating it as needed."""
-    if cache_dir is not None:
-        path = Path(cache_dir).expanduser().resolve()
-    else:
-        path = Path(user_cache_dir(APP_NAME, APP_AUTHOR))
+def _ensure_dir(path: Path) -> Path:
     path.mkdir(parents=True, exist_ok=True)
     assert path.exists(), f"failed to create cache directory: {path}"
     return path
+
+
+def get_cache_dir(cache_dir: str | Path | None = None) -> Path:
+    """The cache root (explicit override or platform default), created."""
+    if cache_dir is None:
+        return _ensure_dir(Path(user_cache_dir(APP_NAME, APP_AUTHOR)))
+    return _ensure_dir(Path(cache_dir).expanduser().resolve())
 
 
 def get_model_cache_path(
@@ -34,9 +38,8 @@ def get_model_cache_path(
     file_name: str,
     cache_dir: str | Path | None = None,
 ) -> Path:
-    """Cache path for one model file, grouped per model version."""
-    assert model_version, "model_version cannot be empty"
-    assert file_name, "file_name cannot be empty"
-    model_fp = get_cache_dir(cache_dir) / model_version / file_name
-    model_fp.parent.mkdir(parents=True, exist_ok=True)
-    return model_fp
+    """Full path for one model file; the per-version subdirectory is created."""
+    assert model_version, "a model_version is required to build a cache path"
+    assert file_name, "a file_name is required to build a cache path"
+    version_dir = _ensure_dir(get_cache_dir(cache_dir) / model_version)
+    return version_dir / file_name

@@ -1,39 +1,44 @@
-"""Checksum helpers for model artifacts (reference parity: ``floodsr/checksums.py``)."""
+"""Artifact integrity: SHA-256 digests for cached model weights.
+
+Same contract as the reference's checksum helpers (``floodsr/checksums.py``):
+hex digests compare case-insensitively, a mismatch in :func:`assert_sha256`
+raises ``ValueError`` with both digests in the message.
+"""
 
 from __future__ import annotations
 
 import hashlib
-import logging
 from pathlib import Path
 
-log = logging.getLogger(__name__)
 
-_CHUNK = 1024 * 1024
+def compute_sha256(file_path: str | Path, chunk_size: int | None = None) -> str:
+    """Hex SHA-256 of a file, streamed so multi-GB artifacts stay cheap.
 
-
-def compute_sha256(file_path: str | Path, chunk_size: int = _CHUNK) -> str:
-    """Streamed SHA256 digest of a file."""
+    ``chunk_size`` is accepted for signature compatibility; streaming is
+    delegated to :func:`hashlib.file_digest`, which picks its own buffer.
+    """
     path = Path(file_path)
-    assert path.exists(), f"file does not exist: {path}"
-    assert path.is_file(), f"path is not a file: {path}"
-    hasher = hashlib.sha256()
-    with path.open("rb") as stream:
-        while chunk := stream.read(chunk_size):
-            hasher.update(chunk)
-    return hasher.hexdigest()
+    assert path.is_file(), f"cannot hash {path}: not a file (or missing)"
+    with path.open("rb") as handle:
+        return hashlib.file_digest(handle, "sha256").hexdigest()
+
+
+def _matches(file_path: str | Path, expected: str) -> tuple[bool, str]:
+    assert expected, "an expected digest is required"
+    actual = compute_sha256(file_path)
+    return actual.casefold() == expected.strip().casefold(), actual
 
 
 def verify_sha256(file_path: str | Path, expected_sha256: str) -> bool:
-    """True when the file digest matches the expected SHA256 (case-insensitive)."""
-    assert expected_sha256, "expected_sha256 cannot be empty"
-    return compute_sha256(file_path).lower() == expected_sha256.strip().lower()
+    """Whether the file's digest equals ``expected_sha256`` (case-insensitive)."""
+    ok, _ = _matches(file_path, expected_sha256)
+    return ok
 
 
 def assert_sha256(file_path: str | Path, expected_sha256: str) -> None:
-    """Raise ValueError when the file digest mismatches the expected SHA256."""
-    assert expected_sha256, "expected_sha256 cannot be empty"
-    actual = compute_sha256(file_path)
-    if actual.lower() != expected_sha256.strip().lower():
+    """Like :func:`verify_sha256` but raises ``ValueError`` on mismatch."""
+    ok, actual = _matches(file_path, expected_sha256)
+    if not ok:
         raise ValueError(
-            f"checksum mismatch for {file_path}: expected {expected_sha256}, got {actual}"
+            f"sha256 mismatch for {file_path}: wanted {expected_sha256}, computed {actual}"
         )

@@ -1,5 +1,11 @@
-"""Common contracts for DEM source backends (reference parity:
-``floodsr/dem_sources/base.py:7-16``)."""
+"""Shared types for pluggable DEM providers.
+
+Every provider registered with the catalog resolves a low-resolution depth
+footprint to a high-resolution DEM GeoTIFF on disk and reports provenance via
+:class:`DemFetchResult` (field set matches the reference's fetch-result
+contract in ``floodsr/dem_sources/base.py`` so downstream consumers are
+interchangeable).
+"""
 
 from __future__ import annotations
 
@@ -7,13 +13,23 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class DemFetchResult:
-    """Structured output for one DEM fetch operation."""
+    """Provenance record for one resolved DEM.
 
-    source_id: str
+    Attributes
+    ----------
+    source_id:    catalog key of the provider that produced the DEM
+    dem_fp:       path of the written (or cache-hit) DEM GeoTIFF
+    stac_url:     API endpoint queried
+    collection:   remote collection the assets came from
+    asset_key:    which asset per item was mosaicked
+    item_ids:     remote item identifiers that contributed pixels
+    """
+
     dem_fp: Path
-    stac_url: str
-    collection: str
-    asset_key: str
+    source_id: str
+    stac_url: str = ""
+    collection: str = ""
+    asset_key: str = ""
     item_ids: list[str] = field(default_factory=list)

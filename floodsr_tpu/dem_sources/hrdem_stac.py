@@ -1,17 +1,18 @@
-"""HRDEM STAC backend — dependency-free STAC client + raster merge.
+"""HRDEM provider: NRCan datacube STAC search + offline raster merge.
 
-Reference parity (reference: ``floodsr/dem_sources/hrdem_stac.py``): query the
-NRCan datacube STAC API for ``hrdem-mosaic-1m`` ``dtm`` assets intersecting
-the low-res footprint (transformed to EPSG:4326), reproject each asset onto
-the LR-CRS grid at source resolution, merge valid pixels, resolve nodata as
-depth > source > −9999, write an LZW GeoTIFF, and cache results per session
-keyed on sha256(crs|bounds|url|collection|asset)[:24].
+Covers the reference's HRDEM fetcher behavior
+(``floodsr/dem_sources/hrdem_stac.py``): search ``hrdem-mosaic-1m`` for
+``dtm`` assets intersecting the depth raster's EPSG:4326 footprint, warp each
+asset onto the depth CRS grid at source resolution, keep the valid pixels,
+pick nodata as depth > source > −9999, and write an LZW GeoTIFF. Results are
+memoized for the process lifetime by a digest of
+(CRS, bounds, endpoint, collection, asset).
 
-Differences from the reference stack: the STAC search is a plain urllib POST
-(pystac-client is not a dependency), asset reads go through this framework's
-TIFF reader (remote hrefs are fetched whole — no range-read COG optimization
-yet), and CRS transforms use :mod:`floodsr_tpu.dem_sources.geodesy`. The HTTP
-transport is injectable (``set_transport``) so tests run offline.
+Implementation is self-contained for this framework: the STAC search is one
+urllib POST (no pystac-client), assets are decoded by the in-tree TIFF
+reader (remote hrefs are pulled whole — no HTTP range reads yet), and
+coordinate transforms come from :mod:`floodsr_tpu.dem_sources.geodesy`. All
+HTTP goes through a swappable transport hook so the suite runs offline.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ import logging
 import math
 import shutil
 import tempfile
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable
 from urllib.request import Request, urlopen
@@ -39,66 +41,86 @@ STAC_URL = "https://datacube.services.geo.ca/api"
 COLLECTION = "hrdem-mosaic-1m"
 DEFAULT_ASSET = "dtm"
 
-_SESSION_FETCH_CACHE: dict[str, Path] = {}
+_FILL = np.float32(-3.4028235e38)  # internal sentinel during merge
 
-# Injectable transport: (url, data_bytes_or_None, headers) -> response bytes.
+# ---------------------------------------------------------------------------
+# transport hook + session memo
+# ---------------------------------------------------------------------------
+
+# (url, POST body or None for GET, headers) -> response bytes
 Transport = Callable[[str, bytes | None, dict[str, str]], bytes]
 
 
-def _default_transport(url: str, data: bytes | None, headers: dict[str, str]) -> bytes:
-    request = Request(url, data=data, headers=headers)
-    with urlopen(request, timeout=120) as response:  # nosec B310
-        return response.read()
+def _urllib_transport(url: str, data: bytes | None, headers: dict[str, str]) -> bytes:
+    with urlopen(Request(url, data=data, headers=headers), timeout=120) as resp:  # nosec B310
+        return resp.read()
 
 
-_TRANSPORT: Transport = _default_transport
+_TRANSPORT: Transport = _urllib_transport
+_SESSION_FETCH_CACHE: dict[str, Path] = {}
 
 
 def set_transport(transport: Transport | None) -> None:
-    """Override the HTTP transport (None restores the urllib default)."""
+    """Swap the HTTP transport; ``None`` restores urllib."""
     global _TRANSPORT
-    _TRANSPORT = transport or _default_transport
+    _TRANSPORT = transport if transport is not None else _urllib_transport
 
 
-def _build_fetch_cache_key(
-    *,
-    depth_crs_repr: str,
-    depth_bounds: tuple[float, float, float, float],
-    stac_url: str,
-    collection: str,
-    asset_key: str,
-) -> str:
-    bounds_token = ",".join(f"{float(v):.8f}" for v in depth_bounds)
-    payload = f"{depth_crs_repr}|{bounds_token}|{stac_url}|{collection}|{asset_key}"
-    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:24]
+# ---------------------------------------------------------------------------
+# depth-footprint resolution
+# ---------------------------------------------------------------------------
 
 
-def _resolve_temp_fetch_path(cache_key: str) -> Path:
-    temp_root = Path(tempfile.gettempdir()) / "floodsr" / "hrdem-fetch"
-    temp_root.mkdir(parents=True, exist_ok=True)
-    return (temp_root / f"{cache_key}.tif").resolve()
+@dataclass(frozen=True)
+class _Footprint:
+    """Geometry of the depth raster that anchors the fetch."""
+
+    path: Path
+    crs: object
+    bounds: tuple[float, float, float, float]
+    nodata: float | None
+    bbox_4326: tuple[float, float, float, float]
+
+    def cache_key(self, stac_url: str, collection: str, asset_key: str) -> str:
+        crs_text = self.crs.to_string() if self.crs is not None else "unknown"
+        stamp = "|".join(
+            (
+                crs_text,
+                ",".join(f"{v:.8f}" for v in self.bounds),
+                stac_url,
+                collection,
+                asset_key,
+            )
+        )
+        return hashlib.sha256(stamp.encode("utf-8")).hexdigest()[:24]
 
 
-def _resolve_depth_query_geometry(depth_lr_fp: str | Path) -> dict[str, object]:
-    """LR raster geometry for the STAC query and output alignment."""
-    depth_path = Path(depth_lr_fp).expanduser().resolve()
-    assert depth_path.exists(), f"low-res depth raster does not exist: {depth_path}"
-    _, depth_nodata, profile = read_raster(depth_path)
-    depth_crs = profile["crs"]
-    assert depth_crs is not None, (
-        f"low-res depth CRS is required for STAC query: {depth_path}"
+def _footprint_of(depth_lr_fp: str | Path) -> _Footprint:
+    path = Path(depth_lr_fp).expanduser().resolve()
+    assert path.exists(), f"low-res depth raster does not exist: {path}"
+    _, nodata, profile = read_raster(path)
+    crs = profile["crs"]
+    assert crs is not None, f"low-res depth CRS is required for STAC query: {path}"
+    bounds = tuple(float(v) for v in raster_bounds(profile))
+    bbox = tuple(
+        float(v)
+        for v in transform_bounds(crs, "EPSG:4326", *bounds, densify_pts=21)
     )
-    depth_bounds = tuple(float(v) for v in raster_bounds(profile))
-    bbox_4326 = transform_bounds(depth_crs, "EPSG:4326", *depth_bounds, densify_pts=21)
-    assert bbox_4326[0] < bbox_4326[2], f"invalid transformed bbox x ordering: {bbox_4326}"
-    assert bbox_4326[1] < bbox_4326[3], f"invalid transformed bbox y ordering: {bbox_4326}"
-    return {
-        "depth_fp": depth_path,
-        "depth_crs": depth_crs,
-        "depth_bounds": depth_bounds,
-        "depth_nodata": depth_nodata,
-        "bbox_4326": tuple(float(v) for v in bbox_4326),
-    }
+    assert bbox[0] < bbox[2] and bbox[1] < bbox[3], (
+        f"depth footprint degenerate after EPSG:4326 transform: {bbox}"
+    )
+    return _Footprint(path=path, crs=crs, bounds=bounds, nodata=nodata, bbox_4326=bbox)
+
+
+def _scratch_tile_path(cache_key: str) -> Path:
+    root = Path(tempfile.gettempdir()) / "floodsr" / "hrdem-fetch"
+    root.mkdir(parents=True, exist_ok=True)
+    return (root / f"{cache_key}.tif").resolve()
+
+
+# ---------------------------------------------------------------------------
+# STAC search
+# ---------------------------------------------------------------------------
 
 
 def _query_hrdem_assets(
@@ -108,53 +130,51 @@ def _query_hrdem_assets(
     collection: str,
     asset_key: str,
 ) -> tuple[list[str], list[str]]:
-    """POST a STAC item search; return intersecting item ids + asset hrefs."""
+    """One STAC item-search POST; returns (item ids, asset hrefs)."""
     body = json.dumps(
         {"collections": [collection], "bbox": list(bbox_4326), "limit": 200}
     ).encode("utf-8")
     raw = _TRANSPORT(
-        f"{stac_url.rstrip('/')}/search",
+        stac_url.rstrip("/") + "/search",
         body,
         {"Content-Type": "application/json", "Accept": "application/geo+json"},
     )
-    payload = json.loads(raw.decode("utf-8"))
-    items = payload.get("features", [])
-    if not items:
+    features = json.loads(raw.decode("utf-8")).get("features", [])
+    if not features:
         raise RuntimeError(
             f"HRDEM STAC query returned 0 items for bbox={bbox_4326} "
             f"collection={collection} at {stac_url}"
         )
-    item_ids: list[str] = []
-    asset_hrefs: list[str] = []
-    for item in items:
-        assets = item.get("assets", {})
-        asset = assets.get(asset_key)
-        if asset is None:
-            continue
-        href = asset.get("href")
-        if href is None:
-            continue
-        item_ids.append(str(item.get("id")))
-        asset_hrefs.append(str(href))
-    if not asset_hrefs:
+    ids, hrefs = [], []
+    for feature in features:
+        href = feature.get("assets", {}).get(asset_key, {}).get("href")
+        if href:
+            ids.append(str(feature.get("id")))
+            hrefs.append(str(href))
+    if not hrefs:
         raise RuntimeError(
             f"HRDEM STAC returned items but no '{asset_key}' assets for bbox={bbox_4326}"
         )
-    return item_ids, asset_hrefs
+    return ids, hrefs
+
+
+# ---------------------------------------------------------------------------
+# asset read + merge
+# ---------------------------------------------------------------------------
 
 
 def _open_asset(href: str) -> tuple[np.ndarray, float | None, dict]:
-    """Read an asset raster: local paths directly, remote hrefs fetched whole."""
-    if href.startswith(("http://", "https://")):
-        raw = _TRANSPORT(href, None, {})
-        with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as tmp:
-            tmp.write(raw)
-            tmp_path = Path(tmp.name)
-        try:
-            return read_raster(tmp_path)
-        finally:
-            tmp_path.unlink(missing_ok=True)
-    return read_raster(href)
+    """Decode an asset raster: local paths directly, remote hrefs fetched whole."""
+    if not href.startswith(("http://", "https://")):
+        return read_raster(href)
+    blob = _TRANSPORT(href, None, {})
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as spool:
+        spool.write(blob)
+        spool_path = Path(spool.name)
+    try:
+        return read_raster(spool_path)
+    finally:
+        spool_path.unlink(missing_ok=True)
 
 
 def write_dem_from_asset_hrefs(
@@ -162,175 +182,156 @@ def write_dem_from_asset_hrefs(
     asset_hrefs: list[str],
     output_fp: str | Path,
     *,
-    logger=None,
+    logger: logging.Logger | None = None,
 ) -> Path:
-    """Build and write one clipped/merged DEM from asset hrefs.
+    """Warp + merge assets onto the depth footprint and write the DEM GeoTIFF.
 
-    Target grid: the LR bounds in the LR CRS at the first asset's source
-    resolution; per-asset bilinear reprojection with valid-pixel merge.
-    Assets in a different CRS than the depth raster are not supported by this
-    offline stack (the HRDEM mosaic serves per-CRS assets).
+    The output grid spans the depth bounds in the depth CRS at the first
+    asset's native resolution. Later assets only fill pixels still invalid
+    (first-valid-wins merge, matching the reference). Cross-CRS assets are
+    rejected — the HRDEM mosaic serves per-CRS assets, and the offline warp
+    does not chain CRS transforms.
     """
     log = logger or logging.getLogger(__name__)
-    depth_query = _resolve_depth_query_geometry(depth_lr_fp)
-    depth_crs = depth_query["depth_crs"]
-    depth_bounds = depth_query["depth_bounds"]
-    depth_nodata = depth_query["depth_nodata"]
     assert asset_hrefs, "asset_hrefs must not be empty"
+    fp = _footprint_of(depth_lr_fp)
+    west, south, east, north = fp.bounds
+    assert east > west and north > south, f"invalid depth bounds for fetch: {fp.bounds}"
 
-    left, bottom, right, top = depth_bounds
-    assert right > left and top > bottom, f"invalid depth bounds for fetch: {depth_bounds}"
     out_path = Path(output_fp).expanduser().resolve()
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
-    first_arr, first_nodata, first_profile = _open_asset(asset_hrefs[0])
-    first_crs = first_profile["crs"]
-    assert first_crs is not None, f"asset CRS is required: {asset_hrefs[0]}"
-    if first_crs != depth_crs:
+    lead_arr, lead_nodata, lead_profile = _open_asset(asset_hrefs[0])
+    lead_crs = lead_profile["crs"]
+    assert lead_crs is not None, f"asset CRS is required: {asset_hrefs[0]}"
+    if lead_crs != fp.crs:
         raise AssertionError(
-            f"asset CRS {first_crs} != depth CRS {depth_crs}: cross-CRS asset "
+            f"asset CRS {lead_crs} != depth CRS {fp.crs}: cross-CRS asset "
             "reprojection is not supported by the offline warp"
         )
-    t = first_profile["transform"]
-    target_res_x = abs(float(t.a))
-    target_res_y = abs(float(t.e))
-    source_nodata = first_nodata
-    assert target_res_x > 0 and target_res_y > 0
+    lead_t = lead_profile["transform"]
+    res_x, res_y = abs(float(lead_t.a)), abs(float(lead_t.e))
+    assert res_x > 0 and res_y > 0
 
-    out_width = max(1, int(math.ceil((right - left) / target_res_x)))
-    out_height = max(1, int(math.ceil((top - bottom) / target_res_y)))
-    out_transform = bounds_to_transform(left, bottom, right, top, out_width, out_height)
+    width = max(1, math.ceil((east - west) / res_x))
+    height = max(1, math.ceil((north - south) / res_y))
+    grid_transform = bounds_to_transform(west, south, east, north, width, height)
 
-    if depth_nodata is not None:
-        dst_nodata = float(depth_nodata)
-    elif source_nodata is not None:
-        dst_nodata = float(source_nodata)
-    else:
-        dst_nodata = -9999.0
+    # nodata precedence: depth raster's > lead asset's > -9999
+    candidates = (fp.nodata, lead_nodata, -9999.0)
+    out_nodata = float(next(v for v in candidates if v is not None))
 
-    work_nodata = np.float32(-3.4028235e38)
-    merged = np.full((out_height, out_width), work_nodata, dtype=np.float32)
-    valid_mask = np.zeros((out_height, out_width), dtype=bool)
-
-    for idx, href in enumerate(asset_hrefs):
-        if idx == 0:
-            src_arr, src_nodata, src_profile = first_arr, first_nodata, first_profile
-        else:
-            src_arr, src_nodata, src_profile = _open_asset(href)
-            assert src_profile["crs"] == depth_crs, f"asset CRS mismatch: {href}"
-        reprojected = reproject_bilinear(
-            src_arr,
+    mosaic = np.full((height, width), _FILL, dtype=np.float32)
+    covered = np.zeros((height, width), dtype=bool)
+    pending = [(lead_arr, lead_nodata, lead_profile)] + [None] * (len(asset_hrefs) - 1)
+    for i, href in enumerate(asset_hrefs):
+        arr, src_nodata, src_profile = pending[i] or _open_asset(href)
+        if i > 0:
+            assert src_profile["crs"] == fp.crs, f"asset CRS mismatch: {href}"
+        warped = reproject_bilinear(
+            arr,
             src_profile["transform"],
-            (out_height, out_width),
-            out_transform,
+            (height, width),
+            grid_transform,
             src_nodata=src_nodata,
-            dst_nodata=float(work_nodata),
+            dst_nodata=float(_FILL),
         )
-        current_valid = ~np.isclose(reprojected, work_nodata)
-        if current_valid.any():
-            merged[current_valid] = reprojected[current_valid]
-            valid_mask |= current_valid
+        fresh = ~np.isclose(warped, _FILL) & ~covered
+        if fresh.any():
+            mosaic[fresh] = warped[fresh]
+            covered |= fresh
 
-    if not valid_mask.any():
+    if not covered.any():
         raise RuntimeError(
             f"no valid DEM pixels found across {len(asset_hrefs)} assets "
-            f"for bounds={depth_bounds}"
+            f"for bounds={fp.bounds}"
         )
 
-    merged_to_write = np.where(valid_mask, merged, np.float32(dst_nodata)).astype(
-        np.float32, copy=False
+    write_raster(
+        out_path,
+        np.where(covered, mosaic, np.float32(out_nodata)).astype(np.float32, copy=False),
+        {
+            "driver": "GTiff",
+            "height": height,
+            "width": width,
+            "count": 1,
+            "dtype": "float32",
+            "crs": fp.crs,
+            "transform": grid_transform,
+            "nodata": out_nodata,
+            "compress": "LZW",
+        },
     )
-    profile = {
-        "driver": "GTiff",
-        "height": out_height,
-        "width": out_width,
-        "count": 1,
-        "dtype": "float32",
-        "crs": depth_crs,
-        "transform": out_transform,
-        "nodata": dst_nodata,
-        "compress": "LZW",
-    }
-    write_raster(out_path, merged_to_write, profile)
-    log.info(f"wrote fetched HRDEM tile to\n    {out_path}")
+    log.info("HRDEM tile written:\n    %s", out_path)
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# entrypoint
+# ---------------------------------------------------------------------------
+
+
+def _deliver(cached: Path, output_fp: str | Path | None) -> Path:
+    """Hand a memoized tile to the caller, copying when a target was named."""
+    if output_fp is None:
+        return cached
+    target = Path(output_fp).expanduser().resolve()
+    target.parent.mkdir(parents=True, exist_ok=True)
+    if target != cached:
+        shutil.copy2(cached, target)
+    return target
 
 
 def fetch_hrdem_for_lowres_tile(
     *,
     depth_lr_fp: str | Path,
     output_fp: str | Path | None = None,
-    logger=None,
+    logger: logging.Logger | None = None,
     stac_url: str = STAC_URL,
     collection: str = COLLECTION,
     asset_key: str = DEFAULT_ASSET,
 ) -> DemFetchResult:
-    """Fetch one HRDEM tile aligned to a low-res depth raster footprint."""
+    """Resolve one HRDEM tile aligned to a depth raster footprint."""
     log = logger or logging.getLogger(__name__)
-    depth_query = _resolve_depth_query_geometry(depth_lr_fp)
-    depth_path = depth_query["depth_fp"]
-    depth_crs = depth_query["depth_crs"]
-    depth_bounds = depth_query["depth_bounds"]
-    bbox_4326 = depth_query["bbox_4326"]
-    depth_crs_repr = depth_crs.to_string() if depth_crs is not None else "unknown"
-
+    fp = _footprint_of(depth_lr_fp)
     log.info(
-        "starting DEM fetch\n"
-        f"  source_id={SOURCE_ID}\n  stac_url={stac_url}\n"
-        f"  collection={collection}\n  asset_key={asset_key}\n"
-        f"  depth_lr_fp=\n    {depth_path}"
-    )
-    cache_key = _build_fetch_cache_key(
-        depth_crs_repr=depth_crs_repr,
-        depth_bounds=depth_bounds,
-        stac_url=stac_url,
-        collection=collection,
-        asset_key=asset_key,
+        "DEM fetch: source=%s endpoint=%s collection=%s asset=%s\n    depth=%s",
+        SOURCE_ID, stac_url, collection, asset_key, fp.path,
     )
 
-    item_ids: list[str] = []
-    cached_fp = _SESSION_FETCH_CACHE.get(cache_key)
-    if cached_fp is not None and cached_fp.exists():
-        log.debug(f"HRDEM session-cache hit for key {cache_key}")
-        if output_fp is None:
-            dem_fp = cached_fp
-        else:
-            dem_fp = Path(output_fp).expanduser().resolve()
-            dem_fp.parent.mkdir(parents=True, exist_ok=True)
-            if dem_fp != cached_fp:
-                shutil.copy2(cached_fp, dem_fp)
+    key = fp.cache_key(stac_url, collection, asset_key)
+    memoized = _SESSION_FETCH_CACHE.get(key)
+    if memoized is not None and memoized.exists():
+        log.debug("HRDEM session memo hit (%s)", key)
         return DemFetchResult(
+            dem_fp=_deliver(memoized, output_fp),
             source_id=SOURCE_ID,
-            dem_fp=dem_fp,
             stac_url=stac_url,
             collection=collection,
             asset_key=asset_key,
-            item_ids=item_ids,
+            item_ids=[],
         )
 
-    item_ids, asset_hrefs = _query_hrdem_assets(
-        bbox_4326=bbox_4326,
+    item_ids, hrefs = _query_hrdem_assets(
+        bbox_4326=fp.bbox_4326,
         stac_url=stac_url,
         collection=collection,
         asset_key=asset_key,
     )
-    log.info(f"found {len(item_ids)} HRDEM item(s) intersecting low-res tile bounds")
+    log.info("%d HRDEM item(s) intersect the depth footprint", len(item_ids))
 
-    target_fp = (
-        _resolve_temp_fetch_path(cache_key)
+    target = (
+        _scratch_tile_path(key)
         if output_fp is None
         else Path(output_fp).expanduser().resolve()
     )
-    written_fp = write_dem_from_asset_hrefs(
-        depth_lr_fp=depth_path,
-        asset_hrefs=asset_hrefs,
-        output_fp=target_fp,
-        logger=log,
+    written = write_dem_from_asset_hrefs(
+        depth_lr_fp=fp.path, asset_hrefs=hrefs, output_fp=target, logger=log
     )
-    _SESSION_FETCH_CACHE[cache_key] = written_fp
+    _SESSION_FETCH_CACHE[key] = written
     return DemFetchResult(
+        dem_fp=written,
         source_id=SOURCE_ID,
-        dem_fp=written_fp,
         stac_url=stac_url,
         collection=collection,
         asset_key=asset_key,

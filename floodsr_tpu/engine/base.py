@@ -1,8 +1,9 @@
-"""Inference engine interface (reference parity: ``floodsr/engine/base.py:10-29``).
+"""Engine seam: what a model worker may assume about an inference backend.
 
-The abstract surface is preserved — ``load``/``run_tile``/``model_path`` —
-and extended with the TPU-native primary entry point ``run_tiles`` (batched),
-of which ``run_tile`` is the N=1 special case.
+The abstract method set matches the reference engine ABC
+(``floodsr/engine/base.py``) so worker code and contract tests carry over
+between backends; the TPU engine layers ``run_tiles`` (batched) and
+``run_scene`` (fused whole-scene) on top, with ``run_tile`` as the N=1 case.
 """
 
 from __future__ import annotations
@@ -17,11 +18,11 @@ import numpy as np
 
 @dataclass(frozen=True)
 class ModelIOContract:
-    """Resolved model tensor names and spatial dimensions.
+    """Tensor names + static spatial dims an engine commits to at load time.
 
-    Same fields as the reference contract resolved from ONNX metadata
-    (reference: ``floodsr/engine/ort.py:15-26``); here it is resolved from the
-    artifact manifest at load time.
+    The reference resolves the equivalent record from ONNX session metadata
+    (``floodsr/engine/ort.py``); the JAX engine resolves it from the artifact
+    manifest. ``scale`` is the integer HR/LR edge ratio.
     """
 
     depth_input_name: str
@@ -34,21 +35,18 @@ class ModelIOContract:
 
 
 class EngineBase(ABC):
-    """Abstract interface for model inference engines."""
+    """Minimal backend interface workers program against."""
 
     @abstractmethod
     def load(self) -> None:
-        """Load model resources into memory."""
+        """Acquire model resources (weights, compiled functions, sessions)."""
 
     @abstractmethod
     def run_tile(
-        self,
-        depth_lr_m: np.ndarray,
-        dem_hr_m: np.ndarray,
-        **kwargs: Any,
+        self, depth_lr_m: np.ndarray, dem_hr_m: np.ndarray, **kwargs: Any
     ) -> dict[str, Any]:
-        """Run one inference pass for a low-res depth + high-res DEM pair."""
+        """Infer one HR depth tile from an (LR depth, HR DEM) pair in meters."""
 
     @abstractmethod
     def model_path(self) -> Path:
-        """Return the model path used by this engine."""
+        """The artifact this engine was constructed over."""

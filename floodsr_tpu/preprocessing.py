@@ -42,15 +42,39 @@ from floodsr_tpu.ops.resample import reproject_bilinear_auto as reproject_biline
 
 
 def load_train_config(model_fp: str | Path, logger=None) -> dict | None:
-    """Load ``train_config.json`` from the model directory if available."""
-    log = logger or logging.getLogger(__name__)
-    model_path = Path(model_fp).expanduser().resolve()
-    train_config_fp = model_path.parent / "train_config.json"
-    if not train_config_fp.exists():
-        log.debug(f"train config not found for model\n    {model_path}")
-        return None
-    log.debug(f"loaded train config from\n    {train_config_fp}")
-    return json.loads(train_config_fp.read_text(encoding="utf-8"))
+    """The ``train_config.json`` sitting beside the artifact, or ``None``."""
+    sidecar = Path(model_fp).expanduser().resolve().parent / "train_config.json"
+    if sidecar.exists():
+        (logger or logging.getLogger(__name__)).debug("train config: %s", sidecar)
+        return json.loads(sidecar.read_text(encoding="utf-8"))
+    return None
+
+
+# Training DEM filenames encode their resolution, e.g. "002_dem" -> 2 m.
+_DEM_RES_HINT = re.compile(r"(?:^|[_/])([0-9]{2,})_?dem")
+
+_REQUIRED_DEM_STAT_KEYS = frozenset({"p_clip", "dem_min", "dem_max"})
+
+
+def _dem_stats_from(train_cfg: dict) -> dict[str, float] | None:
+    stats = train_cfg.get("dem_stats") or {}
+    if _REQUIRED_DEM_STAT_KEYS <= stats.keys():
+        return {k: float(stats[k]) for k in sorted(_REQUIRED_DEM_STAT_KEYS)}
+    return None
+
+
+def _lr_tile_from(train_cfg: dict) -> int | None:
+    shape = train_cfg.get("input_shape")
+    if isinstance(shape, (tuple, list)) and len(shape) >= 2:
+        edge = shape[0]
+        if isinstance(edge, (int, float)) and float(edge).is_integer():
+            return int(edge)
+    return None
+
+
+def _dem_resolution_from(train_cfg: dict) -> float | None:
+    hint = _DEM_RES_HINT.search(str(train_cfg.get("dem_fp") or ""))
+    return float(int(hint.group(1))) if hint else None
 
 
 def resolve_preprocess_config(
@@ -59,63 +83,40 @@ def resolve_preprocess_config(
     dem_pct_clip: float | None = None,
     logger=None,
 ) -> dict[str, object]:
-    """Resolve preprocessing defaults: CLI override > train_config > defaults.
+    """Merge preprocessing settings: caller override > train_config > defaults.
 
-    Same precedence and keys as the reference resolver (reference:
-    ``floodsr/preprocessing.py:187-244``), including the DEM-resolution hint
-    regex over the training ``dem_fp`` filename.
+    Result keys and precedence match the reference resolver
+    (``floodsr/preprocessing.py``): ``max_depth`` (default 5.0 m),
+    ``dem_pct_clip`` (default 95.0), optional reference ``dem_ref_stats``,
+    the trained LR tile edge and upscale factor, and the training DEM
+    resolution parsed from the ``dem_fp`` filename hint (default 2.0 m).
     """
     log = logger or logging.getLogger(__name__)
     model_path = Path(model_fp).expanduser().resolve()
     assert model_path.exists(), f"model file does not exist: {model_path}"
 
-    resolved_max_depth = 5.0 if max_depth is None else float(max_depth)
-    resolved_dem_pct_clip = 95.0 if dem_pct_clip is None else float(dem_pct_clip)
-    dem_ref_stats = None
-    resolved_lr_tile = None
-    resolved_scale = None
-    resolved_dem_resolution = None
+    train_cfg = load_train_config(model_path, logger=log) or {}
 
-    train_cfg = load_train_config(model_path, logger=log)
-    if train_cfg is not None:
-        if max_depth is None and train_cfg.get("max_depth") is not None:
-            resolved_max_depth = float(train_cfg["max_depth"])
-        if dem_pct_clip is None and train_cfg.get("dem_pct_clip") is not None:
-            resolved_dem_pct_clip = float(train_cfg["dem_pct_clip"])
-        dem_stats_cfg = train_cfg.get("dem_stats") or {}
-        required_keys = {"p_clip", "dem_min", "dem_max"}
-        if required_keys.issubset(dem_stats_cfg):
-            dem_ref_stats = {k: float(dem_stats_cfg[k]) for k in sorted(required_keys)}
-        input_shape = train_cfg.get("input_shape")
-        if isinstance(input_shape, (tuple, list)) and len(input_shape) >= 2:
-            lr_h = input_shape[0]
-            if isinstance(lr_h, (int, float)) and float(lr_h).is_integer():
-                resolved_lr_tile = int(lr_h)
-        if train_cfg.get("upscale") is not None:
-            resolved_scale = int(train_cfg["upscale"])
-        if train_cfg.get("dem_fp"):
-            dem_fp = str(train_cfg.get("dem_fp"))
-            match = re.search(r"(?:^|[_/])([0-9]{2,})_?dem", dem_fp)
-            if match is not None:
-                resolved_dem_resolution = float(int(match.group(1)))
+    def trained(key: str) -> object | None:
+        return train_cfg.get(key)
 
-    if resolved_dem_resolution is None:
-        resolved_dem_resolution = 2.0
+    if max_depth is None:
+        max_depth = trained("max_depth") if trained("max_depth") is not None else 5.0
+    if dem_pct_clip is None:
+        dem_pct_clip = (
+            trained("dem_pct_clip") if trained("dem_pct_clip") is not None else 95.0
+        )
 
-    log.debug(
-        f"resolved preprocessing config: max_depth={resolved_max_depth}, "
-        f"dem_pct_clip={resolved_dem_pct_clip}, has_dem_ref_stats={dem_ref_stats is not None}, "
-        f"lr_tile={resolved_lr_tile}, scale={resolved_scale}, "
-        f"model_dem_resolution={resolved_dem_resolution}"
-    )
-    return {
-        "max_depth": resolved_max_depth,
-        "dem_pct_clip": resolved_dem_pct_clip,
-        "dem_ref_stats": dem_ref_stats,
-        "lr_tile": resolved_lr_tile,
-        "scale": resolved_scale,
-        "model_dem_resolution": resolved_dem_resolution,
+    resolved = {
+        "max_depth": float(max_depth),
+        "dem_pct_clip": float(dem_pct_clip),
+        "dem_ref_stats": _dem_stats_from(train_cfg),
+        "lr_tile": _lr_tile_from(train_cfg),
+        "scale": int(train_cfg["upscale"]) if trained("upscale") is not None else None,
+        "model_dem_resolution": _dem_resolution_from(train_cfg) or 2.0,
     }
+    log.debug("preprocess config resolved: %s", resolved)
+    return resolved
 
 
 def _read_single_band_raster(fp: str | Path) -> tuple[np.ndarray, float | None, dict]:

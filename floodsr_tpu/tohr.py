@@ -1,11 +1,31 @@
-"""ToHR pipeline entrypoint (reference parity: ``floodsr/tohr.py:9-43``)."""
+"""Library entrypoint for one ToHR (to-high-resolution) pass.
+
+``tohr()`` is the importable API the CLI's ``tohr`` verb wraps (reference
+surface: ``floodsr/tohr.py``): resolve the worker class for a model version,
+instantiate it on a local artifact, and drive a single super-resolution run
+through the worker's context-managed lifecycle. The returned diagnostics dict
+is the worker's own (runtime, output size, preprocess config, tile stats).
+"""
 
 from __future__ import annotations
 
+import inspect
 import logging
 from pathlib import Path
+from typing import Any
 
 from floodsr_tpu.model_registry import resolve_model_worker_class
+
+_RUN_KEYS = (
+    "depth_lr_fp",
+    "dem_hr_fp",
+    "output_fp",
+    "max_depth",
+    "dem_pct_clip",
+    "window_method",
+    "tile_overlap",
+    "tile_size",
+)
 
 
 def tohr(
@@ -20,37 +40,45 @@ def tohr(
     window_method: str = "feather",
     tile_overlap: int | None = None,
     tile_size: int | None = None,
-    logger=None,
+    logger: logging.Logger | None = None,
     engine_options: dict | None = None,
 ) -> dict[str, object]:
-    """Run one ToHR pass through the model worker lifecycle.
+    """Super-resolve one depth raster and return the worker diagnostics.
 
-    ``engine_options`` (e.g. ``compute_dtype``, ``max_batch``,
-    ``output_transfer`` from :mod:`floodsr_tpu.config`) are forwarded to the
-    worker constructor where its signature accepts them.
+    ``engine_options`` carries TPU-engine knobs (``compute_dtype``,
+    ``max_batch``, ``output_transfer``, ... — see :mod:`floodsr_tpu.config`);
+    each is forwarded to the worker constructor only when its signature
+    declares the parameter, so workers opt in per-option.
     """
-    import inspect
-
-    log = logger or logging.getLogger(__name__)
-    assert model_version, "model_version cannot be empty"
-    model_path = Path(model_fp).expanduser().resolve()
-    assert model_path.exists(), f"model file does not exist: {model_path}"
+    if not model_version:
+        raise AssertionError("model_version cannot be empty")
+    artifact = Path(model_fp).expanduser().resolve()
+    if not artifact.exists():
+        raise AssertionError(f"model file does not exist: {artifact}")
+    log = logger if logger is not None else logging.getLogger(__name__)
 
     worker_class = resolve_model_worker_class(model_version)
-    accepted = inspect.signature(worker_class.__init__).parameters
-    options = {
-        k: v for k, v in (engine_options or {}).items() if k in accepted
+    init_params = inspect.signature(worker_class.__init__).parameters
+    extra: dict[str, Any] = {
+        key: value
+        for key, value in (engine_options or {}).items()
+        if key in init_params
     }
-    worker = worker_class(model_fp=model_path, logger=log, **options)
-    with worker as ready_worker:
-        result = ready_worker.run(
-            depth_lr_fp=depth_lr_fp,
-            dem_hr_fp=dem_hr_fp,
-            output_fp=output_fp,
-            max_depth=max_depth,
-            dem_pct_clip=dem_pct_clip,
-            window_method=window_method,
-            tile_overlap=tile_overlap,
-            tile_size=tile_size,
+
+    run_args = dict(
+        zip(
+            _RUN_KEYS,
+            (
+                depth_lr_fp,
+                dem_hr_fp,
+                output_fp,
+                max_depth,
+                dem_pct_clip,
+                window_method,
+                tile_overlap,
+                tile_size,
+            ),
         )
-    return result
+    )
+    with worker_class(model_fp=artifact, logger=log, **extra) as worker:
+        return worker.run(**run_args)
