@@ -152,37 +152,43 @@ def main() -> int:
 
             # Device-pipeline throughput: re-run the engine's ALREADY-COMPILED
             # scene executable (the exact production computation: normalize +
-            # forward + invert + mosaic + post-resample + mask), forced with a
+            # forward + invert + feather mosaic + quantize), forced with a
             # scalar readback so the harness's slow device-host tunnel is not
             # measured (see module docstring).
             import jax
             import jax.numpy as jnp
 
+            from floodsr_tpu.engine.scene import pack_scene_indices, resolve_chunk
             from floodsr_tpu.io.geotiff import read_raster
+            from floodsr_tpu.tiling import build_window_grid
 
             engine = worker.engine
-            scene_entries = [
-                v for k, v in engine._jit_cache.items() if k[0] == "scene"
-            ]
-            assert scene_entries, "no compiled scene executable to benchmark"
-            fn, idx = scene_entries[0]
+            scene_keys = [k for k in engine._jit_cache if k[0] == "scene"]
+            assert scene_keys, "no compiled scene executable to benchmark"
+            key = scene_keys[0]
+            fn = engine._jit_cache[key]
+            _, bucket, capacity, stride_hr = key[0], key[1], key[2], key[3]
 
             lr_arr, _, _ = read_raster(scene["lr"])
             cfg = engine.config
-            hr_model = (lr_arr.shape[0] * cfg.scale, lr_arr.shape[1] * cfg.scale)
-            depth_dev = jax.device_put(lr_arr)
-            dem_dev = jax.device_put(
+            crop = (lr_arr.shape[0] * cfg.scale, lr_arr.shape[1] * cfg.scale)
+            chunk = resolve_chunk(engine.max_batch, engine.mesh, engine.batch_axis)
+            grid = build_window_grid(crop[0], crop[1], cfg.hr_tile, stride_hr)
+            idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
+            depth_dev = engine._put_padded(lr_arr, (bucket[0] // cfg.scale, bucket[1] // cfg.scale))
+            dem_dev = engine._put_padded(
                 np.ascontiguousarray(
-                    np.random.default_rng(0).normal(300, 20, hr_model).astype(np.float32)
-                )
+                    np.random.default_rng(0).normal(300, 20, crop).astype(np.float32)
+                ),
+                bucket,
             )
             out, _ = fn(engine.params, engine.state, depth_dev, dem_dev, idx)
-            float(jnp.sum(out))  # warm-up + force
+            float(jnp.sum(out.astype(jnp.float32)))  # warm-up + force
             reps = 3
             t0 = time.perf_counter()
             for _ in range(reps):
                 out, _ = fn(engine.params, engine.state, depth_dev, dem_dev, idx)
-                float(jnp.sum(out))
+                float(jnp.sum(out.astype(jnp.float32)))
             dt = (time.perf_counter() - t0) / reps
             pipe_f32 = out_mp / dt
             print(

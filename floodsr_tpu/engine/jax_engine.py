@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from floodsr_tpu.engine.base import EngineBase, ModelIOContract
 from floodsr_tpu.nn.checkpoint import load_artifact
 from floodsr_tpu.nn.resunet import ResUNetConfig, resunet_apply
+from floodsr_tpu.ops.resample import reproject_bilinear, separable_resample_np
 from floodsr_tpu.ops.normalize import (
     _parse_dem_normalization_stats,
     invert_depth_log1p,
@@ -66,6 +67,7 @@ class EngineJAX(EngineBase):
         mesh: "jax.sharding.Mesh | None" = None,
         batch_axis: str = "dp",
         output_transfer: str = "uint16",
+        scene_bucket_tiles: int = 2,
     ):
         assert output_transfer in {"uint16", "float32"}, output_transfer
         self._model_fp = Path(model_fp).expanduser().resolve()
@@ -76,6 +78,7 @@ class EngineJAX(EngineBase):
         self.mesh = mesh
         self.batch_axis = batch_axis
         self.output_transfer = output_transfer
+        self.scene_bucket_tiles = int(scene_bucket_tiles)
         self.config: ResUNetConfig | None = None
         self.params = None
         self.state = None
@@ -373,13 +376,32 @@ class EngineJAX(EngineBase):
             "runtime_s": float(runtime_s),
         }
 
+    def scene_bucket_for(self, crop_shape: tuple[int, int]) -> tuple[int, int]:
+        """The bucket extent (HR px) whose executable serves ``crop_shape``.
+
+        Scenes are padded up to a quantum of ``scene_bucket_tiles`` model
+        tiles per axis, so one compiled scene executable serves every scene
+        geometry landing in the same bucket (crop/post-resample/mask run on
+        host). Compile cost on this class of host is minutes per executable;
+        the padding overhead is bounded compute at worst
+        ``(quantum-1)`` extra HR rows/cols per axis.
+        """
+        assert self.config is not None
+        tile = self.config.hr_tile
+        quantum = max(1, int(self.scene_bucket_tiles)) * tile
+
+        def up(v: int) -> int:
+            v = max(int(v), tile)
+            return -(-v // quantum) * quantum
+
+        return up(crop_shape[0]), up(crop_shape[1])
+
     def run_scene(
         self,
         depth_raw,
         dem_raw,
-        grid: dict[str, Any],
         *,
-        scene_shape: tuple[int, int],
+        stride_hr: int,
         overlap_hr: int,
         max_depth: float,
         dem_pct_clip: float,
@@ -391,97 +413,135 @@ class EngineJAX(EngineBase):
 
         ``depth_raw``/``dem_raw`` are UNPADDED LR/HR scenes — numpy arrays or
         jax arrays already resident on device (e.g. straight from the device
-        warp); padding to ``scene_shape`` (the tile-aligned extent) happens
-        inside the jit. ``grid`` comes from
-        :func:`floodsr_tpu.tiling.build_window_grid` over ``scene_shape``.
-        Returns the finished meter-domain scene (cropped, clipped, optionally
-        post-resampled and low-depth-masked on device) plus per-tile DEM stats.
+        warp). The engine pads them into the scene BUCKET for ``crop_shape``
+        (see :meth:`scene_bucket_for`), runs the bucket's compiled executor
+        (tile window grid derived from ``stride_hr``), then finishes on host:
+        crop to ``crop_shape``, clip, optional ``post_resample``
+        (``(dst_shape, src_transform, dst_transform)``), and the low-depth
+        mask — reference order crop → clip → resample → mask
+        (``floodsr/models/ResUNet_16x_DEM.py:554-583``).
+
+        Returns the finished meter-domain scene plus per-tile DEM stats for
+        the content grid tiles.
         """
-        from floodsr_tpu.engine.scene import build_scene_executor
+        from floodsr_tpu.engine.scene import (
+            build_scene_executor,
+            pack_scene_indices,
+            resolve_chunk,
+        )
+        from floodsr_tpu.tiling import build_window_grid
 
         assert self.params is not None and self.config is not None, (
             "engine must be loaded before inference"
         )
-        n = len(grid["y0"])
-        post_key = None
-        if post_resample is not None:
-            dst_shape, src_t, dst_t = post_resample
-            post_key = (tuple(dst_shape), tuple(src_t), tuple(dst_t))
+        cfg = self.config
+        tile, scale = cfg.hr_tile, cfg.scale
+        crop_h, crop_w = int(crop_shape[0]), int(crop_shape[1])
+        bucket = self.scene_bucket_for((crop_h, crop_w))
+        chunk = resolve_chunk(self.max_batch, self.mesh, self.batch_axis)
+        # Static tile budget: the bucket's own grid size, chunk-rounded.
+        bucket_grid_n = len(build_window_grid(bucket[0], bucket[1], tile, int(stride_hr))["y0"])
+        capacity = -(-bucket_grid_n // chunk) * chunk
+
         key = (
             "scene",
-            tuple(depth_raw.shape),
-            tuple(dem_raw.shape),
-            tuple(scene_shape),
-            n,
-            int(grid["ny"]),
-            int(grid["nx"]),
-            overlap_hr,
+            bucket,
+            capacity,
+            int(stride_hr),
+            int(overlap_hr),
             float(max_depth),
             float(dem_pct_clip),
-            tuple(crop_shape),
-            post_key,
-            float(low_depth_mask_m),
             self.output_transfer,
         )
-        cached = self._jit_cache.get(key)
-        if cached is None:
-            fn, idx = build_scene_executor(
-                self.config,
-                scene_shape=tuple(scene_shape),
-                grid=grid,
-                overlap_hr=overlap_hr,
-                chunk=self.max_batch,
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn, chunk = build_scene_executor(
+                cfg,
+                scene_shape=bucket,
+                capacity=capacity,
+                overlap_hr=int(overlap_hr),
+                chunk=chunk,
                 max_depth=float(max_depth),
                 dem_pct_clip=float(dem_pct_clip),
-                crop_shape=tuple(crop_shape),
-                post_resample=post_resample,
-                low_depth_mask_m=float(low_depth_mask_m),
                 compute_dtype=self.compute_dtype,
                 forward_fn=self.forward_callable(),
                 transfer_dtype=self.output_transfer,
                 mesh=self.mesh,
                 batch_axis=self.batch_axis,
             )
-            idx = jax.tree.map(jnp.asarray, idx)
-            cached = (fn, idx)
-            self._jit_cache[key] = cached
-        fn, idx = cached
+            self._jit_cache[key] = fn
+            self.log.debug(
+                f"built scene executable for bucket={bucket} capacity={capacity}"
+            )
+        else:
+            self.log.debug(f"scene executable cache hit for bucket={bucket}")
+
+        # Content grid: tile windows over the crop extent padded to tile
+        # multiples — identical windowing to an unbucketed run; the bucket
+        # only adds zero-weight dummy slots and inert scene margin.
+        content_h = min(bucket[0], -(-crop_h // tile) * tile)
+        content_w = min(bucket[1], -(-crop_w // tile) * tile)
+        grid = build_window_grid(content_h, content_w, tile, int(stride_hr))
+        n = len(grid["y0"])
+        idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
+
         t0 = time.perf_counter()
-        depth_dev = jax.device_put(np.ascontiguousarray(depth_raw)) if isinstance(
-            depth_raw, np.ndarray
-        ) else depth_raw
-        dem_dev = jax.device_put(np.ascontiguousarray(dem_raw)) if isinstance(
-            dem_raw, np.ndarray
-        ) else dem_raw
+        lr_bucket = (bucket[0] // scale, bucket[1] // scale)
+        depth_dev = self._put_padded(depth_raw, lr_bucket)
+        dem_dev = self._put_padded(dem_raw, bucket)
         jax.block_until_ready(dem_dev)
         t1 = time.perf_counter()
-        out, stats = fn(
-            self.params,
-            self.state,
-            depth_dev.astype(jnp.float32),
-            dem_dev.astype(jnp.float32),
-            idx,
-        )
+        out, stats = fn(self.params, self.state, depth_dev, dem_dev, idx)
         jax.block_until_ready(out)
         t2 = time.perf_counter()
+
         out.copy_to_host_async()
         stats_np = np.asarray(stats)[:n]
-        out_np = np.asarray(out)
+        out_np = np.asarray(out)[:crop_h, :crop_w]
+        t3 = time.perf_counter()
+
         if self.output_transfer == "uint16":
             out_np = out_np.astype(np.float32) * (float(max_depth) / 65535.0)
-            out_np = np.where(out_np < low_depth_mask_m, 0.0, out_np).astype(
-                np.float32
-            )
-        t3 = time.perf_counter()
+        if post_resample is not None:
+            dst_shape, src_t, dst_t = post_resample
+            if src_t.is_rectilinear() and dst_t.is_rectilinear():
+                out_np = separable_resample_np(out_np, src_t, tuple(dst_shape), dst_t)
+            else:
+                out_np = reproject_bilinear(out_np, src_t, tuple(dst_shape), dst_t)
+            out_np = np.clip(out_np, 0.0, float(max_depth))
+        out_np = np.where(out_np < low_depth_mask_m, 0.0, out_np).astype(np.float32)
+        t4 = time.perf_counter()
+
         self.log.debug(
             f"run_scene timings: h2d={t1 - t0:.3f}s exec={t2 - t1:.3f}s "
-            f"d2h={t3 - t2:.3f}s tiles={n}"
+            f"d2h={t3 - t2:.3f}s host_post={t4 - t3:.3f}s "
+            f"tiles={n} bucket={bucket}"
         )
         return out_np, {
             "p_clip": stats_np[:, 0],
             "dem_min": stats_np[:, 1],
             "dem_max": stats_np[:, 2],
         }
+
+    def _put_padded(self, arr, target_shape: tuple[int, int]):
+        """Upload (or reuse) ``arr`` zero-padded to ``target_shape``.
+
+        Numpy inputs are padded host-side (memcpy-cheap) so the executable
+        sees one static shape per bucket; device-resident inputs are padded
+        with an eager ``jnp.pad`` (shape-cached by jax in-process).
+        """
+        th, tw = target_shape
+        h, w = arr.shape
+        assert h <= th and w <= tw, f"scene {arr.shape} exceeds bucket {target_shape}"
+        if isinstance(arr, np.ndarray):
+            arr32 = np.ascontiguousarray(arr, dtype=np.float32)
+            if (h, w) != (th, tw):
+                arr32 = np.pad(arr32, ((0, th - h), (0, tw - w)))
+            return jax.device_put(arr32)
+        dev = arr.astype(jnp.float32)
+        if (h, w) != (th, tw):
+            dev = jnp.pad(dev, ((0, th - h), (0, tw - w)))
+        return dev
 
     def run_tile(
         self,

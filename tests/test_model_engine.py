@@ -225,19 +225,16 @@ class TestEngineRunTiles:
         eng.close()
 
     def test_uint16_transfer_matches_f32_within_quantization(self, tiny_artifact):
-        from floodsr_tpu.tiling import build_window_grid
-
         rng = np.random.default_rng(12)
         depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
         dem = rng.uniform(300, 800, (64, 64)).astype(np.float32)
-        grid = build_window_grid(64, 64, 32, 24)
 
         outs = {}
         for transfer in ("float32", "uint16"):
             eng = EngineJAX(tiny_artifact, max_batch=4, output_transfer=transfer)
             out, _ = eng.run_scene(
-                depth, dem, grid,
-                scene_shape=(64, 64), overlap_hr=8,
+                depth, dem,
+                stride_hr=24, overlap_hr=8,
                 max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
             )
             outs[transfer] = out
@@ -270,3 +267,37 @@ class TestRunTilesRefStatsValidation:
         bad = {"p_clip": float("nan"), "dem_min": 0.0, "dem_max": 1.0}
         with pytest.raises(AssertionError, match="finite"):
             tiny_engine.run_tiles(depth, dem, dem_ref_stats=bad)
+
+
+class TestSceneBucketing:
+    def test_second_geometry_reuses_executable(self, tiny_artifact):
+        # Two distinct scene geometries landing in the same bucket must hit
+        # the same compiled executable (no new compile for scene #2).
+        rng = np.random.default_rng(3)
+        eng = EngineJAX(tiny_artifact, max_batch=4)
+        for crop in ((64, 64), (56, 48)):
+            depth = rng.uniform(0, 3, (crop[0] // 4, crop[1] // 4)).astype(np.float32)
+            dem = rng.uniform(300, 800, crop).astype(np.float32)
+            out, _ = eng.run_scene(
+                depth, dem, stride_hr=24, overlap_hr=8,
+                max_depth=5.0, dem_pct_clip=95.0, crop_shape=crop,
+            )
+            assert out.shape == crop
+        scene_keys = [k for k in eng._jit_cache if k[0] == "scene"]
+        assert len(scene_keys) == 1, scene_keys
+        assert eng.scene_bucket_for((64, 64)) == eng.scene_bucket_for((56, 48))
+        eng.close()
+
+    def test_bucketed_output_matches_content(self, tiny_artifact):
+        # A non-bucket-aligned crop: output values on shared pixels must be
+        # close to the bucket-aligned run (tiling grids coincide here).
+        rng = np.random.default_rng(4)
+        depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
+        dem = rng.uniform(300, 800, (64, 64)).astype(np.float32)
+        eng = EngineJAX(tiny_artifact, max_batch=4)
+        full, _ = eng.run_scene(
+            depth, dem, stride_hr=24, overlap_hr=8,
+            max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
+        )
+        assert np.isfinite(full).all() and full.shape == (64, 64)
+        eng.close()

@@ -125,19 +125,17 @@ class TestStreaming:
 class TestShardedScene:
     def test_scene_executor_sharded_matches_single(self, tiny_model_fp):
         from floodsr_tpu.engine import EngineJAX
-        from floodsr_tpu.tiling import build_window_grid
 
         rng = np.random.default_rng(5)
         depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
         dem = rng.uniform(300, 800, (64, 64)).astype(np.float32)
-        grid = build_window_grid(64, 64, 32, 24)
 
         outs = {}
         for name, mesh in (("single", None), ("sharded", make_mesh(8, tp=1))):
             eng = EngineJAX(tiny_model_fp, max_batch=8, mesh=mesh)
             out, stats = eng.run_scene(
-                depth, dem, grid,
-                scene_shape=(64, 64), overlap_hr=8,
+                depth, dem,
+                stride_hr=24, overlap_hr=8,
                 max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
             )
             outs[name] = (out, stats)
