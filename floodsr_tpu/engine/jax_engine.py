@@ -105,7 +105,8 @@ class EngineJAX(EngineBase):
             return
         artifact = load_artifact(self._model_fp)
         self.config = artifact["config"]
-        contract = artifact["manifest"]["io_contract"]
+        manifest = artifact["manifest"]
+        contract = manifest["io_contract"]
         self.contract = ModelIOContract(
             depth_input_name=contract["depth_input_name"],
             dem_input_name=contract["dem_input_name"],
@@ -124,8 +125,28 @@ class EngineJAX(EngineBase):
             device_put = jax.device_put
         self.params = jax.tree.map(device_put, artifact["params"])
         self.state = jax.tree.map(device_put, artifact["state"])
+        if manifest.get("architecture") == "onnx-graph":
+            # Converted-ONNX artifact: forward executes the stored NHWC IR;
+            # weights flow through jit args so dtype policy/sharding apply.
+            from floodsr_tpu.nn.onnx_convert import graph_apply
+
+            ir = manifest["graph_ir"]
+            out_edge = manifest["graph_output_edge"]
+            d_name = self.contract.depth_input_name
+            m_name = self.contract.dem_input_name
+
+            def graph_forward(params, state, depth_nhwc, dem_nhwc, dtype):
+                outs = graph_apply(
+                    ir, params, {d_name: depth_nhwc, m_name: dem_nhwc},
+                    [out_edge], compute_dtype=dtype or jnp.float32,
+                )
+                return outs[out_edge]
+
+            self._forward_override = graph_forward
+            self._forward_override_takes_dtype = True
         self.log.info(
             f"loaded JAX model '{self._model_fp.name}' "
+            f"({manifest.get('architecture', 'ResUNet_DEM')}) "
             f"scale={self.contract.scale} devices={len(jax.devices())} "
             f"dtype={self.compute_dtype.__name__}"
         )
@@ -193,6 +214,8 @@ class EngineJAX(EngineBase):
         """(params, state, depth_nhwc, dem_nhwc, compute_dtype) → pred_nhwc."""
         override = getattr(self, "_forward_override", None)
         if override is not None:
+            if getattr(self, "_forward_override_takes_dtype", False):
+                return override
             return lambda p, s, d, m, dtype=None: override(p, s, d, m)
         cfg = self.config
 
@@ -211,6 +234,7 @@ class EngineJAX(EngineBase):
         self.contract = None
         self.config = None
         self._forward_override = None
+        self._forward_override_takes_dtype = False
         self._jit_cache.clear()
 
     # -- compiled kernels ---------------------------------------------------

@@ -57,12 +57,14 @@ class ModelWorker(Model):
         max_batch: int = 8,
         mesh=None,
         output_transfer: str = "uint16",
+        input_transfer: str = "uint16",
     ):
         super().__init__(model_fp=model_fp, model_version=self.model_version, logger=logger)
         self.compute_dtype = compute_dtype
         self.max_batch = int(max_batch)
         self.mesh = mesh
         self.output_transfer = output_transfer
+        self.input_transfer = input_transfer
         self.engine: EngineJAX | None = None
 
     def __enter__(self):
@@ -251,11 +253,17 @@ class ModelWorker(Model):
                 dem_hr_raw,
             )
         ).all(), "DEM contains non-finite values"
-        # Start the (large) DEM upload immediately; device_put is async, so
-        # the transfer overlaps the depth read and alignment bookkeeping.
-        import jax
+        # Start the (large) DEM upload immediately (async, overlapping the
+        # depth read and alignment bookkeeping) — uint16 fixed-point encoded
+        # by default to halve bytes on transfer-limited hosts
+        # (:mod:`floodsr_tpu.ops.transfer`).
+        from floodsr_tpu.ops.transfer import device_put_dem_quantized
 
-        dem_hr_dev = jax.device_put(np.ascontiguousarray(dem_hr_raw))
+        dem_hr_dev = device_put_dem_quantized(
+            dem_hr_raw,
+            dem_hr_raw_nodata,
+            enabled=self.input_transfer == "uint16",
+        )
         depth_lr_raw, depth_lr_raw_nodata, depth_lr_raw_profile = _read_single_band_raster(depth_lr_path)
         log.debug(f"stage timings: read={time.perf_counter() - t_read0:.3f}s")
         depth_lr_bounds = raster_bounds(depth_lr_raw_profile)

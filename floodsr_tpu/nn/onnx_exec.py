@@ -215,8 +215,11 @@ class OnnxGraphExecutor:
     # -- graph walk -----------------------------------------------------------
 
     def __call__(self, feeds: dict[str, Any]) -> dict[str, Any]:
+        # Constants stay numpy: jax 0.9 traces jnp-wrapped constants, which
+        # would break the convert-time (np.asarray) evaluation of tf2onnx
+        # shape plumbing. lax ops lift numpy operands to constants on use.
         env: dict[str, Any] = {
-            name: jnp.asarray(value) for name, value in self.constants.items()
+            name: np.asarray(value) for name, value in self.constants.items()
         }
         for name in self.input_names:
             if name not in feeds:
@@ -257,7 +260,11 @@ class OnnxGraphExecutor:
                 result = jnp.log(env[node.inputs[0]])
             elif op == "Concat":
                 axis = int(_attr(node, "axis", 1))
-                result = jnp.concatenate([env[i] for i in node.inputs], axis=axis)
+                parts = [env[i] for i in node.inputs]
+                if all(isinstance(p, np.ndarray) for p in parts):
+                    result = np.concatenate(parts, axis=axis)  # shape plumbing
+                else:
+                    result = jnp.concatenate(parts, axis=axis)
             elif op in ("AveragePool", "MaxPool"):
                 result = self._op_pool(node, env, "max" if op == "MaxPool" else "avg")
             elif op == "GlobalAveragePool":
@@ -318,17 +325,66 @@ class OnnxGraphExecutor:
                 axes = _attr(node, "axes")
                 if axes is None and len(node.inputs) > 1:
                     axes = np.asarray(env[node.inputs[1]]).astype(int).tolist()
-                result = jnp.expand_dims(env[node.inputs[0]], axis=tuple(axes))
+                x = env[node.inputs[0]]
+                if isinstance(x, np.ndarray):
+                    result = np.expand_dims(x, axis=tuple(axes))
+                else:
+                    result = jnp.expand_dims(x, axis=tuple(axes))
             elif op == "Resize":
                 result = self._op_resize(node, env)
             elif op == "Shape":
-                result = jnp.asarray(env[node.inputs[0]].shape, jnp.int64)
+                # Host constant (numpy): shapes are static under jit, and
+                # tf2onnx shape plumbing (Gather/Slice/Concat/Reshape over
+                # this) must stay convert-time-evaluable, not become tracers.
+                result = np.asarray(env[node.inputs[0]].shape, np.int64)
             elif op == "MatMul":
                 result = jnp.matmul(
                     env[node.inputs[0]], env[node.inputs[1]],
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST,
                 )
+            elif op == "Gather":
+                data = env[node.inputs[0]]
+                indices = np.asarray(env[node.inputs[1]])
+                axis = int(_attr(node, "axis", 0))
+                if isinstance(data, np.ndarray):
+                    result = np.take(data, indices, axis=axis)  # shape plumbing
+                else:
+                    result = jnp.take(data, jnp.asarray(indices), axis=axis)
+            elif op == "Slice":
+                data = env[node.inputs[0]]
+                if len(node.inputs) > 1:
+                    starts = np.asarray(env[node.inputs[1]]).astype(np.int64)
+                    ends = np.asarray(env[node.inputs[2]]).astype(np.int64)
+                    axes = (
+                        np.asarray(env[node.inputs[3]]).astype(np.int64)
+                        if len(node.inputs) > 3 and node.inputs[3]
+                        else np.arange(starts.size, dtype=np.int64)
+                    )
+                    steps = (
+                        np.asarray(env[node.inputs[4]]).astype(np.int64)
+                        if len(node.inputs) > 4 and node.inputs[4]
+                        else np.ones(starts.size, np.int64)
+                    )
+                else:  # opset <10: attribute form
+                    starts = np.asarray(_attr(node, "starts"), np.int64)
+                    ends = np.asarray(_attr(node, "ends"), np.int64)
+                    axes = np.asarray(
+                        _attr(node, "axes", list(range(starts.size))), np.int64
+                    )
+                    steps = np.ones(starts.size, np.int64)
+                slices = [slice(None)] * data.ndim
+                for st, en, ax, sp in zip(starts, ends, axes, steps):
+                    ax = int(ax) % data.ndim
+                    big = np.iinfo(np.int64).max // 2
+                    en = int(np.clip(en, -big, big))
+                    slices[ax] = slice(int(st), en, int(sp))
+                result = data[tuple(slices)]
+            elif op == "ConstantOfShape":
+                shape = [int(v) for v in np.asarray(env[node.inputs[0]])]
+                fill = _attr(node, "value", None)
+                value = float(np.asarray(fill).ravel()[0]) if fill is not None else 0.0
+                result = jnp.full(shape, value, jnp.float32)
             elif op == "Gemm":
                 a = env[node.inputs[0]]
                 b = env[node.inputs[1]]

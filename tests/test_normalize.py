@@ -134,3 +134,47 @@ class TestNodataReplacement:
     def test_none_nodata_passthrough(self):
         arr = np.array([1.0, -9999.0], dtype=np.float32)
         np.testing.assert_array_equal(replace_nodata_with_zero(arr, None), arr)
+
+
+class TestQuantizedTransfer:
+    def test_small_arrays_bypass_exactly(self):
+        from floodsr_tpu.ops.transfer import device_put_dem_quantized
+
+        arr = np.random.default_rng(0).normal(500, 30, (64, 64)).astype(np.float32)
+        out = np.asarray(device_put_dem_quantized(arr, None))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_large_array_quantizes_within_step(self):
+        from floodsr_tpu.ops.transfer import device_put_dem_quantized
+
+        rng = np.random.default_rng(1)
+        arr = rng.uniform(200.0, 800.0, (1536, 1536)).astype(np.float32)
+        out = np.asarray(device_put_dem_quantized(arr, None))
+        step = (800.0 - 200.0) / 65534.0
+        assert np.abs(out - arr).max() <= step * 0.51 + 1e-4
+
+    def test_nodata_roundtrips_exactly(self):
+        from floodsr_tpu.ops.transfer import device_put_dem_quantized
+
+        rng = np.random.default_rng(2)
+        arr = rng.uniform(0.0, 100.0, (1536, 1536)).astype(np.float32)
+        mask = rng.random((1536, 1536)) < 0.1
+        arr[mask] = -9999.0
+        out = np.asarray(device_put_dem_quantized(arr, -9999.0))
+        np.testing.assert_array_equal(out[mask], -9999.0)
+        step = 100.0 / 65534.0
+        assert np.abs(out[~mask] - arr[~mask]).max() <= step * 0.51 + 1e-5
+
+    def test_disabled_is_exact(self):
+        from floodsr_tpu.ops.transfer import device_put_dem_quantized
+
+        arr = np.random.default_rng(3).uniform(0, 1, (1536, 1536)).astype(np.float32)
+        out = np.asarray(device_put_dem_quantized(arr, None, enabled=False))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_constant_dem_bypasses(self):
+        from floodsr_tpu.ops.transfer import device_put_dem_quantized
+
+        arr = np.full((1536, 1536), 42.0, np.float32)
+        out = np.asarray(device_put_dem_quantized(arr, None))
+        np.testing.assert_array_equal(out, arr)
