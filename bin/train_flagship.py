@@ -205,15 +205,168 @@ def run_study(steps: int, out_fp: Path) -> None:
     print(f"wrote {out_fp}")
 
 
+def run_golden(steps: int) -> None:
+    """Train the flagship-geometry CI artifact + build its regression case.
+
+    Full flagship config (f=32, 16×, 32→512 tiles, hr_s2d=2), trained on the
+    synthetic hydraulic generator, stored float16 (VERDICT r1 item 7). The
+    case pins metrics through the tohr pipeline at 64² LR → 1024² HR
+    (9 feather tiles) plus the bilinear baseline — runnable in the default
+    CPU suite.
+    """
+    from floodsr_tpu.nn import ResUNetConfig
+    from floodsr_tpu.train import TrainConfig, init_train_state, make_train_step, split_indices
+    from floodsr_tpu.train.trainer import export_inference_artifact
+
+    scale, hr = 16, 512
+    dataset = build_dataset(288, hr, scale, seed0=31000)
+    train_idx, _ = split_indices(len(dataset), val_fraction=0.11, seed=SEED)
+
+    cfg = ResUNetConfig()  # flagship
+    tcfg = TrainConfig(total_steps=steps, base_lr=4e-4, second_lr=1e-4)
+    state = init_train_state(SEED, cfg, tcfg)
+    step_fn = make_train_step(cfg, tcfg, donate=True)
+    t0 = time.perf_counter()
+    curve = []
+    for bi, batch in enumerate(
+        dataset.batches(train_idx, batch_size=8, seed=SEED + 1, augment=True, steps=steps)
+    ):
+        state, metrics = step_fn(state, batch)
+        if bi % 100 == 0 or bi == steps - 1:
+            curve.append({"step": bi, "loss": float(metrics["loss"])})
+            print(f"golden step {bi}: loss {curve[-1]['loss']:.5f}", flush=True)
+    print(f"trained flagship golden in {time.perf_counter() - t0:.0f}s")
+
+    art_dir = REPO / "tests" / "data" / "_artifacts"
+    art_dir.mkdir(parents=True, exist_ok=True)
+    fp = export_inference_artifact(
+        art_dir / "model_infer_flagship.fsrz",
+        state,
+        cfg,
+        {"seed": SEED, "purpose": "flagship-geometry regression golden",
+         "train_steps": steps, "loss_curve": curve},
+        store_dtype="float16",
+    )
+    print(f"wrote {fp} ({fp.stat().st_size/1e6:.1f} MB)")
+
+
+def build_golden_case(case_name: str = "synth_flagship") -> None:
+    """Pin the flagship-geometry regression case (CPU backend required).
+
+    64² LR @30 m → 1024² HR (9 feather tiles of the real 32→512 contract),
+    generated from the same hydraulic-scene family the artifact was trained
+    on (held-out seed), metrics + bilinear baseline pinned at precision 3 —
+    the pattern of the reference's ``rss_mersch_A`` case.
+    """
+    assert jax.default_backend() == "cpu", "golden cases must be pinned on CPU"
+    import json
+
+    from floodsr_tpu.eval import compute_depth_error_metrics
+    from floodsr_tpu.io import from_origin, read_raster, write_raster
+    from floodsr_tpu.tohr import tohr
+
+    scale, lr_res = 16, 30.0
+    hr_res = lr_res / scale
+    dem = make_terrain((1024, 1024), seed=77001)
+    truth = make_truth(dem, seed=77001)
+    depth_lr = box_mean(truth, scale)
+
+    case_dir = REPO / "tests" / "data" / case_name
+    case_dir.mkdir(parents=True, exist_ok=True)
+    x0, y0 = 500000.0, 4000000.0
+
+    def write(fp, arr, res):
+        write_raster(
+            fp, np.asarray(arr, np.float32),
+            {
+                "height": arr.shape[0], "width": arr.shape[1], "count": 1,
+                "dtype": "float32", "crs": "EPSG:32633",
+                "transform": from_origin(x0, y0 + arr.shape[0] * res, res, res),
+                "nodata": -9999.0, "compress": "LZW",
+            },
+        )
+
+    lowres_fp = case_dir / "lowres030.tif"
+    dem_fp = case_dir / "hires002_dem.tif"
+    truth_fp = case_dir / "hires002.tif"
+    write(lowres_fp, depth_lr, lr_res)
+    write(dem_fp, dem, hr_res)
+    write(truth_fp, truth, hr_res)
+
+    model_fp = REPO / "tests" / "data" / "_artifacts" / "model_infer_flagship.fsrz"
+    assert model_fp.exists(), "train the artifact first (--golden on the TPU host)"
+    out_fp = case_dir / "_golden_pred.tif"
+    tohr(
+        model_version="ResUNet_16x_DEM",
+        model_fp=model_fp,
+        depth_lr_fp=lowres_fp,
+        dem_hr_fp=dem_fp,
+        output_fp=out_fp,
+    )
+    pred, _, _ = read_raster(out_fp)
+    out_fp.unlink()
+    metrics = compute_depth_error_metrics(truth, pred, max_depth=5.0)
+    bl = compute_depth_error_metrics(
+        truth, np.clip(bilinear_up(depth_lr, scale), 0, 5).astype(np.float32), max_depth=5.0
+    )
+    spec = {
+        "inputs": {
+            "lowres_fp": lowres_fp.name,
+            "dem_fp": dem_fp.name,
+            "truth_fp": truth_fp.name,
+        },
+        "expected": {
+            "ResUNet_16x_DEM_default": {
+                "params": {"model_version": "ResUNet_16x_DEM"},
+                "metrics": {
+                    "precision": 3,
+                    "mase_m": metrics["mase_m"],
+                    "rmse_m": metrics["rmse_m"],
+                    "ssim": metrics["ssim"],
+                },
+            }
+        },
+        "flags": {"in_hrdem": False, "non_native_scale": False, "allow_zero_border": True},
+        "model_artifact": "_artifacts/model_infer_flagship.fsrz",
+        "baseline_bilinear": {
+            "rmse_m": bl["rmse_m"], "ssim": bl["ssim"], "mase_m": bl["mase_m"],
+        },
+    }
+    (case_dir / "case_spec.json").write_text(json.dumps(spec, indent=2))
+    (case_dir / "readme.md").write_text(
+        f"# {case_name}\n\nFlagship-geometry regression case: 64x64 LR @30 m -> "
+        "1024x1024 HR @1.875 m through the real 32->512 tile contract "
+        "(9 feather tiles). Model: tests/data/_artifacts/"
+        "model_infer_flagship.fsrz (f=32, hr_s2d=2, trained by "
+        "bin/train_flagship.py --golden on synthetic hydraulic scenes; "
+        "float16-stored). Truth is deterministic in the DEM, so the "
+        "DEM-conditioned model must beat plain bilinear upsampling "
+        "(baseline pinned in case_spec.json).\n"
+    )
+    print(
+        f"{case_name}: SR rmse={metrics['rmse_m']:.4f} ssim={metrics['ssim']:.4f} "
+        f"vs bilinear rmse={bl['rmse_m']:.4f} ssim={bl['ssim']:.4f}"
+    )
+    assert metrics["rmse_m"] < bl["rmse_m"], "flagship golden must beat bilinear"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--study", action="store_true")
+    ap.add_argument("--golden", action="store_true")
+    ap.add_argument("--golden-case", action="store_true")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--out", type=Path, default=REPO / "docs" / "perf" / "flagship_study.json")
     args = ap.parse_args()
     print("backend:", jax.default_backend(), jax.devices())
     if args.study:
         run_study(args.steps, args.out)
+        return 0
+    if args.golden:
+        run_golden(args.steps)
+        return 0
+    if args.golden_case:
+        build_golden_case()
         return 0
     ap.print_help()
     return 1

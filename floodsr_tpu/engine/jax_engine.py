@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from floodsr_tpu.engine.base import EngineBase, ModelIOContract
 from floodsr_tpu.nn.checkpoint import load_artifact
 from floodsr_tpu.nn.resunet import ResUNetConfig, resunet_apply
-from floodsr_tpu.ops.resample import reproject_bilinear, separable_resample_np
+from floodsr_tpu.ops.resample import StreamingSeparableResampler, reproject_bilinear
 from floodsr_tpu.ops.normalize import (
     _parse_dem_normalization_stats,
     invert_depth_log1p,
@@ -68,6 +68,7 @@ class EngineJAX(EngineBase):
         batch_axis: str = "dp",
         output_transfer: str = "uint16",
         scene_bucket_tiles: int = 2,
+        pallas_tail: bool | None = None,
     ):
         assert output_transfer in {"uint16", "float32"}, output_transfer
         self._model_fp = Path(model_fp).expanduser().resolve()
@@ -79,6 +80,7 @@ class EngineJAX(EngineBase):
         self.batch_axis = batch_axis
         self.output_transfer = output_transfer
         self.scene_bucket_tiles = int(scene_bucket_tiles)
+        self.pallas_tail = pallas_tail
         self.config: ResUNetConfig | None = None
         self.params = None
         self.state = None
@@ -218,10 +220,12 @@ class EngineJAX(EngineBase):
                 return override
             return lambda p, s, d, m, dtype=None: override(p, s, d, m)
         cfg = self.config
+        pallas_tail = self.pallas_tail
 
         def run(params, state, depth, dem, dtype=jnp.float32):
             out, _ = resunet_apply(
-                params, state, depth, dem, cfg, train=False, compute_dtype=dtype
+                params, state, depth, dem, cfg, train=False,
+                compute_dtype=dtype, pallas_tail=pallas_tail,
             )
             return out
 
@@ -432,8 +436,13 @@ class EngineJAX(EngineBase):
         crop_shape: tuple[int, int],
         post_resample=None,
         low_depth_mask_m: float = 1e-3,
+        row_sink=None,
     ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
-        """Fused whole-scene execution: one H2D, one jit region, one D2H.
+        """Fused whole-scene execution: one H2D, one jit region, banded D2H.
+
+        ``row_sink(band)``: optional consumer of finished output row bands
+        (top to bottom) called while later bands are still in flight from the
+        device — the worker plugs streaming GeoTIFF strip writes in here.
 
         ``depth_raw``/``dem_raw`` are UNPADDED LR/HR scenes — numpy arrays or
         jax arrays already resident on device (e.g. straight from the device
@@ -519,33 +528,108 @@ class EngineJAX(EngineBase):
         jax.block_until_ready(out)
         t2 = time.perf_counter()
 
-        out.copy_to_host_async()
         stats_np = np.asarray(stats)[:n]
-        out_np = np.asarray(out)[:crop_h, :crop_w]
+        out_np = self._finish_scene(
+            out,
+            crop_shape=(crop_h, crop_w),
+            max_depth=float(max_depth),
+            post_resample=post_resample,
+            low_depth_mask_m=float(low_depth_mask_m),
+            row_sink=row_sink,
+        )
         t3 = time.perf_counter()
-
-        if self.output_transfer == "uint16":
-            out_np = out_np.astype(np.float32) * (float(max_depth) / 65535.0)
-        if post_resample is not None:
-            dst_shape, src_t, dst_t = post_resample
-            if src_t.is_rectilinear() and dst_t.is_rectilinear():
-                out_np = separable_resample_np(out_np, src_t, tuple(dst_shape), dst_t)
-            else:
-                out_np = reproject_bilinear(out_np, src_t, tuple(dst_shape), dst_t)
-            out_np = np.clip(out_np, 0.0, float(max_depth))
-        out_np = np.where(out_np < low_depth_mask_m, 0.0, out_np).astype(np.float32)
-        t4 = time.perf_counter()
 
         self.log.debug(
             f"run_scene timings: h2d={t1 - t0:.3f}s exec={t2 - t1:.3f}s "
-            f"d2h={t3 - t2:.3f}s host_post={t4 - t3:.3f}s "
-            f"tiles={n} bucket={bucket}"
+            f"d2h+post={t3 - t2:.3f}s tiles={n} bucket={bucket}"
         )
         return out_np, {
             "p_clip": stats_np[:, 0],
             "dem_min": stats_np[:, 1],
             "dem_max": stats_np[:, 2],
         }
+
+    def _finish_scene(
+        self,
+        out,
+        *,
+        crop_shape: tuple[int, int],
+        max_depth: float,
+        post_resample,
+        low_depth_mask_m: float,
+        row_sink=None,
+    ) -> np.ndarray:
+        """Banded D2H + host postprocess: crop → dequant → resample → mask.
+
+        The bucket output is pulled down in row bands with async copies so
+        the dequantize/resample (and the caller's ``row_sink`` — typically
+        streaming GeoTIFF strip writes) overlap the transfer of later bands.
+        Reference postprocess order preserved: crop → clip (on device) →
+        resample → low-depth mask
+        (``floodsr/models/ResUNet_16x_DEM.py:554-583``).
+        """
+        crop_h, crop_w = crop_shape
+        dequant = float(max_depth) / 65535.0 if self.output_transfer == "uint16" else None
+
+        resampler = None
+        general_warp = None
+        if post_resample is not None:
+            dst_shape, src_t, dst_t = post_resample
+            dst_shape = tuple(int(v) for v in dst_shape)
+            if src_t.is_rectilinear() and dst_t.is_rectilinear():
+                resampler = StreamingSeparableResampler(
+                    (crop_h, crop_w), src_t, dst_shape, dst_t
+                )
+            else:
+                general_warp = (dst_shape, src_t, dst_t)
+        final_shape = dst_shape if post_resample is not None else (crop_h, crop_w)
+
+        # Band plan over the cropped rows (bucket margin is never transferred).
+        band_rows = 512
+        if crop_h <= 2 * band_rows or general_warp is not None:
+            bands = [(0, crop_h)]
+        else:
+            bands = [(r, min(r + band_rows, crop_h)) for r in range(0, crop_h, band_rows)]
+        dev_bands = [out[a:b] for a, b in bands]
+        for dev in dev_bands:
+            dev.copy_to_host_async()
+
+        final = np.empty(final_shape, np.float32)
+        src_full = np.empty((crop_h, crop_w), np.float32) if general_warp else None
+
+        def emit(dst_start: int, dst_rows: np.ndarray) -> None:
+            if dst_rows.shape[0] == 0:
+                return
+            dst_rows = np.clip(dst_rows, 0.0, max_depth)
+            dst_rows = np.where(dst_rows < low_depth_mask_m, 0.0, dst_rows).astype(
+                np.float32, copy=False
+            )
+            final[dst_start : dst_start + dst_rows.shape[0]] = dst_rows
+            if row_sink is not None:
+                row_sink(dst_rows)
+
+        next_plain = 0
+        for (a, b), dev in zip(bands, dev_bands):
+            band_np = np.asarray(dev)[:, :crop_w]
+            if dequant is not None:
+                band_np = band_np.astype(np.float32) * dequant
+            else:
+                band_np = np.asarray(band_np, np.float32)
+            if resampler is not None:
+                emit(*resampler.feed(band_np))
+            elif general_warp is not None:
+                src_full[a:b] = band_np
+            else:
+                emit(next_plain, band_np)
+                next_plain += band_np.shape[0]
+
+        if general_warp is not None:
+            dst_shape, src_t, dst_t = general_warp
+            warped = reproject_bilinear(src_full, src_t, dst_shape, dst_t)
+            emit(0, np.asarray(warped, np.float32))
+        elif resampler is not None:
+            assert resampler.complete, "streaming resample did not cover all rows"
+        return final
 
     def _put_padded(self, arr, target_shape: tuple[int, int]):
         """Upload (or reuse) ``arr`` zero-padded to ``target_shape``.

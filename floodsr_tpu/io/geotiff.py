@@ -291,6 +291,39 @@ def write_raster(
     return path
 
 
+def open_raster_stream(fp: str | Path, profile: dict) -> "_tiff.StripStreamWriter":
+    """Open a streaming single-band GeoTIFF writer for row-band output.
+
+    Same profile semantics as :func:`write_raster`; the caller feeds
+    ``write_rows(band)`` top to bottom and ``close()``s (or uses it as a
+    context manager). Strips are compressed and written incrementally, which
+    lets GeoTIFF encoding overlap the device→host transfer of later bands.
+    """
+    path = Path(fp).expanduser().resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    dtype = np.dtype(profile.get("dtype", "float32"))
+    nodata = profile.get("nodata")
+    crs = CRS.from_user_input(profile.get("crs"))
+    transform = profile.get("transform")
+    if transform is not None and not isinstance(transform, Affine):
+        transform = Affine(*list(transform)[:6])
+    compress_name = profile.get("compress")
+    if isinstance(compress_name, str):
+        compress_name = compress_name.upper()
+    compression = _COMPRESS_TO_TIFF.get(compress_name, _tiff.COMPRESSION_LZW)
+    extra_tags = _geo_tags_for(
+        transform, crs, None if nodata is None else float(nodata)
+    )
+    return _tiff.StripStreamWriter(
+        path,
+        int(profile["height"]),
+        int(profile["width"]),
+        dtype,
+        extra_tags=extra_tags,
+        compression=compression,
+    )
+
+
 def raster_bounds(profile: dict) -> tuple[float, float, float, float]:
     """(left, bottom, right, top) from a profile's shape + transform."""
     from floodsr_tpu.io.affine import array_bounds

@@ -559,3 +559,144 @@ def encode_tiff(
         if len(sb) % 2:
             out += b"\0"
     return bytes(out)
+
+
+class StripStreamWriter:
+    """Incremental striped-TIFF writer: feed row bands, strips hit disk as
+    they compress.
+
+    Layout: header (IFD pointer backpatched at close) → strip data → IFD +
+    out-of-line tag payloads. Readers follow the pointer, so IFD-at-end is
+    fully conformant. This is the output half of the pipelined device→host
+    path: each row band is LZW-encoded and written while the next band is
+    still in flight from the device.
+    """
+
+    def __init__(
+        self,
+        fp,
+        height: int,
+        width: int,
+        dtype,
+        extra_tags: list[tuple[int, int, object]] | None = None,
+        compression: int = COMPRESSION_LZW,
+        rows_per_strip: int | None = None,
+    ):
+        self._handle = open(fp, "wb")
+        self._height = int(height)
+        self._width = int(width)
+        self._dtype = np.dtype(dtype)
+        if self._dtype.byteorder == ">":
+            raise ValueError("StripStreamWriter is little-endian only")
+        self._compression = compression
+        self._extra_tags = list(extra_tags or [])
+        self._predictor = (
+            2 if (compression != COMPRESSION_NONE and self._dtype.kind in "ui") else 1
+        )
+        itemsize = self._dtype.itemsize
+        if rows_per_strip is None:
+            target = 1 << 18
+            rows_per_strip = max(1, min(self._height, target // max(1, width * itemsize)))
+        self._rps = int(rows_per_strip)
+        self._pending = np.empty((0, self._width), self._dtype)
+        self._rows_done = 0
+        self._offsets: list[int] = []
+        self._counts: list[int] = []
+        # Header: II, magic 42, IFD pointer placeholder (patched in close()).
+        self._handle.write(struct.pack("<2sHI", b"II", 42, 0))
+
+    def write_rows(self, band: np.ndarray) -> None:
+        band = np.ascontiguousarray(band, self._dtype)
+        assert band.ndim == 2 and band.shape[1] == self._width, band.shape
+        self._pending = (
+            band if self._pending.size == 0 else np.vstack([self._pending, band])
+        )
+        self._rows_done += band.shape[0]
+        assert self._rows_done <= self._height, "more rows than declared height"
+        flush_all = self._rows_done == self._height
+        while self._pending.shape[0] >= self._rps or (
+            flush_all and self._pending.shape[0] > 0
+        ):
+            chunk = self._pending[: self._rps]
+            self._pending = self._pending[self._rps :]
+            enc = _apply_predictor_encode(chunk[:, :, None], self._predictor)
+            blob = _compress_chunk(enc.tobytes(), self._compression)
+            self._offsets.append(self._handle.tell())
+            self._counts.append(len(blob))
+            self._handle.write(blob)
+            if len(blob) % 2:
+                self._handle.write(b"\0")
+
+    def close(self) -> None:
+        assert self._rows_done == self._height, (
+            f"wrote {self._rows_done} of {self._height} rows"
+        )
+        endian = "<"
+        tags: list[tuple[int, int, tuple | str]] = [
+            (TAG_IMAGE_WIDTH, 4, (self._width,)),
+            (TAG_IMAGE_LENGTH, 4, (self._height,)),
+            (TAG_BITS_PER_SAMPLE, 3, (self._dtype.itemsize * 8,)),
+            (TAG_COMPRESSION, 3, (self._compression,)),
+            (TAG_PHOTOMETRIC, 3, (1,)),
+            (TAG_STRIP_OFFSETS, 4, tuple(self._offsets)),
+            (TAG_SAMPLES_PER_PIXEL, 3, (1,)),
+            (TAG_ROWS_PER_STRIP, 4, (self._rps,)),
+            (TAG_STRIP_BYTE_COUNTS, 4, tuple(self._counts)),
+            (TAG_PLANAR_CONFIG, 3, (1,)),
+            (TAG_SAMPLE_FORMAT, 3, (_sample_format_for(self._dtype),)),
+        ]
+        if self._predictor != 1:
+            tags.append((TAG_PREDICTOR, 3, (self._predictor,)))
+        tags.extend(self._extra_tags)
+        tags.sort(key=lambda t: t[0])
+
+        if self._handle.tell() % 2:
+            self._handle.write(b"\0")
+        ifd_offset = self._handle.tell()
+        ifd_size = 2 + len(tags) * 12 + 4
+        payload_base = ifd_offset + ifd_size
+        entries: list[bytes] = []
+        payloads: list[bytes] = []
+        for tag, ftype, value in tags:
+            ch, _size = _FIELD_TYPES[ftype]
+            if ftype == 2:
+                raw = str(value).encode("ascii") + b"\0"
+                count = len(raw)
+            else:
+                vals = tuple(value)
+                count = len(vals)
+                raw = struct.pack(endian + ch * count, *vals)
+            if len(raw) <= 4:
+                entries.append(
+                    struct.pack(endian + "HHI4s", tag, ftype, count, raw.ljust(4, b"\0"))
+                )
+            else:
+                entries.append(
+                    struct.pack(
+                        endian + "HHII", tag, ftype, count,
+                        payload_base + sum(map(len, payloads)),
+                    )
+                )
+                if len(raw) % 2:
+                    raw += b"\0"
+                payloads.append(raw)
+        self._handle.write(struct.pack(endian + "H", len(tags)))
+        for e in entries:
+            self._handle.write(e)
+        self._handle.write(struct.pack(endian + "I", 0))
+        for p in payloads:
+            self._handle.write(p)
+        # Backpatch the header's IFD pointer.
+        self._handle.seek(4)
+        self._handle.write(struct.pack(endian + "I", ifd_offset))
+        self._handle.close()
+
+    def __enter__(self) -> "StripStreamWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.close()
+        else:
+            self._handle.close()
+        return False

@@ -35,7 +35,6 @@ from floodsr_tpu.io.geotiff import pixel_size, raster_bounds
 from floodsr_tpu.models.base import Model
 from floodsr_tpu.preprocessing import (
     _read_single_band_raster,
-    _write_single_band_raster,
     resolve_preprocess_config,
     write_prepared_rasters,
 )
@@ -100,6 +99,7 @@ class ModelWorker(Model):
         window_method: str,
         overlap_lr: int,
         post_resample: tuple | None = None,
+        row_sink=None,
     ) -> tuple[np.ndarray, int, dict[str, float] | None]:
         """Fused tiled execution over prepared arrays → final meter-domain scene.
 
@@ -175,6 +175,7 @@ class ModelWorker(Model):
             crop_shape=(crop_h, crop_w),
             post_resample=post_resample,
             low_depth_mask_m=float(self.low_depth_mask_m),
+            row_sink=row_sink,
         )
 
         # Diagnostics reflect content tiles (the engine drops pure-padding
@@ -366,37 +367,49 @@ class ModelWorker(Model):
                     prepped["dem_raw_profile"]["transform"],
                 )
 
+            # Streaming write: the output GeoTIFF's strips are encoded and
+            # written per row band WHILE later bands are still in flight from
+            # the device (run_scene's banded D2H → open_raster_stream).
+            from floodsr_tpu.io.geotiff import open_raster_stream
+
+            output_profile = dict(prepped["dem_raw_profile"])
+            output_profile.update(dtype="float32", count=1)
+            stream_writer = open_raster_stream(out_path, output_profile)
+
             t_tiled0 = time.perf_counter()
-            prediction_out_m, tile_cache_size, tile_dem_stats = (
-                self._run_tiled_model_on_prepared(
-                    depth_lr_raw=prepped["depth_lr"],
-                    dem_hr_raw=prepped["dem_hr"],
-                    depth_lr_profile=prepped["depth_lr_profile"],
-                    dem_hr_profile=prepped["dem_profile"],
-                    preprocess_cfg=preprocess_cfg,
-                    model_lr_tile=model_lr_tile,
-                    model_scale=model_scale,
-                    contract_hr_tile=contract_hr_tile,
-                    window_method=window_method,
-                    overlap_lr=overlap_lr,
-                    post_resample=post_spec,
+            try:
+                prediction_out_m, tile_cache_size, tile_dem_stats = (
+                    self._run_tiled_model_on_prepared(
+                        depth_lr_raw=prepped["depth_lr"],
+                        dem_hr_raw=prepped["dem_hr"],
+                        depth_lr_profile=prepped["depth_lr_profile"],
+                        dem_hr_profile=prepped["dem_profile"],
+                        preprocess_cfg=preprocess_cfg,
+                        model_lr_tile=model_lr_tile,
+                        model_scale=model_scale,
+                        contract_hr_tile=contract_hr_tile,
+                        window_method=window_method,
+                        overlap_lr=overlap_lr,
+                        post_resample=post_spec,
+                        row_sink=stream_writer.write_rows,
+                    )
                 )
-            )
+            except BaseException:
+                stream_writer._handle.close()
+                Path(out_path).unlink(missing_ok=True)
+                raise
             log.debug(f"stage timings: tiled_run={time.perf_counter() - t_tiled0:.3f}s")
             assert prediction_out_m.shape == tuple(prepped["dem_raw_shape"]), (
                 f"prediction shape {prediction_out_m.shape} must match "
                 f"raw DEM shape {prepped['dem_raw_shape']}"
             )
 
-            output_profile = dict(prepped["dem_raw_profile"])
-            output_profile.update(dtype="float32", count=1)
-
-            # The device path already clipped to [0, max_depth] and applied
-            # the low-depth mask; a cheap range guard replaces host re-work.
+            # The pipeline already clipped to [0, max_depth] and applied the
+            # low-depth mask; a cheap range guard replaces host re-work.
             assert prediction_out_m.dtype == np.float32
             assert float(prediction_out_m.max(initial=0.0)) <= float(
                 preprocess_cfg["max_depth"]
-            ) + 1e-6, "device postprocess failed to clip to max_depth" 
+            ) + 1e-6, "postprocess failed to clip to max_depth"
 
             prepared_dem_bounds = raster_bounds(prepped["dem_raw_profile"])
             assert all(
@@ -408,8 +421,9 @@ class ModelWorker(Model):
             )
 
             t_write0 = time.perf_counter()
-            out_written_fp = _write_single_band_raster(out_path, prediction_out_m, output_profile)
-            log.debug(f"stage timings: write={time.perf_counter() - t_write0:.3f}s")
+            stream_writer.close()
+            out_written_fp = Path(out_path)
+            log.debug(f"stage timings: write_tail={time.perf_counter() - t_write0:.3f}s")
             from floodsr_tpu.io.geotiff import read_raster_header
 
             written_profile = read_raster_header(out_written_fp)

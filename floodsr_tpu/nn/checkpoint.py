@@ -76,13 +76,31 @@ def save_artifact(
     params: Any,
     state: Any,
     metadata: dict | None = None,
+    *,
+    store_dtype: str | None = None,
 ) -> Path:
-    """Write a model artifact; returns the written path."""
+    """Write a model artifact; returns the written path.
+
+    ``store_dtype="float16"`` stores float leaves as half precision (halves
+    artifact size for distribution/goldens; ~1e-3 relative weight rounding);
+    the loader restores float32. Stored dtype is recorded in the manifest.
+    """
     path = Path(fp).expanduser().resolve()
     path.parent.mkdir(parents=True, exist_ok=True)
 
     params_arrays, _ = _flatten(params)
     state_arrays, _ = _flatten(state)
+    if store_dtype == "float16":
+        def half(arrays):
+            return {
+                k: (a.astype(np.float16) if a.dtype == np.float32 else a)
+                for k, a in arrays.items()
+            }
+
+        params_arrays = half(params_arrays)
+        state_arrays = half(state_arrays)
+    elif store_dtype is not None:
+        raise ValueError(f"unsupported store_dtype {store_dtype!r}")
     manifest = {
         "format": ARTIFACT_FORMAT,
         "version": ARTIFACT_VERSION,
@@ -99,6 +117,7 @@ def save_artifact(
         },
         "params_skeleton": _skeleton(params),
         "state_skeleton": _skeleton(state),
+        "store_dtype": store_dtype or "float32",
         "metadata": metadata or {},
     }
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
@@ -119,9 +138,15 @@ def load_artifact(fp: str | Path) -> dict[str, Any]:
             if manifest.get("format") != ARTIFACT_FORMAT:
                 raise ValueError(f"not a floodsr-tpu artifact: {path}")
             with np.load(io.BytesIO(zf.read("params.npz"))) as npz:
-                params_arrays = {k: npz[k] for k in npz.files}
+                params_arrays = {
+                    k: (npz[k].astype(np.float32) if npz[k].dtype == np.float16 else npz[k])
+                    for k in npz.files
+                }
             with np.load(io.BytesIO(zf.read("state.npz"))) as npz:
-                state_arrays = {k: npz[k] for k in npz.files}
+                state_arrays = {
+                    k: (npz[k].astype(np.float32) if npz[k].dtype == np.float16 else npz[k])
+                    for k in npz.files
+                }
     except zipfile.BadZipFile as err:
         raise ValueError(f"not a floodsr-tpu artifact (bad zip): {path}") from err
 

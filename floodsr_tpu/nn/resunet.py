@@ -296,6 +296,18 @@ def _res_block(
     return y + shortcut, {"bn1": bn1_s, "bn2": bn2_s}
 
 
+def _pallas_tail_eligible(params: Params, cfg: ResUNetConfig, h: int, train: bool) -> bool:
+    """Whether the fused Pallas HR-tail kernel covers this configuration."""
+    return (
+        not train
+        and cfg.fuse_blocks == 2
+        and "proj" in params["fuse"][0]
+        and "proj" not in params["fuse"][1]
+        and h % 8 == 0
+        and h >= 16
+    )
+
+
 def resunet_apply(
     params: Params,
     state: Params,
@@ -305,11 +317,17 @@ def resunet_apply(
     *,
     train: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
+    pallas_tail: bool | None = None,
 ) -> tuple[jnp.ndarray, Params]:
     """Forward pass: normalized inputs ``[N,h,w,1]``/``[N,H,W,1]`` → ``[N,H,W,1]``.
 
     Returns ``(prediction, new_state)``; ``new_state`` equals ``state`` in
     inference mode. Head math runs in float32 regardless of ``compute_dtype``.
+
+    ``pallas_tail``: run the DEM-fusion residual blocks + head as the fused
+    Pallas VMEM kernel (:mod:`floodsr_tpu.ops.pallas.hr_tail`). ``None`` =
+    auto (TPU backend, float32, eligible config); ``True`` forces it (tests
+    use interpret mode off-TPU); ``False`` disables.
     """
     if depth_lr.ndim != 4 or dem_hr.ndim != 4:
         raise AssertionError(
@@ -372,12 +390,41 @@ def resunet_apply(
     else:
         dem_in = dem_hr
     dem_feat = jax.nn.relu(_conv(params["dem_feat"], dem_in))
-    x = jnp.concatenate([x, dem_feat], axis=-1)
-    for bp, bs in zip(params["fuse"], state["fuse"]):
-        x, ns = _res_block(bp, bs, x, cfg, train=train)
-        new_state["fuse"].append(ns)
 
-    out = _conv(params["head"], x.astype(jnp.float32))
+    tail_h = x.shape[1]
+    if pallas_tail is None:
+        pallas_tail = (
+            jax.default_backend() == "tpu"
+            and compute_dtype == jnp.float32
+            and _pallas_tail_eligible(params, cfg, tail_h, train)
+        )
+    if pallas_tail:
+        assert _pallas_tail_eligible(params, cfg, tail_h, train), (
+            "pallas_tail requested but config/shape not eligible"
+        )
+        from floodsr_tpu.ops.pallas.hr_tail import hr_tail_pallas, pack_hr_tail_weights
+
+        weights = pack_hr_tail_weights(
+            {"params": params["fuse"][0], "state": state["fuse"][0]},
+            {"params": params["fuse"][1], "state": state["fuse"][1]},
+            params["head"],
+            bn_eps=cfg.bn_eps,
+        )
+        band = 32 if tail_h % 32 == 0 else (16 if tail_h % 16 == 0 else 8)
+        out = hr_tail_pallas(
+            x,
+            dem_feat,
+            *weights,
+            band=band,
+            interpret=jax.default_backend() != "tpu",
+        )
+        new_state["fuse"] = [bs for bs in state["fuse"]]
+    else:
+        x = jnp.concatenate([x, dem_feat], axis=-1)
+        for bp, bs in zip(params["fuse"], state["fuse"]):
+            x, ns = _res_block(bp, bs, x, cfg, train=train)
+            new_state["fuse"].append(ns)
+        out = _conv(params["head"], x.astype(jnp.float32))
     if s2d > 1:
         # depth-to-space back to full HR resolution, single channel.
         n, hh, ww, _ = out.shape

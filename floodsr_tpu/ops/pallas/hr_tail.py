@@ -1,0 +1,223 @@
+"""Pallas TPU kernel: the ResUNet HR tail fused into one VMEM pass.
+
+The flagship network spends its HBM bandwidth in the HR stages
+(``nn/resunet.py``: DEM re-fusion + 2 pre-activation residual blocks + 1×1
+head at (H/s2d)² × 2f channels). Under XLA each conv round-trips its
+activations through HBM — ~1.2 GB per 8-tile chunk at the flagship geometry
+— while the arithmetic is tiny by MXU standards. This kernel computes
+
+    x   = concat(sr_features, dem_features)            [B, H, W, Ca+Cb]
+    y1  = resblock(x)  : conv3x3(relu(bn1 x)) -> conv3x3(relu(bn2 ·)) + proj(x)
+    y2  = resblock(y1) : same, identity shortcut
+    out = y2 @ w_head + b_head                          [B, H, W, Ch]
+
+entirely in VMEM per row-band: inputs are read once (plus an 8-row halo
+band), the only HBM write is the small head output. Convolutions are 9
+tap-accumulated MXU matmuls per layer (``[rows·W, Cin] @ [Cin, Cout]``);
+column shifts are in-register ``pltpu.roll`` + edge masks (SAME zero
+padding), row halos come from extra block views with clamped index maps
+(same pattern as :mod:`floodsr_tpu.ops.pallas.costgrow_stencil`).
+
+Numerics match the unfused path at f32 (same BN-affine folding as inference
+``_batch_norm``; tap matmuls accumulate in f32). Exactness is pinned by
+tests in interpret mode; TPU A/B numbers land in ``docs/perf/``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 8  # rows per halo view above/below (covers the 4-row stencil reach)
+
+# Packed weight order (kernel positional args after the 6 feature views).
+WEIGHT_KEYS = (
+    "f1_a1", "f1_c1", "f1_w1", "f1_b1", "f1_a2", "f1_c2", "f1_w2", "f1_b2",
+    "f1_pw", "f1_pb",
+    "f2_a1", "f2_c1", "f2_w1", "f2_b1", "f2_a2", "f2_c2", "f2_w2", "f2_b2",
+    "head_w", "head_b",
+)
+
+
+def _shift_cols(arr: jnp.ndarray, s: int) -> jnp.ndarray:
+    """out[..., c, :] = arr[..., c+s, :] with zero fill (SAME padding)."""
+    if s == 0:
+        return arr
+    w = arr.shape[-2]
+    rolled = pltpu.roll(arr, (-s) % w, axis=arr.ndim - 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 2)
+    mask = (col >= w - s) if s > 0 else (col < -s)
+    return jnp.where(mask, 0.0, rolled)
+
+
+def _conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[R, W, Cin] -> [R-2, W, Cout]; SAME zero pad in W, VALID in rows."""
+    rows = x.shape[0] - 2
+    width = x.shape[1]
+    cout = w.shape[-1]
+    acc = jnp.zeros((rows * width, cout), jnp.float32) + b.astype(jnp.float32)
+    for ky in range(3):
+        xs = x[ky : ky + rows]
+        for kx in range(3):
+            tap = _shift_cols(xs, kx - 1).reshape(rows * width, -1)
+            acc = acc + jnp.dot(tap, w[ky, kx], preferred_element_type=jnp.float32)
+    return acc.reshape(rows, width, cout)
+
+
+def _hr_tail_kernel(*refs, band: int, total_rows: int):
+    (a_up, a_mid, a_dn, d_up, d_mid, d_dn) = refs[:6]
+    w = dict(zip(WEIGHT_KEYS, refs[6:-1]))
+    out_ref = refs[-1]
+
+    # Assemble the x band with 4-row halos from the 8-row halo views.
+    def band_with_halo(up, mid, dn):
+        return jnp.concatenate([up[0][HALO - 4 :], mid[0], dn[0][:4]], axis=0)
+
+    xa = band_with_halo(a_up, a_mid, a_dn)
+    xd = band_with_halo(d_up, d_mid, d_dn)
+    x = jnp.concatenate([xa, xd], axis=-1).astype(jnp.float32)
+    width = x.shape[1]
+    cin = x.shape[2]
+
+    i = pl.program_id(1)
+    row0 = i * band - 4  # absolute image row of x's first band row
+
+    def affine_relu(v, a, c, abs_start):
+        """BN-affine + ReLU, zeroed on out-of-image rows.
+
+        The zeroing implements SAME zero padding at the image top/bottom:
+        the padding enters each conv AFTER the activation (relu(c) != 0),
+        so it must be applied per activation, at that tensor's own row
+        offset within the band.
+        """
+        out = jnp.maximum(v * a + c, 0.0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1, 1), 0) + abs_start
+        return jnp.where((row >= 0) & (row < total_rows), out, 0.0)
+
+    # fuse block 1 (projection shortcut): rows band+8 -> band+4
+    t = affine_relu(x, w["f1_a1"][:], w["f1_c1"][:], row0)
+    y = _conv3x3(t, w["f1_w1"][:], w["f1_b1"][:])
+    t = affine_relu(y, w["f1_a2"][:], w["f1_c2"][:], row0 + 1)
+    y = _conv3x3(t, w["f1_w2"][:], w["f1_b2"][:])
+    cm = y.shape[-1]
+    shortcut_in = x[2:-2].reshape((band + 4) * width, cin)
+    proj = jnp.dot(
+        shortcut_in, w["f1_pw"][:], preferred_element_type=jnp.float32
+    ) + w["f1_pb"][:]
+    y1 = y + proj.reshape(band + 4, width, cm)
+
+    # fuse block 2 (identity shortcut): rows band+4 -> band
+    t = affine_relu(y1, w["f2_a1"][:], w["f2_c1"][:], row0 + 2)
+    y = _conv3x3(t, w["f2_w1"][:], w["f2_b1"][:])
+    t = affine_relu(y, w["f2_a2"][:], w["f2_c2"][:], row0 + 3)
+    y = _conv3x3(t, w["f2_w2"][:], w["f2_b2"][:])
+    y2 = y + y1[2:-2]
+
+    # head (1x1, f32)
+    out = jnp.dot(
+        y2.reshape(band * width, cm),
+        w["head_w"][:],
+        preferred_element_type=jnp.float32,
+    ) + w["head_b"][:]
+    out_ref[0] = out.reshape(band, width, -1)
+
+
+def pack_hr_tail_weights(f1: dict, f2: dict, head: dict, *, bn_eps: float):
+    """Fold BN stats and order the fuse/head parameters for the kernel.
+
+    ``f1``/``f2`` carry ``{"params": ..., "state": ...}`` shaped like
+    ``nn/resunet.py`` residual blocks (``f1`` must have a ``proj``); ``head``
+    is the 1×1 conv param dict. Returns the weight list in
+    :data:`WEIGHT_KEYS` order.
+    """
+
+    def affine(bn_p, bn_s):
+        inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + bn_eps)
+        a = bn_p["scale"] * inv
+        c = bn_p["offset"] - bn_p["scale"] * bn_s["mean"] * inv
+        return a.astype(jnp.float32), c.astype(jnp.float32)
+
+    def block(blk, with_proj):
+        p, s = blk["params"], blk["state"]
+        a1, c1 = affine(p["bn1"], s["bn1"])
+        a2, c2 = affine(p["bn2"], s["bn2"])
+        out = [
+            a1, c1, p["conv1"]["w"], p["conv1"]["b"],
+            a2, c2, p["conv2"]["w"], p["conv2"]["b"],
+        ]
+        if with_proj:
+            out += [p["proj"]["w"][0, 0], p["proj"]["b"]]
+        return out
+
+    ws = block(f1, True) + block(f2, False) + [head["w"][0, 0], head["b"]]
+    return [jnp.asarray(v, jnp.float32) for v in ws]
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def hr_tail_pallas(
+    sr_feat: jnp.ndarray,
+    dem_feat: jnp.ndarray,
+    *weights: jnp.ndarray,
+    band: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused concat+resblock×2+head over NHWC features; returns [B,H,W,Ch]."""
+    assert sr_feat.ndim == 4 and dem_feat.ndim == 4
+    assert band % HALO == 0, f"band {band} must be a multiple of {HALO}"
+    assert len(weights) == len(WEIGHT_KEYS), len(weights)
+    b, h, width, ca = sr_feat.shape
+    cb = dem_feat.shape[-1]
+    ch = weights[WEIGHT_KEYS.index("head_b")].shape[0]
+    if h % band:
+        raise AssertionError(f"height {h} not divisible by band {band}")
+    n_bands = h // band
+    halo_blocks_per_band = band // HALO
+
+    def mid(bi, ri):
+        return (bi, ri, 0, 0)
+
+    def up(bi, ri):
+        return (bi, jnp.maximum(ri * halo_blocks_per_band - 1, 0), 0, 0)
+
+    def dn(bi, ri):
+        return (
+            bi,
+            jnp.minimum(
+                ri * halo_blocks_per_band + halo_blocks_per_band, h // HALO - 1
+            ),
+            0,
+            0,
+        )
+
+    def views(c):
+        return [
+            pl.BlockSpec((1, HALO, width, c), up, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band, width, c), mid, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HALO, width, c), dn, memory_space=pltpu.VMEM),
+        ]
+
+    kernel = functools.partial(_hr_tail_kernel, band=band, total_rows=h)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_bands),
+        in_specs=[
+            *views(ca),
+            *views(cb),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in WEIGHT_KEYS],
+        ],
+        out_specs=pl.BlockSpec((1, band, width, ch), mid, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, width, ch), jnp.float32),
+        interpret=interpret,
+    )(
+        sr_feat.astype(jnp.float32), sr_feat.astype(jnp.float32), sr_feat.astype(jnp.float32),
+        dem_feat.astype(jnp.float32), dem_feat.astype(jnp.float32), dem_feat.astype(jnp.float32),
+        *weights,
+    )
+
+
+def hr_tail_available() -> bool:
+    return jax.default_backend() == "tpu"

@@ -239,7 +239,12 @@ def export_inference_artifact(
     state: TrainState,
     model_cfg: ResUNetConfig,
     metadata: dict | None = None,
+    *,
+    store_dtype: str | None = None,
 ) -> Path:
     """Export an inference-only ``.fsrz`` (params + BN state, no opt state)."""
     host = jax.tree.map(np.asarray, state)
-    return save_artifact(fp, model_cfg, host.params, host.model_state, metadata or {})
+    return save_artifact(
+        fp, model_cfg, host.params, host.model_state, metadata or {},
+        store_dtype=store_dtype,
+    )

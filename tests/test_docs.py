@@ -1,0 +1,55 @@
+"""Docs health: the CLI reference builds from live --help; links resolve.
+
+Plays the role of the reference's Sphinx linkcheck gate
+(reference: ``tests/test_docs.py:14-43``) for this repo's markdown docs:
+the generated CLI reference must stay in sync with the actual parser, every
+relative link/file reference in ``docs/`` and ``README.md`` must exist, and
+external links must at least be well-formed (live checking is the
+``network`` tier's job).
+"""
+
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.unit
+
+REPO = Path(__file__).resolve().parent.parent
+DOC_FILES = sorted(REPO.glob("docs/**/*.md")) + [REPO / "README.md", REPO / "ARCHITECTURE.md"]
+
+_LINK = re.compile(r"\[[^\]]*\]\(([^)#\s]+)(?:#[^)\s]*)?\)")
+
+
+class TestCliReference:
+    def test_generated_reference_matches_live_help(self):
+        built = subprocess.run(
+            [sys.executable, str(REPO / "docs" / "scripts" / "build_cli_reference.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        ).stdout
+        committed = (REPO / "docs" / "cli_reference.md").read_text(encoding="utf-8")
+        assert built.strip() == committed.strip(), (
+            "docs/cli_reference.md is stale; regenerate with "
+            "`python docs/scripts/build_cli_reference.py > docs/cli_reference.md`"
+        )
+
+
+class TestLinks:
+    @pytest.mark.parametrize("doc", DOC_FILES, ids=lambda p: str(p.relative_to(REPO)))
+    def test_relative_links_resolve(self, doc):
+        text = doc.read_text(encoding="utf-8")
+        broken = []
+        for match in _LINK.finditer(text):
+            target = match.group(1)
+            if target.startswith(("http://", "https://", "mailto:")):
+                assert " " not in target, f"malformed URL in {doc}: {target!r}"
+                continue
+            resolved = (doc.parent / target).resolve()
+            if not resolved.exists():
+                broken.append(target)
+        assert not broken, f"{doc.relative_to(REPO)} has broken links: {broken}"

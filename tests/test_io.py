@@ -257,3 +257,59 @@ class TestNonNorthUpTransforms:
         got, _, got_profile = read_raster(fp)
         np.testing.assert_array_equal(got, arr)
         assert got_profile["transform"].almost_equals(transform), got_profile["transform"]
+
+
+class TestStreamingWriter:
+    def test_streamed_equals_monolithic(self, tmp_path, rng):
+        from floodsr_tpu.io.geotiff import open_raster_stream
+
+        arr = rng.uniform(0, 5, size=(70, 48)).astype(np.float32)
+        profile = {
+            "dtype": "float32", "nodata": -9999.0, "width": 48, "height": 70,
+            "count": 1, "crs": CRS(32633),
+            "transform": from_origin(500000.0, 4000000.0, 30.0, 30.0),
+            "compress": "LZW",
+        }
+        mono_fp = tmp_path / "mono.tif"
+        stream_fp = tmp_path / "stream.tif"
+        write_raster(mono_fp, arr, profile)
+        with open_raster_stream(stream_fp, profile) as writer:
+            for r in range(0, 70, 13):  # uneven bands vs strip size
+                writer.write_rows(arr[r : r + 13])
+        a, na, pa = read_raster(mono_fp)
+        b, nb, pb = read_raster(stream_fp)
+        np.testing.assert_array_equal(a, b)
+        assert na == nb
+        assert pa["transform"].almost_equals(pb["transform"])
+        assert pa["crs"] == pb["crs"]
+        assert pa["compress"] == pb["compress"] == "LZW"
+
+    def test_streamed_uncompressed_and_pil_crosscheck(self, tmp_path, rng):
+        from PIL import Image
+
+        from floodsr_tpu.io.geotiff import open_raster_stream
+
+        arr = rng.uniform(0, 5, size=(33, 64)).astype(np.float32)
+        profile = {
+            "dtype": "float32", "nodata": None, "width": 64, "height": 33,
+            "count": 1, "crs": CRS(32633),
+            "transform": from_origin(0.0, 33.0, 1.0, 1.0), "compress": None,
+        }
+        fp = tmp_path / "s.tif"
+        with open_raster_stream(fp, profile) as writer:
+            writer.write_rows(arr[:20])
+            writer.write_rows(arr[20:])
+        got = np.asarray(Image.open(fp))
+        np.testing.assert_array_equal(got, arr)
+
+    def test_row_count_mismatch_raises(self, tmp_path):
+        from floodsr_tpu.io.geotiff import open_raster_stream
+
+        profile = {
+            "dtype": "float32", "nodata": None, "width": 8, "height": 10,
+            "count": 1, "crs": None, "transform": None, "compress": "LZW",
+        }
+        writer = open_raster_stream(tmp_path / "bad.tif", profile)
+        writer.write_rows(np.zeros((4, 8), np.float32))
+        with pytest.raises(AssertionError):
+            writer.close()

@@ -301,3 +301,27 @@ class TestSceneBucketing:
         )
         assert np.isfinite(full).all() and full.shape == (64, 64)
         eng.close()
+
+
+class TestHalfPrecisionStorage:
+    def test_float16_artifact_roundtrip(self, tmp_path):
+        from floodsr_tpu.nn import ResUNetConfig, init_resunet
+        from floodsr_tpu.nn.checkpoint import load_artifact, save_artifact
+
+        cfg = ResUNetConfig(
+            base_filters=8, levels=2, enc_blocks=1, dec_blocks=1,
+            fuse_filters=8, fuse_blocks=1, scale=4, lr_tile=8,
+        )
+        params, state = init_resunet(3, cfg)
+        f32_fp = tmp_path / "w32.fsrz"
+        f16_fp = tmp_path / "w16.fsrz"
+        save_artifact(f32_fp, cfg, params, state)
+        save_artifact(f16_fp, cfg, params, state, store_dtype="float16")
+        assert f16_fp.stat().st_size < f32_fp.stat().st_size * 0.75
+
+        art = load_artifact(f16_fp)
+        assert art["manifest"]["store_dtype"] == "float16"
+        import jax
+        for got, want in zip(jax.tree.leaves(art["params"]), jax.tree.leaves(params)):
+            assert got.dtype == np.float32
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)

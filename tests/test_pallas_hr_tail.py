@@ -1,0 +1,79 @@
+"""Fused HR-tail Pallas kernel vs the unfused resunet chain (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from floodsr_tpu.nn.resunet import ResUNetConfig, _conv, _res_block, init_resunet
+from floodsr_tpu.ops.pallas.hr_tail import hr_tail_pallas, pack_hr_tail_weights
+
+pytestmark = pytest.mark.unit
+
+
+def _setup(f=8, seed=4):
+    cfg = ResUNetConfig(
+        base_filters=f, levels=2, enc_blocks=1, dec_blocks=1,
+        fuse_filters=f, fuse_blocks=2, scale=4, lr_tile=16, hr_s2d=2,
+    )
+    params, state = init_resunet(seed, cfg)
+    return cfg, params, state
+
+
+def _reference_tail(cfg, params, state, sr_feat, dem_feat):
+    x = jnp.concatenate([sr_feat, dem_feat], axis=-1)
+    for bp, bs in zip(params["fuse"], state["fuse"]):
+        x, _ = _res_block(bp, bs, x, cfg, train=False)
+    return _conv(params["head"], x.astype(jnp.float32))
+
+
+def _pack(cfg, params, state):
+    f1 = {"params": params["fuse"][0], "state": state["fuse"][0]}
+    f2 = {"params": params["fuse"][1], "state": state["fuse"][1]}
+    return pack_hr_tail_weights(f1, f2, params["head"], bn_eps=cfg.bn_eps)
+
+
+class TestHrTailKernel:
+    def test_matches_unfused_chain(self):
+        cfg, params, state = _setup()
+        hr_w = cfg.base_filters * cfg.hr_s2d
+        rng = np.random.default_rng(0)
+        b, h, w = 2, 64, 128
+        sr = jnp.asarray(rng.normal(0, 1, (b, h, w, hr_w)).astype(np.float32))
+        dem = jnp.asarray(rng.normal(0, 1, (b, h, w, cfg.fuse_filters)).astype(np.float32))
+
+        want = np.asarray(_reference_tail(cfg, params, state, sr, dem))
+        got = np.asarray(
+            hr_tail_pallas(sr, dem, *_pack(cfg, params, state), band=16, interpret=True)
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    def test_band_edges_and_single_band(self):
+        # One band (no interior halo) and tall-many-bands must both match.
+        cfg, params, state = _setup(seed=9)
+        hr_w = cfg.base_filters * cfg.hr_s2d
+        rng = np.random.default_rng(1)
+        weights = _pack(cfg, params, state)
+        for b, h, w, band in ((1, 16, 128, 16), (1, 96, 128, 8)):
+            sr = jnp.asarray(rng.normal(0, 1, (b, h, w, hr_w)).astype(np.float32))
+            dem = jnp.asarray(
+                rng.normal(0, 1, (b, h, w, cfg.fuse_filters)).astype(np.float32)
+            )
+            want = np.asarray(_reference_tail(cfg, params, state, sr, dem))
+            got = np.asarray(hr_tail_pallas(sr, dem, *weights, band=band, interpret=True))
+            np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5, err_msg=str((h, band)))
+
+
+class TestResunetIntegration:
+    def test_apply_with_pallas_tail_matches(self):
+        from floodsr_tpu.nn.resunet import resunet_apply
+
+        cfg, params, state = _setup(seed=3)
+        rng = np.random.default_rng(5)
+        depth = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 1)).astype(np.float32))
+        dem = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32))
+        want, _ = resunet_apply(params, state, depth, dem, cfg, pallas_tail=False)
+        got, _ = resunet_apply(params, state, depth, dem, cfg, pallas_tail=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
