@@ -231,6 +231,16 @@ def dem_tile_stats(dem: jnp.ndarray, pct_clip: float) -> tuple[jnp.ndarray, jnp.
     fractional rank.
     """
     n = dem.shape[0]
+    if jax.default_backend() == "tpu":
+        from floodsr_tpu.ops.pallas.tile_stats import (
+            dem_tile_stats_pallas,
+            tile_stats_eligible,
+        )
+
+        if tile_stats_eligible(dem.shape):
+            # VMEM-resident fast path: one HBM read per tile instead of one
+            # per bisection iteration (identical bisection semantics).
+            return dem_tile_stats_pallas(dem, float(pct_clip))
     flat = jnp.maximum(dem.reshape(n, -1).astype(jnp.float32), 0.0)
     count = flat.shape[1]
     target = (float(pct_clip) / 100.0) * (count - 1)

@@ -211,6 +211,10 @@ def hr_tail_pallas(
         ],
         out_specs=pl.BlockSpec((1, band, width, ch), mid, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, width, ch), jnp.float32),
+        # The fused intermediates (x/t/y per layer at band+halo rows) live on
+        # the kernel's scoped-VMEM stack; the 16 MiB default rejects the
+        # flagship geometry. v5e has 128 MiB VMEM per core — allow most of it.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         sr_feat.astype(jnp.float32), sr_feat.astype(jnp.float32), sr_feat.astype(jnp.float32),

@@ -124,6 +124,24 @@ class TestDemNormalization:
             want = float(np.nanpercentile(np.clip(tiles[i], 0, None), 95.0))
             np.testing.assert_allclose(float(p_clip[i]), want, rtol=1e-6)
 
+    def test_pallas_tile_stats_matches_unfused(self, rng):
+        from floodsr_tpu.ops.pallas.tile_stats import dem_tile_stats_pallas
+
+        for shape, pct in [((5, 64, 64), 95.0), ((2, 33, 47), 87.3)]:
+            tiles = (
+                rng.normal(300, 40, size=shape) * (rng.random(shape) > 0.05)
+            ).astype(np.float32)
+            p, lo, hi = dem_tile_stats_pallas(
+                jnp.asarray(tiles), pct, interpret=True
+            )
+            p_ref, lo_ref, hi_ref = dem_tile_stats(jnp.asarray(tiles), pct)
+            np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(lo), np.asarray(lo_ref), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(hi), np.asarray(hi_ref), rtol=1e-6)
+            flat = np.maximum(tiles.reshape(shape[0], -1), 0.0)
+            want_p = np.percentile(flat, pct, axis=1)
+            np.testing.assert_allclose(np.asarray(p), want_p, rtol=1e-5)
+
 
 class TestNodataReplacement:
     def test_exact_and_close_values(self):
