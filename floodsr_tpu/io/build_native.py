@@ -5,35 +5,38 @@ Usage: ``python -m floodsr_tpu.io.build_native``
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 
-def build(verbose: bool = True) -> Path | None:
+def build(verbose: bool = True, retries: int = 1) -> Path | None:
     src_dir = Path(__file__).parent / "_native"
     src = src_dir / "tiff_codec.cc"
     out = src_dir / "libfloodsr_tiff.so"
-    cmd = [
-        "g++",
-        "-O3",
-        "-shared",
-        "-fPIC",
-        "-std=c++17",
-        "-o",
-        str(out),
-        str(src),
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as err:
-        if verbose:
-            detail = getattr(err, "stderr", "") or str(err)
-            print(f"native codec build failed: {detail}", file=sys.stderr)
-        return None
+    # Compile to a process-unique temp name, then atomically rename: a
+    # half-written .so must never be visible to concurrent loaders (dlopen
+    # of a truncated file fails hard).
+    tmp = src_dir / f".libfloodsr_tiff.{os.getpid()}.so.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), str(src)]
+    last_err = ""
+    for attempt in range(retries + 1):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            tmp.replace(out)
+            if verbose:
+                print(f"built {out}")
+            return out
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError) as err:
+            last_err = getattr(err, "stderr", "") or str(err)
+            tmp.unlink(missing_ok=True)
+            if attempt < retries:
+                time.sleep(1.0)  # transient (e.g. memory pressure): retry once
     if verbose:
-        print(f"built {out}")
-    return out
+        print(f"native codec build failed: {last_err}", file=sys.stderr)
+    return None
 
 
 if __name__ == "__main__":

@@ -22,7 +22,8 @@ def _load() -> ctypes.CDLL | None:
     if _lib is not None or _load_failed:
         return _lib
     if not _LIB_PATH.exists():
-        _load_failed = True
+        # Not a terminal state: the library may be built later in this
+        # process (tests/build_native do exactly that) — re-check next call.
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))

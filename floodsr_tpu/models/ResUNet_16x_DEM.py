@@ -81,6 +81,7 @@ class ModelWorker(Model):
         if self.engine is not None:
             self.engine.close()
         self.engine = None
+        self._dem_device_cache = None
         return False
 
     # ------------------------------------------------------------------
@@ -244,34 +245,56 @@ class ModelWorker(Model):
         )
 
         t_read0 = time.perf_counter()
-        dem_hr_raw, dem_hr_raw_nodata, dem_hr_raw_profile = _read_single_band_raster(dem_hr_path)
-        assert np.isfinite(
-            np.where(
-                np.isclose(dem_hr_raw, dem_hr_raw_nodata)
-                if dem_hr_raw_nodata is not None
-                else False,
-                0.0,
-                dem_hr_raw,
-            )
-        ).all(), "DEM contains non-finite values"
-        # Start the (large) DEM upload immediately (async, overlapping the
-        # depth read and alignment bookkeeping) — uint16 fixed-point encoded
-        # by default to halve bytes on transfer-limited hosts
-        # (:mod:`floodsr_tpu.ops.transfer`).
-        from floodsr_tpu.ops.transfer import device_put_dem_quantized
+        # Terrain is static across forecast runs: keep the last uploaded DEM
+        # resident on device, keyed by file identity (path, mtime, size).
+        # A hit skips both the GeoTIFF decode and the big host→HBM transfer —
+        # the dominant per-scene costs on transfer-limited hosts.
+        dem_cache_key = None
+        try:
+            st = dem_hr_path.stat()
+            dem_cache_key = (str(dem_hr_path), st.st_mtime_ns, st.st_size,
+                             self.input_transfer)
+        except OSError:
+            pass
+        cached = getattr(self, "_dem_device_cache", None)
+        if dem_cache_key is not None and cached is not None and cached[0] == dem_cache_key:
+            _, dem_hr_dev, dem_hr_raw_nodata, dem_hr_raw_profile = cached
+            dem_hr_raw = None  # device-resident; align reads the device copy
+            log.debug("DEM device cache hit; skipping decode + upload")
+        else:
+            dem_hr_raw, dem_hr_raw_nodata, dem_hr_raw_profile = _read_single_band_raster(dem_hr_path)
+            assert np.isfinite(
+                np.where(
+                    np.isclose(dem_hr_raw, dem_hr_raw_nodata)
+                    if dem_hr_raw_nodata is not None
+                    else False,
+                    0.0,
+                    dem_hr_raw,
+                )
+            ).all(), "DEM contains non-finite values"
+            # Start the (large) DEM upload immediately (async, overlapping the
+            # depth read and alignment bookkeeping) — uint16 fixed-point encoded
+            # by default to halve bytes on transfer-limited hosts
+            # (:mod:`floodsr_tpu.ops.transfer`).
+            from floodsr_tpu.ops.transfer import device_put_dem_quantized
 
-        dem_hr_dev = device_put_dem_quantized(
-            dem_hr_raw,
-            dem_hr_raw_nodata,
-            enabled=self.input_transfer == "uint16",
-        )
+            dem_hr_dev = device_put_dem_quantized(
+                dem_hr_raw,
+                dem_hr_raw_nodata,
+                enabled=self.input_transfer == "uint16",
+            )
+            if dem_cache_key is not None:
+                self._dem_device_cache = (
+                    dem_cache_key, dem_hr_dev, dem_hr_raw_nodata, dem_hr_raw_profile
+                )
         depth_lr_raw, depth_lr_raw_nodata, depth_lr_raw_profile = _read_single_band_raster(depth_lr_path)
         log.debug(f"stage timings: read={time.perf_counter() - t_read0:.3f}s")
         depth_lr_bounds = raster_bounds(depth_lr_raw_profile)
+        dem_raw_shape = (dem_hr_raw_profile["height"], dem_hr_raw_profile["width"])
         log.info(
             "raw inputs\n"
             f"  depth_lr shape={depth_lr_raw.shape} res={pixel_size(depth_lr_raw_profile)} m/pix\n"
-            f"  dem_hr shape={dem_hr_raw.shape} res={pixel_size(dem_hr_raw_profile)} m/pix"
+            f"  dem_hr shape={dem_raw_shape} res={pixel_size(dem_hr_raw_profile)} m/pix"
         )
 
         preprocess_cfg = resolve_preprocess_config(

@@ -372,6 +372,120 @@ def _jitted_warp(
     )
 
 
+_WARP_PAD = 512  # bucket quantum for the shape-agnostic device warp
+
+
+def _ceil_to(v: int, q: int) -> int:
+    return -(-int(v) // q) * q
+
+
+@lru_cache(maxsize=8)
+def _bucketed_warp_exe(src_pad: tuple[int, int], dst_pad: tuple[int, int]):
+    """One compiled separable warp per (src, dst) bucket pair.
+
+    The interpolation matrices are built ON DEVICE from per-axis
+    ``(i0, i1, frac)`` sample plans passed as runtime arguments, so one XLA
+    executable serves every scene geometry that lands in the same shape
+    bucket — the per-geometry compile (measured ~90 s on this host for a
+    mersch-sized warp) happens once per bucket family, and per-scene host
+    work is a few KB of index vectors instead of dense-matrix uploads.
+    Matrix entries reproduce :func:`bilinear_axis_matrix` exactly: the same
+    ``(1-frac)``/``frac`` f32 terms land at the same clamped indices, and the
+    matmul's extra zero terms are exact no-ops, so outputs are bit-stable
+    against the per-geometry dense path.
+    """
+    import jax
+
+    def warp(src, r0, r1, fr, c0, c1, fc, dst_h, dst_w):
+        iota_r = jnp.arange(src_pad[0], dtype=jnp.int32)
+        ry = (
+            (r0[:, None] == iota_r[None, :]) * (1.0 - fr)[:, None]
+            + (r1[:, None] == iota_r[None, :]) * fr[:, None]
+        ).astype(jnp.float32)
+        iota_c = jnp.arange(src_pad[1], dtype=jnp.int32)
+        rxt = (
+            (iota_c[:, None] == c0[None, :]) * (1.0 - fc)[None, :]
+            + (iota_c[:, None] == c1[None, :]) * fc[None, :]
+        ).astype(jnp.float32)
+        # HIGHEST precision: TPU's default bf16 multiply costs ~0.4% relative
+        # error — meters on elevation-scale values.
+        out = jnp.dot(
+            ry, src.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out = jnp.dot(
+            out, rxt,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows_ok = jnp.arange(dst_pad[0]) < dst_h
+        cols_ok = jnp.arange(dst_pad[1]) < dst_w
+        return out * rows_ok[:, None] * cols_ok[None, :]
+
+    return jax.jit(warp)
+
+
+def warp_bucketed_device(
+    source,
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+):
+    """Shape-bucketed separable bilinear warp; returns a device array.
+
+    Requires rectilinear transforms and a nodata-free source (the pipeline
+    replaces nodata→0 before warping). ``source`` may be a numpy array or a
+    device-resident jax array.
+    """
+    import jax
+
+    assert src_transform.is_rectilinear() and dst_transform.is_rectilinear()
+    src_h, src_w = int(source.shape[0]), int(source.shape[1])
+    dst_h, dst_w = int(dst_shape[0]), int(dst_shape[1])
+    src_pad = (_ceil_to(src_h, _WARP_PAD), _ceil_to(src_w, _WARP_PAD))
+    dst_pad = (_ceil_to(dst_h, _WARP_PAD), _ceil_to(dst_w, _WARP_PAD))
+
+    def plan(src_size, src_origin, src_step, dst_size, dst_origin, dst_step, n_pad):
+        i0, i1, frac = _axis_interp_indices(
+            src_size, src_origin, src_step, dst_size, dst_origin, dst_step
+        )
+        pad = n_pad - dst_size
+        i0 = np.concatenate([i0, np.zeros(pad, i0.dtype)]).astype(np.int32)
+        i1 = np.concatenate([i1, np.zeros(pad, i1.dtype)]).astype(np.int32)
+        frac = np.concatenate([frac, np.zeros(pad, np.float32)])
+        return i0, i1, frac
+
+    r0, r1, fr = plan(
+        src_h, src_transform.f, src_transform.e, dst_h,
+        dst_transform.f, dst_transform.e, dst_pad[0],
+    )
+    c0, c1, fc = plan(
+        src_w, src_transform.c, src_transform.a, dst_w,
+        dst_transform.c, dst_transform.a, dst_pad[1],
+    )
+    if isinstance(source, np.ndarray):
+        src_dev = jax.device_put(
+            np.pad(
+                np.ascontiguousarray(source, np.float32),
+                ((0, src_pad[0] - src_h), (0, src_pad[1] - src_w)),
+            )
+        )
+    else:
+        src_dev = jnp.pad(
+            source.astype(jnp.float32),
+            ((0, src_pad[0] - src_h), (0, src_pad[1] - src_w)),
+        )
+    fn = _bucketed_warp_exe(src_pad, dst_pad)
+    out = fn(
+        src_dev,
+        jnp.asarray(r0), jnp.asarray(r1), jnp.asarray(fr),
+        jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(fc),
+        jnp.int32(dst_h), jnp.int32(dst_w),
+    )
+    return out[:dst_h, :dst_w]
+
+
 def reproject_bilinear_auto(
     source: np.ndarray,
     src_transform: Affine,

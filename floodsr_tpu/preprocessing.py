@@ -269,17 +269,29 @@ def _align_depth_and_dem_inputs(
         # device→host link.
         import jax.numpy as jnp
 
-        from floodsr_tpu.ops.resample import _jitted_warp
+        if dem_crop_transform.is_rectilinear() and dem_model_transform.is_rectilinear():
+            # Shape-bucketed warp: one compiled executable serves every
+            # geometry in the same pad bucket (nodata already →0 above).
+            from floodsr_tpu.ops.resample import warp_bucketed_device
 
-        warp = _jitted_warp(
-            dem_crop_transform,
-            (target_hr_h, target_hr_w),
-            dem_model_transform,
-            None if dem_nodata is None else float(dem_nodata),
-            None if dem_nodata is None else float(dem_nodata),
-            src_shape=tuple(int(v) for v in dem_crop.shape),
-        )
-        dem_model = _replace_nodata_any(warp(jnp.asarray(dem_crop)), dem_nodata)
+            dem_model = warp_bucketed_device(
+                dem_crop,
+                dem_crop_transform,
+                (target_hr_h, target_hr_w),
+                dem_model_transform,
+            )
+        else:
+            from floodsr_tpu.ops.resample import _jitted_warp
+
+            warp = _jitted_warp(
+                dem_crop_transform,
+                (target_hr_h, target_hr_w),
+                dem_model_transform,
+                None if dem_nodata is None else float(dem_nodata),
+                None if dem_nodata is None else float(dem_nodata),
+                src_shape=tuple(int(v) for v in dem_crop.shape),
+            )
+            dem_model = _replace_nodata_any(warp(jnp.asarray(dem_crop)), dem_nodata)
         # No host-blocking finite check here: the inputs are finite (validated
         # above) and the nodata-renormalized bilinear warp of finite values is
         # finite by construction; a scalar pull would stall the pipeline on a

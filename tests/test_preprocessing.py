@@ -87,6 +87,33 @@ class TestResamplng:
         ry, rx = separable_resample_matrices(src.shape, t, (16, 16), t)
         np.testing.assert_allclose(ry @ src @ rx.T, src, atol=1e-6)
 
+    def test_bucketed_device_warp_matches_dense(self, rng):
+        from floodsr_tpu.ops.resample import (
+            separable_resample_matrices,
+            warp_bucketed_device,
+        )
+
+        for src_shape, dst_shape, t_src, t_dst in [
+            ((40, 48), (28, 34), from_origin(0, 40, 1.0, 1.0), from_origin(2, 38, 1.25, 1.25)),
+            ((60, 40), (64, 43), from_origin(0, 120, 2.0, 2.0), from_origin(0, 120, 1.875, 1.875)),
+        ]:
+            src = rng.normal(300, 40, size=src_shape).astype(np.float32)
+            ry, rx = separable_resample_matrices(src_shape, t_src, dst_shape, t_dst)
+            want = ry @ src @ rx.T
+            got = np.asarray(warp_bucketed_device(src, t_src, dst_shape, t_dst))
+            assert got.shape == dst_shape
+            np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-6)
+            # same executable must serve a same-bucket sibling geometry
+            from floodsr_tpu.ops.resample import _bucketed_warp_exe
+
+            info = _bucketed_warp_exe.cache_info()
+            np.asarray(
+                warp_bucketed_device(
+                    src[: src_shape[0] - 3], t_src, (dst_shape[0] - 2, dst_shape[1]), t_dst
+                )
+            )
+            assert _bucketed_warp_exe.cache_info().hits > info.hits
+
     def test_pad_to_multiple(self):
         arr = np.ones((5, 7), np.float32)
         out = pad_to_multiple(arr, 4)

@@ -58,6 +58,39 @@ class TestTohrNativeScale:
         assert diag["prepared_inputs"]["post_sr_was_resampled"] is False
         assert result["runtime_s"] > 0
 
+    def test_dem_device_cache_hit_is_identical_and_invalidates(
+        self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        """Repeat runs on the same DEM reuse the device copy bit-exactly;
+        touching the file invalidates the cache."""
+        import os
+        import shutil
+
+        dem_fp = tmp_path / "dem_cached.tif"
+        shutil.copy2(synthetic_tohr_tiles["dem_fp"], dem_fp)
+        kwargs = dict(
+            depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+            dem_hr_fp=dem_fp,
+            window_method="feather",
+            tile_overlap=1,
+        )
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            worker.run(output_fp=tmp_path / "a.tif", **kwargs)
+            assert getattr(worker, "_dem_device_cache", None) is not None
+            key_before = worker._dem_device_cache[0]
+            worker.run(output_fp=tmp_path / "b.tif", **kwargs)
+            assert worker._dem_device_cache[0] == key_before
+            # Rewrite the file (new mtime) → cache must refresh.
+            shutil.copy2(synthetic_tohr_tiles["dem_fp"], dem_fp)
+            os.utime(dem_fp, ns=(1, 1))
+            worker.run(output_fp=tmp_path / "c.tif", **kwargs)
+            assert worker._dem_device_cache[0] != key_before
+        a, _, _ = read_raster(tmp_path / "a.tif")
+        b, _, _ = read_raster(tmp_path / "b.tif")
+        c, _, _ = read_raster(tmp_path / "c.tif")
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+
     def test_feather_and_hard_agree_where_tiles_are_interior_constant(
         self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
     ):
