@@ -32,8 +32,18 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import os  # noqa: E402
+
+# Golden-case pinning must run on the CPU backend even when a TPU plugin is
+# registered (the plugin wins over JAX_PLATFORMS alone on this host).
+if "--golden-case" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+if "--golden-case" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 SEED = 20260816
 
@@ -205,6 +215,34 @@ def run_study(steps: int, out_fp: Path) -> None:
     print(f"wrote {out_fp}")
 
 
+def _cropped_patch_dataset(n_scenes: int, hr: int, patch: int, scale: int, seed0: int):
+    """512² HR patches cropped (stride patch/2) from larger synthetic scenes.
+
+    The truth's water surface is resolved per SCENE (quantile of the full
+    DEM), then patches are cut afterwards — so a patch's depth field is not
+    explainable from its own DEM statistics alone, matching what the tiled
+    pipeline feeds the model on real multi-tile rasters.
+    """
+    from floodsr_tpu.train import PatchDataset
+
+    lr_patch = patch // scale
+    stride = patch // 2
+    d_p, t_p, l_p = [], [], []
+    for i in range(n_scenes):
+        dem = make_terrain((hr, hr), seed0 + i)
+        truth = make_truth(dem, seed0 + i)
+        lr = box_mean(truth, scale)
+        for y in range(0, hr - patch + 1, stride):
+            for x in range(0, hr - patch + 1, stride):
+                d_p.append(dem[y : y + patch, x : x + patch])
+                t_p.append(truth[y : y + patch, x : x + patch])
+                ly, lx = y // scale, x // scale
+                l_p.append(lr[ly : ly + lr_patch, lx : lx + lr_patch])
+    return PatchDataset(
+        depth_lr=np.stack(l_p), dem_hr=np.stack(d_p), target_hr=np.stack(t_p)
+    )
+
+
 def run_golden(steps: int) -> None:
     """Train the flagship-geometry CI artifact + build its regression case.
 
@@ -218,9 +256,16 @@ def run_golden(steps: int) -> None:
     from floodsr_tpu.train import TrainConfig, init_train_state, make_train_step, split_indices
     from floodsr_tpu.train.trainer import export_inference_artifact
 
-    scale, hr = 16, 512
-    dataset = build_dataset(288, hr, scale, seed0=31000)
-    train_idx, _ = split_indices(len(dataset), val_fraction=0.11, seed=SEED)
+    # Train on 512² HR patches CROPPED FROM 1024² scenes so each patch sees
+    # partial-scene DEM statistics — exactly what per-tile normalization
+    # produces when the pipeline tiles a multi-tile scene. (Training on
+    # whole single-tile scenes generalized badly to the 9-tile case: tiles
+    # fully wet / fully dry / mid-slope never occur in that distribution.)
+    scale, hr, patch = 16, 1024, 512
+    dataset = _cropped_patch_dataset(
+        n_scenes=80, hr=hr, patch=patch, scale=scale, seed0=31000
+    )
+    train_idx, _ = split_indices(len(dataset), val_fraction=0.1, seed=SEED)
 
     cfg = ResUNetConfig()  # flagship
     tcfg = TrainConfig(total_steps=steps, base_lr=4e-4, second_lr=1e-4)

@@ -391,6 +391,11 @@ class EngineJAX(EngineBase):
                 ref_stats_arr is not None,
             )
             pm, pn, stats = fn(self.params, self.state, d_dev, m_dev, ref_stats_arr)
+            # Issue all device→host copies before reading any: the transfers
+            # overlap each other (and the next batch's compute) instead of
+            # serializing on the first np.asarray.
+            for arr in (pm, pn, *stats.values()):
+                arr.copy_to_host_async()
             preds_m[pos : pos + take] = np.asarray(pm)[:take]
             preds_norm[pos : pos + take] = np.asarray(pn)[:take]
             for k in stats_out:
@@ -590,7 +595,9 @@ class EngineJAX(EngineBase):
             bands = [(0, crop_h)]
         else:
             bands = [(r, min(r + band_rows, crop_h)) for r in range(0, crop_h, band_rows)]
-        dev_bands = [out[a:b] for a, b in bands]
+        # Slice the crop columns on device so bucket margin never rides the
+        # (slow) device→host link.
+        dev_bands = [out[a:b, :crop_w] for a, b in bands]
         for dev in dev_bands:
             dev.copy_to_host_async()
 
