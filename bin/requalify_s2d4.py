@@ -1,0 +1,136 @@
+"""Requalify hr_s2d=4 with a longer training budget (TPU).
+
+Round-1 rejected s2d4 on quality from a 1500-step study. Its MXU story is
+too good to drop on an undertrained run (128-channel HR stages fill the
+128-lane MXU; measured ~3x the s2d2 forward at f32-strict), so this script
+gives it a longer budget on the production patch distribution (512² crops of
+1024² scenes — the same dataset the flagship golden trains on) and evaluates
+meter-domain quality on a held-out split against (a) bilinear and (b) the
+committed s2d2 flagship golden artifact.
+
+Run on the TPU host: ``python bin/requalify_s2d4.py --steps 5000``.
+Appends results to ``docs/perf/flagship_study.json`` under
+``configs.s2d4_long``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "bin"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from train_flagship import (  # noqa: E402
+    SEED,
+    _cropped_patch_dataset,
+    bilinear_up,
+    eval_model,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--save-artifact", action="store_true",
+                    help="also export the trained s2d4 model to tests/data/_artifacts")
+    args = ap.parse_args()
+
+    from floodsr_tpu.eval.metrics import compute_depth_error_metrics
+    from floodsr_tpu.nn import ResUNetConfig
+    from floodsr_tpu.nn.checkpoint import load_artifact
+    from floodsr_tpu.train import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+        split_indices,
+    )
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    scale = 16
+    dataset = _cropped_patch_dataset(n_scenes=80, hr=1024, patch=512, scale=scale, seed0=31000)
+    train_idx, val_idx = split_indices(len(dataset), val_fraction=0.1, seed=SEED)
+    print(f"dataset: {len(train_idx)} train / {len(val_idx)} val patches", flush=True)
+
+    bl_pred = np.stack([bilinear_up(dataset.depth_lr[i], scale) for i in val_idx])
+    bl_truth = dataset.target_hr[val_idx]
+    bl = compute_depth_error_metrics(
+        reference_depth_m=bl_truth.reshape(-1, bl_truth.shape[-1]),
+        estimate_depth_m=np.clip(bl_pred, 0, 5).reshape(-1, bl_pred.shape[-1]),
+        max_depth=5.0,
+    )
+    baseline = {k: float(bl[k]) for k in ("mase_m", "rmse_m", "rmse_wet_m", "bias_m")}
+    print("bilinear baseline:", {k: round(v, 4) for k, v in baseline.items()}, flush=True)
+
+    # Committed s2d2 golden on the same val split (no retraining).
+    golden_fp = REPO / "tests" / "data" / "_artifacts" / "model_infer_flagship.fsrz"
+    s2d2_metrics = None
+    if golden_fp.exists():
+        art = load_artifact(golden_fp)
+        s2d2_metrics, _ = eval_model(
+            art["config"], jax.device_put(art["params"]), jax.device_put(art["state"]),
+            dataset, val_idx, jnp.float32,
+        )
+        print("committed s2d2 golden:", {k: round(v, 4) for k, v in s2d2_metrics.items()}, flush=True)
+
+    cfg = ResUNetConfig(hr_s2d=4)
+    tcfg = TrainConfig(total_steps=args.steps, base_lr=4e-4, second_lr=8e-5)
+    state = init_train_state(SEED, cfg, tcfg)
+    step_fn = make_train_step(cfg, tcfg, donate=True)
+    losses = []
+    t0 = time.perf_counter()
+    for bi, batch in enumerate(
+        dataset.batches(train_idx, batch_size=8, seed=SEED + 2, augment=True, steps=args.steps)
+    ):
+        state, metrics = step_fn(state, batch)
+        if bi % 200 == 0 or bi == args.steps - 1:
+            loss = float(metrics["loss"])
+            losses.append({"step": bi, "loss": loss})
+            print(f"s2d4 step {bi}: loss {loss:.5f}", flush=True)
+    train_s = time.perf_counter() - t0
+    print(f"trained s2d4 in {train_s:.0f}s", flush=True)
+
+    entry = {
+        "steps": args.steps,
+        "train_seconds": round(train_s, 1),
+        "dataset": "cropped_1024_scenes",
+        "loss_curve": losses,
+        "eval": {},
+        "baseline_bilinear": baseline,
+        "s2d2_golden_same_split": s2d2_metrics,
+    }
+    for dtype_name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+        m, _ = eval_model(cfg, state.params, state.model_state, dataset, val_idx, dtype)
+        entry["eval"][dtype_name] = m
+        print(f"s2d4 {dtype_name}:", {k: round(v, 4) for k, v in m.items()}, flush=True)
+
+    out_fp = REPO / "docs" / "perf" / "flagship_study.json"
+    study = json.loads(out_fp.read_text()) if out_fp.exists() else {"configs": {}}
+    study.setdefault("configs", {})["s2d4_long"] = entry
+    out_fp.write_text(json.dumps(study, indent=1))
+    print(f"wrote {out_fp}", flush=True)
+
+    if args.save_artifact:
+        from floodsr_tpu.train.trainer import export_inference_artifact
+
+        fp = export_inference_artifact(
+            REPO / "tests" / "data" / "_artifacts" / "model_infer_s2d4.fsrz",
+            state, cfg,
+            {"seed": SEED, "purpose": "s2d4 requalification", "train_steps": args.steps},
+            store_dtype="float16",
+        )
+        print(f"wrote {fp}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,6 +26,7 @@ tests in interpret mode; TPU A/B numbers land in ``docs/perf/``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,21 +55,93 @@ def _shift_cols(arr: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.where(mask, 0.0, rolled)
 
 
-def _conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """[R, W, Cin] -> [R-2, W, Cout]; SAME zero pad in W, VALID in rows."""
+# MXU multiply precision for the f32 tap matmuls. DEFAULT (Mosaic's only
+# other option besides full-fp32 HIGHEST) multiplies in single-pass bfloat16
+# even for float32 operands — the exact TPU behavior the unfused path pins
+# against in ``nn/resunet.py::_precision_for`` (measured 0.047 m output
+# divergence through this network). Mosaic does not lower Precision.HIGH, so
+# the bf16x3 error-compensated product (what HIGH means on TPU:
+# hi·hi + hi·lo + lo·hi) is built here explicitly from three DEFAULT-precision
+# MXU passes. ``FLOODSR_HR_TAIL_PRECISION=highest`` switches to Mosaic's
+# native fp32 contract for A/B runs.
+def _dot(a: jnp.ndarray, b: jnp.ndarray, mode: str) -> jnp.ndarray:
+    if mode == "f32":
+        # Exact float32 (interpret mode / CPU correctness tests).
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    if mode == "highest":
+        return jnp.dot(
+            a, b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    assert mode == "x3", mode
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _im2col(x: jnp.ndarray, rows: int, width: int) -> jnp.ndarray:
+    """9-tap expansion: [R, W, C] -> [rows*W, 9C], (ky, kx)-major tap blocks.
+
+    SAME zero padding in W comes from one explicit pad; each tap is then a
+    static slice (single relayout copy — cheaper than roll+iota+select).
+    """
+    zero = jnp.zeros((x.shape[0], 1, x.shape[2]), x.dtype)
+    xp = jnp.concatenate([zero, x, zero], axis=1)
+    taps = []
+    for ky in range(3):
+        for kx in range(3):
+            taps.append(
+                xp[ky : ky + rows, kx : kx + width].reshape(rows * width, -1)
+            )
+    return jnp.concatenate(taps, axis=1)
+
+
+def _conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """[R, W, Cin] -> [R-2, W, Cout]; SAME zero pad in W, VALID in rows.
+
+    One im2col matmul per MXU pass ([rows·W, 9·Cin] @ [9·Cin, Cout]) instead
+    of nine tap matmuls: the 9× longer contraction keeps the systolic array
+    pipelined, and the bf16 hi/lo split happens once per tensor rather than
+    once per tap (27→1 VPU splits per conv). ``w.reshape(9C, Cout)``'s row
+    order (ky, kx, c) matches the tap-block order of :func:`_im2col`.
+    """
     rows = x.shape[0] - 2
     width = x.shape[1]
+    c = x.shape[2]
     cout = w.shape[-1]
-    acc = jnp.zeros((rows * width, cout), jnp.float32) + b.astype(jnp.float32)
-    for ky in range(3):
-        xs = x[ky : ky + rows]
-        for kx in range(3):
-            tap = _shift_cols(xs, kx - 1).reshape(rows * width, -1)
-            acc = acc + jnp.dot(tap, w[ky, kx], preferred_element_type=jnp.float32)
-    return acc.reshape(rows, width, cout)
+    wm = w.reshape(9 * c, cout)
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if mode == "x3":
+        # Split into the bf16 hi/lo pair once, im2col each half (bf16 pads
+        # and slices are fine — only tpu.dynamic_rotate is 32-bit-limited).
+        x = x.astype(jnp.float32)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi = _im2col(x_hi, rows, width)
+        lo = _im2col(x_lo, rows, width)
+        wm = wm.astype(jnp.float32)
+        w_hi = wm.astype(jnp.bfloat16)
+        w_lo = (wm - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = d(hi, w_hi) + d(hi, w_lo) + d(lo, w_hi)
+    elif mode == "highest":
+        acc = jnp.dot(
+            _im2col(x, rows, width), wm,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        assert mode == "f32", mode
+        acc = d(_im2col(x, rows, width), wm)
+    return (acc + b.astype(jnp.float32)).reshape(rows, width, cout)
 
 
-def _hr_tail_kernel(*refs, band: int, total_rows: int):
+def _hr_tail_kernel(*refs, band: int, total_rows: int, mode: str):
     (a_up, a_mid, a_dn, d_up, d_mid, d_dn) = refs[:6]
     w = dict(zip(WEIGHT_KEYS, refs[6:-1]))
     out_ref = refs[-1]
@@ -100,29 +173,23 @@ def _hr_tail_kernel(*refs, band: int, total_rows: int):
 
     # fuse block 1 (projection shortcut): rows band+8 -> band+4
     t = affine_relu(x, w["f1_a1"][:], w["f1_c1"][:], row0)
-    y = _conv3x3(t, w["f1_w1"][:], w["f1_b1"][:])
+    y = _conv3x3(t, w["f1_w1"][:], w["f1_b1"][:], mode)
     t = affine_relu(y, w["f1_a2"][:], w["f1_c2"][:], row0 + 1)
-    y = _conv3x3(t, w["f1_w2"][:], w["f1_b2"][:])
+    y = _conv3x3(t, w["f1_w2"][:], w["f1_b2"][:], mode)
     cm = y.shape[-1]
     shortcut_in = x[2:-2].reshape((band + 4) * width, cin)
-    proj = jnp.dot(
-        shortcut_in, w["f1_pw"][:], preferred_element_type=jnp.float32
-    ) + w["f1_pb"][:]
+    proj = _dot(shortcut_in, w["f1_pw"][:], mode) + w["f1_pb"][:]
     y1 = y + proj.reshape(band + 4, width, cm)
 
     # fuse block 2 (identity shortcut): rows band+4 -> band
     t = affine_relu(y1, w["f2_a1"][:], w["f2_c1"][:], row0 + 2)
-    y = _conv3x3(t, w["f2_w1"][:], w["f2_b1"][:])
+    y = _conv3x3(t, w["f2_w1"][:], w["f2_b1"][:], mode)
     t = affine_relu(y, w["f2_a2"][:], w["f2_c2"][:], row0 + 3)
-    y = _conv3x3(t, w["f2_w2"][:], w["f2_b2"][:])
+    y = _conv3x3(t, w["f2_w2"][:], w["f2_b2"][:], mode)
     y2 = y + y1[2:-2]
 
     # head (1x1, f32)
-    out = jnp.dot(
-        y2.reshape(band * width, cm),
-        w["head_w"][:],
-        preferred_element_type=jnp.float32,
-    ) + w["head_b"][:]
+    out = _dot(y2.reshape(band * width, cm), w["head_w"][:], mode) + w["head_b"][:]
     out_ref[0] = out.reshape(band, width, -1)
 
 
@@ -157,15 +224,27 @@ def pack_hr_tail_weights(f1: dict, f2: dict, head: dict, *, bn_eps: float):
     return [jnp.asarray(v, jnp.float32) for v in ws]
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "mode"))
 def hr_tail_pallas(
     sr_feat: jnp.ndarray,
     dem_feat: jnp.ndarray,
     *weights: jnp.ndarray,
     band: int = 32,
     interpret: bool = False,
+    mode: str | None = None,
 ) -> jnp.ndarray:
-    """Fused concat+resblock×2+head over NHWC features; returns [B,H,W,Ch]."""
+    """Fused concat+resblock×2+head over NHWC features; returns [B,H,W,Ch].
+
+    ``mode`` selects the MXU multiply precision for the f32 matmuls (see
+    :func:`_dot`): ``"x3"`` (default on hardware — bf16x3, the semantics of
+    ``lax.Precision.HIGH`` that the unfused XLA path pins), ``"highest"``
+    (Mosaic native fp32 contract), or ``"f32"`` (plain dots — exact under
+    interpret mode, where Mosaic precision attributes don't apply).
+    """
+    if mode is None:
+        mode = "f32" if interpret else os.environ.get(
+            "FLOODSR_HR_TAIL_PRECISION", "x3"
+        )
     assert sr_feat.ndim == 4 and dem_feat.ndim == 4
     assert band % HALO == 0, f"band {band} must be a multiple of {HALO}"
     assert len(weights) == len(WEIGHT_KEYS), len(weights)
@@ -200,7 +279,7 @@ def hr_tail_pallas(
             pl.BlockSpec((1, HALO, width, c), dn, memory_space=pltpu.VMEM),
         ]
 
-    kernel = functools.partial(_hr_tail_kernel, band=band, total_rows=h)
+    kernel = functools.partial(_hr_tail_kernel, band=band, total_rows=h, mode=mode)
     return pl.pallas_call(
         kernel,
         grid=(b, n_bands),
