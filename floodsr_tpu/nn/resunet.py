@@ -60,13 +60,17 @@ class ResUNetConfig:
     bn_momentum: float = 0.99
     # HR-stage space-to-depth factor. 97% of this network's MACs sit in the
     # HR fuse/upsample stages, which at 32 channels use ~25% of the MXU's
-    # lanes. With hr_s2d=2 those stages run at (H/2)² with 2f channels (DEM
-    # fused via space-to-depth, head emits s2d² channels reshaped back up) —
-    # same function family, far better MXU utilization. Measured forward
-    # throughput at f32-strict, batch 8 of 32→512 tiles: 41 MP/s (s2d=1),
-    # 96 MP/s (s2d=2, the default), 131 MP/s (s2d=4). Set 1 for the
-    # reference-prose layout (full-resolution HR fusion).
-    hr_s2d: int = 2
+    # 128 lanes. With hr_s2d=s those stages run at (H/s)² with s·f channels
+    # (DEM fused via space-to-depth, head emits s² channels reshaped back
+    # up) — same function family, far better MXU utilization. s2d=4 (128
+    # channels — full lanes) is the default: measured v5e scene throughput
+    # 91 MP/s f32-strict vs 48 at s2d=2 (docs/perf/), and held-out quality
+    # BEATS the s2d=2 config when trained to its budget
+    # (docs/perf/flagship_study.json `s2d4_long`: rmse 0.368 vs 0.637 for
+    # s2d2@1500 and 0.684 bilinear; round-1's s2d4 rejection was an
+    # undertrained 1500-step run). Set 1 for the reference-prose layout
+    # (full-resolution HR fusion).
+    hr_s2d: int = 4
 
     @property
     def hr_tile(self) -> int:
@@ -234,15 +238,39 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
 
 def _conv_transpose(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     w = p["w"].astype(x.dtype)
-    out = lax.conv_transpose(
-        x,
-        w,
-        strides=(stride, stride),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=_precision_for(x.dtype),
-    )
+    if w.shape[0] == stride and w.shape[1] == stride:
+        # kernel == stride: output windows don't overlap, so the transposed
+        # conv is exactly one matmul + depth-to-space —
+        # out[n, y·s+dy, x·s+dx, co] = Σ_ci x[n,y,x,ci] · w[s-1-dy, s-1-dx, ci, co]
+        # (lax.conv_transpose stamps the kernel spatially flipped).
+        # XLA lowers lax.conv_transpose as an input-dilated conv whose
+        # multiplies are ≥75% zeros at these strides; the matmul form feeds
+        # the MXU only real work (measured on the profile's trunk share).
+        n, h, wd, ci = x.shape
+        co = w.shape[-1]
+        wm = w[::-1, ::-1].transpose(2, 0, 1, 3).reshape(ci, stride * stride * co)
+        out = lax.dot_general(
+            x.reshape(n * h * wd, ci),
+            wm,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(x.dtype),
+        )
+        out = (
+            out.reshape(n, h, wd, stride, stride, co)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h * stride, wd * stride, co)
+        )
+    else:
+        out = lax.conv_transpose(
+            x,
+            w,
+            strides=(stride, stride),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(x.dtype),
+        )
     return (out + p["b"]).astype(x.dtype)
 
 
@@ -393,11 +421,14 @@ def resunet_apply(
 
     tail_h = x.shape[1]
     if pallas_tail is None:
-        pallas_tail = (
-            jax.default_backend() == "tpu"
-            and compute_dtype == jnp.float32
-            and _pallas_tail_eligible(params, cfg, tail_h, train)
-        )
+        # Default OFF: stock XLA wins the composition A/B on v5e at every
+        # measured config (s2d4 b16 f32: 19.96 ms XLA vs 20.53 ms fused;
+        # bf16: 11.14 vs 11.90; scene f32: 154.6 vs 161.3 ms — see
+        # docs/perf/kernel_study.json). The fused kernel wins the tail in
+        # isolation (12.97 vs 13.36 ms) but XLA's fusion across the tail
+        # boundary more than makes up the difference. Kept as an explicit
+        # opt-in (pallas_tail=True) with exactness pinned in tests.
+        pallas_tail = False
     if pallas_tail:
         assert _pallas_tail_eligible(params, cfg, tail_h, train), (
             "pallas_tail requested but config/shape not eligible"
@@ -417,6 +448,8 @@ def resunet_apply(
             *weights,
             band=band,
             interpret=jax.default_backend() != "tpu",
+            # bf16 compute → single-pass MXU taps; f32 → bf16x3 (HIGH).
+            mode="bf16" if compute_dtype == jnp.bfloat16 else None,
         )
         new_state["fuse"] = [bs for bs in state["fuse"]]
     else:

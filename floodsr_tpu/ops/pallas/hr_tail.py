@@ -74,6 +74,12 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray, mode: str) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+    if mode == "bf16":
+        return jnp.dot(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     assert mode == "x3", mode
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
@@ -129,6 +135,10 @@ def _conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, mode: str) -> jnp.n
         w_hi = wm.astype(jnp.bfloat16)
         w_lo = (wm - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = d(hi, w_hi) + d(hi, w_lo) + d(lo, w_hi)
+    elif mode == "bf16":
+        # Fast path: single MXU pass on the bf16-cast taps.
+        hi = _im2col(x.astype(jnp.bfloat16), rows, width)
+        acc = d(hi, wm.astype(jnp.bfloat16))
     elif mode == "highest":
         acc = jnp.dot(
             _im2col(x, rows, width), wm,
@@ -188,8 +198,10 @@ def _hr_tail_kernel(*refs, band: int, total_rows: int, mode: str):
     y = _conv3x3(t, w["f2_w2"][:], w["f2_b2"][:], mode)
     y2 = y + y1[2:-2]
 
-    # head (1x1, f32)
-    out = _dot(y2.reshape(band * width, cm), w["head_w"][:], mode) + w["head_b"][:]
+    # head (1x1) — stays high-precision even in bf16 mode, matching the
+    # unfused path's bf16-body/f32-head policy (ADR-0005).
+    head_mode = "x3" if mode == "bf16" else mode
+    out = _dot(y2.reshape(band * width, cm), w["head_w"][:], head_mode) + w["head_b"][:]
     out_ref[0] = out.reshape(band, width, -1)
 
 

@@ -36,13 +36,14 @@ def tiny_engine(tiny_artifact):
 
 class TestModelCore:
     def test_default_config_param_count(self):
-        # Pinned: f=32, 2 blocks/stage, hr_s2d=2 layout (reference artifact is
+        # Pinned: f=32, 2 blocks/stage, hr_s2d=4 layout (reference artifact is
         # 12,045,568 in its own unrecoverable layout; ours is a documented
         # superset; hr_s2d=1 reproduces the reference-prose HR layout).
         params, state = init_resunet(0, ResUNetConfig())
-        assert count_params(params) == 16_184_420
-        assert count_params(params) + count_params(state) == 16_196_772
-        params1, state1 = init_resunet(0, ResUNetConfig(hr_s2d=1))
+        assert count_params(params) == 16_661_616
+        params2, _ = init_resunet(0, ResUNetConfig(hr_s2d=2))
+        assert count_params(params2) == 16_184_420
+        params1, _ = init_resunet(0, ResUNetConfig(hr_s2d=1))
         assert count_params(params1) == 16_067_169
 
     def test_s2d_variant_output_shape(self):
