@@ -231,16 +231,22 @@ def _measure_pipeline(engine, scene, out_mp: float, label: str, reps: int = 5) -
     )
     out, _ = fn(engine.params, engine.state, depth_dev, dem_dev, idx)
     float(jnp.sum(out.astype(jnp.float32)))  # warm-up + force
+    # Queue several scene executions per scalar readback: the readback's
+    # ~25 ms tunnel round trip is a harness artifact (measured in
+    # bin/profile_scene.py), not part of the pipeline; queued dispatch
+    # mirrors steady-state serving where scenes stream back to back.
+    iters = 4
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out, _ = fn(engine.params, engine.state, depth_dev, dem_dev, idx)
+        for _ in range(iters):
+            out, _ = fn(engine.params, engine.state, depth_dev, dem_dev, idx)
         float(jnp.sum(out.astype(jnp.float32)))
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / iters)
     mps = out_mp / best
     print(
         f"# device pipeline {label}: {mps:.1f} MP/s "
-        f"({best * 1000:.0f} ms/scene, best of {reps})",
+        f"({best * 1000:.0f} ms/scene, best of {reps}x{iters} queued)",
         file=sys.stderr,
     )
     return mps
