@@ -41,6 +41,7 @@ from train_flagship import (  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--s2d", type=int, default=4)
     ap.add_argument("--save-artifact", action="store_true",
                     help="also export the trained s2d4 model to tests/data/_artifacts")
     args = ap.parse_args()
@@ -71,18 +72,18 @@ def main() -> int:
     baseline = {k: float(bl[k]) for k in ("mase_m", "rmse_m", "rmse_wet_m", "bias_m")}
     print("bilinear baseline:", {k: round(v, 4) for k, v in baseline.items()}, flush=True)
 
-    # Committed s2d2 golden on the same val split (no retraining).
+    # Committed flagship golden on the same val split (no retraining).
     golden_fp = REPO / "tests" / "data" / "_artifacts" / "model_infer_flagship.fsrz"
-    s2d2_metrics = None
+    golden_metrics = None
     if golden_fp.exists():
         art = load_artifact(golden_fp)
-        s2d2_metrics, _ = eval_model(
+        golden_metrics, _ = eval_model(
             art["config"], jax.device_put(art["params"]), jax.device_put(art["state"]),
             dataset, val_idx, jnp.float32,
         )
-        print("committed s2d2 golden:", {k: round(v, 4) for k, v in s2d2_metrics.items()}, flush=True)
+        print("committed flagship golden:", {k: round(v, 4) for k, v in golden_metrics.items()}, flush=True)
 
-    cfg = ResUNetConfig(hr_s2d=4)
+    cfg = ResUNetConfig(hr_s2d=args.s2d)
     tcfg = TrainConfig(total_steps=args.steps, base_lr=4e-4, second_lr=8e-5)
     state = init_train_state(SEED, cfg, tcfg)
     step_fn = make_train_step(cfg, tcfg, donate=True)
@@ -95,9 +96,9 @@ def main() -> int:
         if bi % 200 == 0 or bi == args.steps - 1:
             loss = float(metrics["loss"])
             losses.append({"step": bi, "loss": loss})
-            print(f"s2d4 step {bi}: loss {loss:.5f}", flush=True)
+            print(f"s2d{args.s2d} step {bi}: loss {loss:.5f}", flush=True)
     train_s = time.perf_counter() - t0
-    print(f"trained s2d4 in {train_s:.0f}s", flush=True)
+    print(f"trained s2d{args.s2d} in {train_s:.0f}s", flush=True)
 
     entry = {
         "steps": args.steps,
@@ -106,16 +107,16 @@ def main() -> int:
         "loss_curve": losses,
         "eval": {},
         "baseline_bilinear": baseline,
-        "s2d2_golden_same_split": s2d2_metrics,
+        "committed_golden_same_split": golden_metrics,
     }
     for dtype_name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
         m, _ = eval_model(cfg, state.params, state.model_state, dataset, val_idx, dtype)
         entry["eval"][dtype_name] = m
-        print(f"s2d4 {dtype_name}:", {k: round(v, 4) for k, v in m.items()}, flush=True)
+        print(f"s2d{args.s2d} {dtype_name}:", {k: round(v, 4) for k, v in m.items()}, flush=True)
 
     out_fp = REPO / "docs" / "perf" / "flagship_study.json"
     study = json.loads(out_fp.read_text()) if out_fp.exists() else {"configs": {}}
-    study.setdefault("configs", {})["s2d4_long"] = entry
+    study.setdefault("configs", {})[f"s2d{args.s2d}_long"] = entry
     out_fp.write_text(json.dumps(study, indent=1))
     print(f"wrote {out_fp}", flush=True)
 
@@ -123,9 +124,9 @@ def main() -> int:
         from floodsr_tpu.train.trainer import export_inference_artifact
 
         fp = export_inference_artifact(
-            REPO / "tests" / "data" / "_artifacts" / "model_infer_s2d4.fsrz",
+            REPO / "tests" / "data" / "_artifacts" / f"model_infer_s2d{args.s2d}.fsrz",
             state, cfg,
-            {"seed": SEED, "purpose": "s2d4 requalification", "train_steps": args.steps},
+            {"seed": SEED, "purpose": f"s2d{args.s2d} requalification", "train_steps": args.steps},
             store_dtype="float16",
         )
         print(f"wrote {fp}", flush=True)

@@ -25,7 +25,7 @@ from floodsr_tpu.model_registry import (
     load_models_manifest,
     model_worker_exists,
 )
-from floodsr_tpu.tohr import tohr
+from floodsr_tpu.tohr import tohr, tohr_many
 
 log = logging.getLogger(__name__)
 
@@ -252,23 +252,9 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
 
     model_version, model_fp = _resolve_tohr_model_spec(args)
 
-    dem_fp = args.dem
-    if args.fetch_hrdem:
-        from floodsr_tpu.dem_sources import fetch_dem
+    in_fps = args.in_fp if isinstance(args.in_fp, list) else [args.in_fp]
 
-        dem_fp = fetch_dem(
-            source_id="hrdem",
-            depth_lr_fp=args.in_fp,
-            output_fp=args.fetch_out,
-            logger=log,
-        ).dem_fp
-
-    result = tohr(
-        model_version=model_version,
-        model_fp=model_fp,
-        depth_lr_fp=args.in_fp,
-        dem_hr_fp=dem_fp,
-        output_fp=args.out if args.out is not None else _resolve_default_output_path(args.in_fp),
+    shared = dict(
         max_depth=args.max_depth,
         dem_pct_clip=args.dem_pct_clip,
         window_method=args.window_method or config.window_method,
@@ -282,7 +268,64 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
             "input_transfer": config.input_transfer,
         },
     )
-    print(result["output_fp"])
+
+    def resolve_dem(in_fp: Path) -> Path:
+        if not args.fetch_hrdem:
+            return args.dem
+        from floodsr_tpu.dem_sources import fetch_dem
+
+        return fetch_dem(
+            source_id="hrdem",
+            depth_lr_fp=in_fp,
+            output_fp=args.fetch_out,
+            logger=log,
+        ).dem_fp
+
+    if len(in_fps) == 1:
+        in_fp = in_fps[0]
+        result = tohr(
+            model_version=model_version,
+            model_fp=model_fp,
+            depth_lr_fp=in_fp,
+            dem_hr_fp=resolve_dem(in_fp),
+            output_fp=(
+                args.out
+                if args.out is not None
+                else _resolve_default_output_path(in_fp)
+            ),
+            **shared,
+        )
+        print(result["output_fp"])
+        return 0
+
+    # Multi-scene serving: stream every input through one loaded model
+    # (compiled executables + device DEM cache reused; next scene's DEM
+    # prefetched while the current one computes).
+    if args.out is not None:
+        out_dir = Path(args.out).expanduser()
+        if out_dir.suffix:
+            raise ValueError(
+                "--out must name a directory when multiple --in rasters are given"
+            )
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    def job_output(in_fp: Path) -> Path:
+        default = _resolve_default_output_path(in_fp)
+        return out_dir / default.name if args.out is not None else default
+
+    jobs = [
+        {
+            "depth_lr_fp": in_fp,
+            "dem_hr_fp": resolve_dem(in_fp),
+            "output_fp": job_output(in_fp),
+        }
+        for in_fp in in_fps
+    ]
+    results = tohr_many(
+        model_version=model_version, model_fp=model_fp, jobs=jobs, **shared
+    )
+    for result in results:
+        print(result["output_fp"])
     return 0
 
 
@@ -405,8 +448,12 @@ def _build_tohr_parser(subparsers) -> None:
         help="JSON file supplying tohr parameters (explicit flags win).",
     )
     p.add_argument(
-        "--in", dest="in_fp", type=Path, required=True,
-        help="Input low-resolution depth raster.",
+        "--in", dest="in_fp", type=Path, required=True, nargs="+",
+        help=(
+            "Input low-resolution depth raster(s). With several inputs the "
+            "scenes stream through one loaded model (next DEM prefetched "
+            "while the current scene computes) and --out names a directory."
+        ),
     )
     dem_source = p.add_mutually_exclusive_group(required=True)
     dem_source.add_argument(

@@ -24,7 +24,9 @@ from __future__ import annotations
 import logging
 import math
 import tempfile
+import threading
 import time
+from collections import OrderedDict
 from pathlib import Path
 from typing import Any
 
@@ -65,6 +67,8 @@ class ModelWorker(Model):
         self.output_transfer = output_transfer
         self.input_transfer = input_transfer
         self.engine: EngineJAX | None = None
+        self._dem_device_cache: OrderedDict = OrderedDict()
+        self._dem_prefetch: dict = {}
 
     def __enter__(self):
         self.engine = EngineJAX(
@@ -81,8 +85,90 @@ class ModelWorker(Model):
         if self.engine is not None:
             self.engine.close()
         self.engine = None
-        self._dem_device_cache = None
+        self._dem_device_cache.clear()
+        self._dem_prefetch.clear()
         return False
+
+    # -- DEM device cache / scene streaming ----------------------------
+
+    #: max device-resident DEMs kept across runs (terrain is static across
+    #: forecast cycles; a hit skips both GeoTIFF decode and the big H2D).
+    DEM_CACHE_CAP = 4
+
+    def _dem_cache_key(self, path: Path):
+        try:
+            st = path.stat()
+        except OSError:
+            return None
+        return (str(path), st.st_mtime_ns, st.st_size, self.input_transfer)
+
+    def _decode_and_upload_dem(self, dem_hr_path: Path):
+        """GeoTIFF decode + async quantized H2D for one DEM; returns cache value."""
+        from floodsr_tpu.ops.transfer import device_put_dem_quantized
+
+        dem_raw, nodata, profile = _read_single_band_raster(dem_hr_path)
+        assert np.isfinite(
+            np.where(
+                np.isclose(dem_raw, nodata) if nodata is not None else False,
+                0.0,
+                dem_raw,
+            )
+        ).all(), "DEM contains non-finite values"
+        dem_dev = device_put_dem_quantized(
+            dem_raw, nodata, enabled=self.input_transfer == "uint16"
+        )
+        return dem_dev, nodata, profile
+
+    def _dem_cache_put(self, key, value) -> None:
+        cache = self._dem_device_cache
+        cache[key] = value
+        cache.move_to_end(key)
+        while len(cache) > self.DEM_CACHE_CAP:
+            cache.popitem(last=False)
+
+    def prefetch_dem(self, dem_hr_fp) -> "threading.Thread | None":
+        """Decode + upload a scene's DEM in a background thread.
+
+        Scene-streaming hook: while scene *i* computes on device, scene
+        *i+1*'s DEM (usually the dominant input) decodes and ships to HBM —
+        :meth:`run` then hits the device cache. Safe to call for a DEM
+        already cached or in flight (no duplicate work).
+        """
+        path = Path(dem_hr_fp).expanduser().resolve()
+        key = self._dem_cache_key(path)
+        if key is None or key in self._dem_device_cache or key in self._dem_prefetch:
+            return None
+
+        def work():
+            try:
+                self._dem_cache_put(key, self._decode_and_upload_dem(path))
+            except Exception:
+                self.log.exception(f"DEM prefetch failed for {path}")
+            finally:
+                self._dem_prefetch.pop(key, None)
+
+        t = threading.Thread(target=work, name="floodsr-dem-prefetch", daemon=True)
+        self._dem_prefetch[key] = t
+        t.start()
+        return t
+
+    def run_many(self, jobs, **shared_kwargs) -> list[dict]:
+        """Pipelined multi-scene serving: stream scenes through one engine.
+
+        ``jobs`` is a sequence of dicts with at least ``depth_lr_fp``,
+        ``dem_hr_fp``, ``output_fp`` (plus optional per-job overrides of any
+        :meth:`run` keyword). The next scene's DEM decodes and uploads in a
+        background thread while the current scene computes, and every scene
+        reuses the engine's compiled executables (bucketed geometry) and the
+        device DEM cache. Returns the per-job diagnostics dicts in order.
+        """
+        jobs = [dict(j) for j in jobs]
+        results = []
+        for i, job in enumerate(jobs):
+            if i + 1 < len(jobs):
+                self.prefetch_dem(jobs[i + 1]["dem_hr_fp"])
+            results.append(self.run(**{**shared_kwargs, **job}))
+        return results
 
     # ------------------------------------------------------------------
 
@@ -245,47 +331,33 @@ class ModelWorker(Model):
         )
 
         t_read0 = time.perf_counter()
-        # Terrain is static across forecast runs: keep the last uploaded DEM
+        # Terrain is static across forecast runs: keep recently uploaded DEMs
         # resident on device, keyed by file identity (path, mtime, size).
         # A hit skips both the GeoTIFF decode and the big host→HBM transfer —
-        # the dominant per-scene costs on transfer-limited hosts.
-        dem_cache_key = None
-        try:
-            st = dem_hr_path.stat()
-            dem_cache_key = (str(dem_hr_path), st.st_mtime_ns, st.st_size,
-                             self.input_transfer)
-        except OSError:
-            pass
-        cached = getattr(self, "_dem_device_cache", None)
-        if dem_cache_key is not None and cached is not None and cached[0] == dem_cache_key:
-            _, dem_hr_dev, dem_hr_raw_nodata, dem_hr_raw_profile = cached
-            dem_hr_raw = None  # device-resident; align reads the device copy
+        # the dominant per-scene costs on transfer-limited hosts. A prefetch
+        # started by run_many/prefetch_dem is joined rather than duplicated.
+        dem_cache_key = self._dem_cache_key(dem_hr_path)
+        inflight = self._dem_prefetch.get(dem_cache_key) if dem_cache_key else None
+        if inflight is not None:
+            inflight.join()
+        cached = (
+            self._dem_device_cache.get(dem_cache_key) if dem_cache_key else None
+        )
+        if cached is not None:
+            dem_hr_dev, dem_hr_raw_nodata, dem_hr_raw_profile = cached
             log.debug("DEM device cache hit; skipping decode + upload")
         else:
-            dem_hr_raw, dem_hr_raw_nodata, dem_hr_raw_profile = _read_single_band_raster(dem_hr_path)
-            assert np.isfinite(
-                np.where(
-                    np.isclose(dem_hr_raw, dem_hr_raw_nodata)
-                    if dem_hr_raw_nodata is not None
-                    else False,
-                    0.0,
-                    dem_hr_raw,
-                )
-            ).all(), "DEM contains non-finite values"
-            # Start the (large) DEM upload immediately (async, overlapping the
-            # depth read and alignment bookkeeping) — uint16 fixed-point encoded
-            # by default to halve bytes on transfer-limited hosts
+            # Decode + start the (large) async upload immediately (overlapping
+            # the depth read and alignment bookkeeping) — uint16 fixed-point
+            # encoded by default to halve bytes on transfer-limited hosts
             # (:mod:`floodsr_tpu.ops.transfer`).
-            from floodsr_tpu.ops.transfer import device_put_dem_quantized
-
-            dem_hr_dev = device_put_dem_quantized(
-                dem_hr_raw,
-                dem_hr_raw_nodata,
-                enabled=self.input_transfer == "uint16",
+            dem_hr_dev, dem_hr_raw_nodata, dem_hr_raw_profile = (
+                self._decode_and_upload_dem(dem_hr_path)
             )
             if dem_cache_key is not None:
-                self._dem_device_cache = (
-                    dem_cache_key, dem_hr_dev, dem_hr_raw_nodata, dem_hr_raw_profile
+                self._dem_cache_put(
+                    dem_cache_key,
+                    (dem_hr_dev, dem_hr_raw_nodata, dem_hr_raw_profile),
                 )
         depth_lr_raw, depth_lr_raw_nodata, depth_lr_raw_profile = _read_single_band_raster(depth_lr_path)
         log.debug(f"stage timings: read={time.perf_counter() - t_read0:.3f}s")

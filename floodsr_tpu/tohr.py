@@ -82,3 +82,55 @@ def tohr(
     )
     with worker_class(model_fp=artifact, logger=log, **extra) as worker:
         return worker.run(**run_args)
+
+
+def tohr_many(
+    *,
+    model_version: str,
+    model_fp: str | Path,
+    jobs: list[dict],
+    max_depth: float | None = None,
+    dem_pct_clip: float | None = None,
+    window_method: str = "feather",
+    tile_overlap: int | None = None,
+    tile_size: int | None = None,
+    logger: logging.Logger | None = None,
+    engine_options: dict | None = None,
+) -> list[dict[str, object]]:
+    """Super-resolve a stream of scenes through ONE worker lifecycle.
+
+    TPU-native serving extension of :func:`tohr`: the model loads and
+    compiles once, every scene reuses the bucketed scene executables and the
+    device-resident DEM cache, and each next scene's DEM decodes/uploads in a
+    background thread while the current scene computes
+    (``ModelWorker.run_many``). ``jobs`` entries carry ``depth_lr_fp``,
+    ``dem_hr_fp``, ``output_fp`` plus optional per-job overrides of the
+    shared run keywords. Returns per-job diagnostics dicts in order.
+    """
+    if not model_version:
+        raise AssertionError("model_version cannot be empty")
+    if not jobs:
+        raise AssertionError("jobs cannot be empty")
+    artifact = Path(model_fp).expanduser().resolve()
+    if not artifact.exists():
+        raise AssertionError(f"model file does not exist: {artifact}")
+    log = logger if logger is not None else logging.getLogger(__name__)
+
+    worker_class = resolve_model_worker_class(model_version)
+    init_params = inspect.signature(worker_class.__init__).parameters
+    extra: dict[str, Any] = {
+        key: value
+        for key, value in (engine_options or {}).items()
+        if key in init_params
+    }
+    shared = dict(
+        max_depth=max_depth,
+        dem_pct_clip=dem_pct_clip,
+        window_method=window_method,
+        tile_overlap=tile_overlap,
+        tile_size=tile_size,
+    )
+    with worker_class(model_fp=artifact, logger=log, **extra) as worker:
+        if hasattr(worker, "run_many"):
+            return worker.run_many(jobs, **shared)
+        return [worker.run(**{**shared, **job}) for job in jobs]

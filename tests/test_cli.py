@@ -112,6 +112,51 @@ class TestTohrCli:
         pred, _, _ = read_raster(out_fp)
         assert pred.shape == synthetic_tohr_tiles["hr_shape"]
 
+    def test_tohr_multi_input_streams_to_directory(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, capsys
+    ):
+        """Several --in rasters stream through one loaded model; --out is a
+        directory and per-scene outputs use the default naming inside it."""
+        import shutil
+
+        lr2 = tmp_path / "scene2.tif"
+        shutil.copy2(synthetic_tohr_tiles["depth_lr_fp"], lr2)
+        out_dir = tmp_path / "preds"
+        code = main(
+            [
+                "tohr",
+                "--in", str(synthetic_tohr_tiles["depth_lr_fp"]), str(lr2),
+                "--dem", str(synthetic_tohr_tiles["dem_fp"]),
+                "--out", str(out_dir),
+                "--model-path", str(tiny_model_fp),
+                "--tile-overlap", "1",
+            ]
+        )
+        assert code == 0
+        printed = capsys.readouterr().out.strip().splitlines()
+        assert len(printed) == 2
+        outs = sorted(out_dir.glob("*.tif"))
+        assert [str(p) for p in sorted(map(Path, printed))] == [str(p) for p in outs]
+        a, _, _ = read_raster(outs[0])
+        b, _, _ = read_raster(outs[1])
+        np.testing.assert_array_equal(a, b)  # identical inputs → identical scenes
+
+    def test_tohr_multi_input_rejects_file_out(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path
+    ):
+        code = main(
+            [
+                "tohr",
+                "--in",
+                str(synthetic_tohr_tiles["depth_lr_fp"]),
+                str(synthetic_tohr_tiles["depth_lr_fp"]),
+                "--dem", str(synthetic_tohr_tiles["dem_fp"]),
+                "--out", str(tmp_path / "single_file.tif"),
+                "--model-path", str(tiny_model_fp),
+            ]
+        )
+        assert code == 1
+
     def test_tohr_machine_json(self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, capsys):
         out_fp = tmp_path / "mj_pred.tif"
         payload = {

@@ -76,20 +76,63 @@ class TestTohrNativeScale:
         )
         with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
             worker.run(output_fp=tmp_path / "a.tif", **kwargs)
-            assert getattr(worker, "_dem_device_cache", None) is not None
-            key_before = worker._dem_device_cache[0]
+            assert len(worker._dem_device_cache) == 1
+            key_before = next(iter(worker._dem_device_cache))
             worker.run(output_fp=tmp_path / "b.tif", **kwargs)
-            assert worker._dem_device_cache[0] == key_before
-            # Rewrite the file (new mtime) → cache must refresh.
+            assert list(worker._dem_device_cache) == [key_before]
+            # Rewrite the file (new mtime) → a fresh entry must be used.
             shutil.copy2(synthetic_tohr_tiles["dem_fp"], dem_fp)
             os.utime(dem_fp, ns=(1, 1))
             worker.run(output_fp=tmp_path / "c.tif", **kwargs)
-            assert worker._dem_device_cache[0] != key_before
+            key_after = next(reversed(worker._dem_device_cache))
+            assert key_after != key_before
         a, _, _ = read_raster(tmp_path / "a.tif")
         b, _, _ = read_raster(tmp_path / "b.tif")
         c, _, _ = read_raster(tmp_path / "c.tif")
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(a, c)
+
+    def test_run_many_streams_scenes_with_prefetch(
+        self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        """run_many matches per-scene run() output and rides the DEM cache /
+        prefetch path (second scene's DEM uploaded by a background thread)."""
+        import shutil
+
+        dem2 = tmp_path / "dem_scene2.tif"
+        shutil.copy2(synthetic_tohr_tiles["dem_fp"], dem2)
+        jobs = [
+            {
+                "depth_lr_fp": synthetic_tohr_tiles["depth_lr_fp"],
+                "dem_hr_fp": synthetic_tohr_tiles["dem_fp"],
+                "output_fp": tmp_path / "m0.tif",
+            },
+            {
+                "depth_lr_fp": synthetic_tohr_tiles["depth_lr_fp"],
+                "dem_hr_fp": dem2,
+                "output_fp": tmp_path / "m1.tif",
+            },
+        ]
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            results = worker.run_many(jobs, window_method="feather", tile_overlap=1)
+            assert len(results) == 2
+            # both DEMs resident after the stream
+            assert len(worker._dem_device_cache) == 2
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            solo = worker.run(
+                depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                output_fp=tmp_path / "solo.tif",
+                window_method="feather",
+                tile_overlap=1,
+            )
+        m0, _, _ = read_raster(tmp_path / "m0.tif")
+        m1, _, _ = read_raster(tmp_path / "m1.tif")
+        ref, _, _ = read_raster(tmp_path / "solo.tif")
+        np.testing.assert_array_equal(m0, ref)
+        np.testing.assert_array_equal(m1, ref)
+        assert results[0]["output_fp"] == str(tmp_path / "m0.tif")
+        assert solo["runtime_s"] > 0
 
     def test_feather_and_hard_agree_where_tiles_are_interior_constant(
         self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
