@@ -371,11 +371,14 @@ def resunet_apply(
     depth_lr = depth_lr.astype(x_dtype)
     dem_hr = dem_hr.astype(x_dtype)
 
-    # DEM pooled to LR and fused with depth as the encoder input.
+    # DEM pooled to LR and fused with depth as the encoder input. The s×s
+    # box mean runs as reshape + mean, not lax.reduce_window — measured
+    # 0.85 ms vs 3.58 ms per 8-tile chunk on v5e for the same result
+    # (max diff 5e-7); reduce_window's generic windowed lowering is the
+    # wrong tool for an aligned non-overlapping box.
     s = cfg.scale
-    dem_lr = lax.reduce_window(
-        dem_hr, 0.0, lax.add, (1, s, s, 1), (1, s, s, 1), "VALID"
-    ) / float(s * s)
+    n_, hh_, ww_, c_ = dem_hr.shape
+    dem_lr = dem_hr.reshape(n_, hh_ // s, s, ww_ // s, s, c_).mean(axis=(2, 4))
     x = jnp.concatenate([depth_lr, dem_lr.astype(x_dtype)], axis=-1)
     x = _conv(params["stem"], x)
 
