@@ -50,6 +50,25 @@ class TestHrTailKernel:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
+    def test_bf16_mode_close_to_f32(self):
+        # The single-pass bf16 mode (opt-in fast path) must track the f32
+        # result within bf16 resolution; the head stays high-precision.
+        cfg, params, state = _setup()
+        hr_w = cfg.base_filters * cfg.hr_s2d
+        rng = np.random.default_rng(2)
+        b, h, w = 2, 32, 128
+        sr = jnp.asarray(rng.normal(0, 1, (b, h, w, hr_w)).astype(np.float32))
+        dem = jnp.asarray(rng.normal(0, 1, (b, h, w, cfg.fuse_filters)).astype(np.float32))
+        weights = _pack(cfg, params, state)
+        exact = np.asarray(hr_tail_pallas(sr, dem, *weights, band=16, interpret=True))
+        got = np.asarray(
+            hr_tail_pallas(sr, dem, *weights, band=16, interpret=True, mode="bf16")
+        )
+        assert got.shape == exact.shape
+        scale = max(1.0, float(np.abs(exact).max()))
+        assert float(np.abs(got - exact).max()) / scale < 0.15  # bf16-resolution drift
+        assert float(np.sqrt(np.mean((got - exact) ** 2))) / scale < 0.02
+
     def test_band_edges_and_single_band(self):
         # One band (no interior halo) and tall-many-bands must both match.
         cfg, params, state = _setup(seed=9)
