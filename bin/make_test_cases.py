@@ -54,6 +54,9 @@ TEST_MODEL_CFG = ResUNetConfig(
     fuse_blocks=1,
     scale=4,
     lr_tile=8,
+    # Pinned explicitly: the committed goldens were trained at hr_s2d=2;
+    # regeneration must not drift with the flagship default.
+    hr_s2d=2,
 )
 
 
