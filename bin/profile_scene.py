@@ -118,8 +118,8 @@ def main() -> int:
 
     # -- full scene executable (production path, f32 + Pallas tail) --------
     for label, fwd_kwargs in [
-        ("scene_full_pallas", {}),
-        ("scene_full_xla_tail", {"pallas_tail": False}),
+        ("scene_full_default", {}),
+        ("scene_full_pallas_tail", {"pallas_tail": True}),
     ]:
         def fwd(p, s, d, m, dtype, _kw=fwd_kwargs):
             out, _ = resunet_apply(
@@ -295,7 +295,7 @@ def main() -> int:
     )
 
     # -- derived summary -----------------------------------------------------
-    scene = results["scene_full_pallas"]
+    scene = results["scene_full_default"]
     print(
         json.dumps(
             {

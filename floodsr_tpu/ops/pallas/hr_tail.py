@@ -80,6 +80,16 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray, mode: str) -> jnp.ndarray:
             b.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
+    if mode == "x2":
+        # Study mode: two-pass product (drops the activation-low term).
+        # Parity margin vs the gate is recorded in docs/perf/kernel_study.json.
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        a_hi = a.astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return d(a_hi, b_hi) + d(a_hi, b_lo)
     assert mode == "x3", mode
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
@@ -139,6 +149,13 @@ def _conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, mode: str) -> jnp.n
         # Fast path: single MXU pass on the bf16-cast taps.
         hi = _im2col(x.astype(jnp.bfloat16), rows, width)
         acc = d(hi, wm.astype(jnp.bfloat16))
+    elif mode == "x2":
+        # Study mode: keep weight hi/lo, drop the activation-low pass.
+        hi = _im2col(x.astype(jnp.float32).astype(jnp.bfloat16), rows, width)
+        wm = wm.astype(jnp.float32)
+        w_hi = wm.astype(jnp.bfloat16)
+        w_lo = (wm - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = d(hi, w_hi) + d(hi, w_lo)
     elif mode == "highest":
         acc = jnp.dot(
             _im2col(x, rows, width), wm,
@@ -236,7 +253,6 @@ def pack_hr_tail_weights(f1: dict, f2: dict, head: dict, *, bn_eps: float):
     return [jnp.asarray(v, jnp.float32) for v in ws]
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret", "mode"))
 def hr_tail_pallas(
     sr_feat: jnp.ndarray,
     dem_feat: jnp.ndarray,
@@ -249,14 +265,32 @@ def hr_tail_pallas(
 
     ``mode`` selects the MXU multiply precision for the f32 matmuls (see
     :func:`_dot`): ``"x3"`` (default on hardware — bf16x3, the semantics of
-    ``lax.Precision.HIGH`` that the unfused XLA path pins), ``"highest"``
-    (Mosaic native fp32 contract), or ``"f32"`` (plain dots — exact under
+    ``lax.Precision.HIGH`` that the unfused XLA path pins), ``"bf16"``
+    (single pass, f32 head), ``"highest"`` (Mosaic native fp32 contract),
+    ``"x2"`` (two-pass study mode), or ``"f32"`` (plain dots — exact under
     interpret mode, where Mosaic precision attributes don't apply).
     """
+    # Resolve the env-var default OUTSIDE the jit boundary: inside, the
+    # first trace's value would stick in the cache for every later call
+    # with mode=None.
     if mode is None:
         mode = "f32" if interpret else os.environ.get(
             "FLOODSR_HR_TAIL_PRECISION", "x3"
         )
+    return _hr_tail_pallas_jit(
+        sr_feat, dem_feat, *weights, band=band, interpret=interpret, mode=mode
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "mode"))
+def _hr_tail_pallas_jit(
+    sr_feat: jnp.ndarray,
+    dem_feat: jnp.ndarray,
+    *weights: jnp.ndarray,
+    band: int,
+    interpret: bool,
+    mode: str,
+) -> jnp.ndarray:
     assert sr_feat.ndim == 4 and dem_feat.ndim == 4
     assert band % HALO == 0, f"band {band} must be a multiple of {HALO}"
     assert len(weights) == len(WEIGHT_KEYS), len(weights)
