@@ -116,8 +116,10 @@ def main() -> int:
     max_batch = int(os.environ.get("FLOODSR_BENCH_MAX_BATCH", "8"))
     compute_dtype = os.environ.get("FLOODSR_BENCH_DTYPE", "float32")
     # Run 0 pays compiles; later runs ride the DEM device cache (static
-    # terrain). Best-of-N because the shared tunnel's throughput swings ±4x.
-    repeats = int(os.environ.get("FLOODSR_BENCH_REPEATS", "4"))
+    # terrain). Best-of-N because the shared tunnel's throughput swings ±4x
+    # (measured best-run spread 2.0-19.6 s for identical code) — warm runs
+    # are cheap, so sample generously.
+    repeats = int(os.environ.get("FLOODSR_BENCH_REPEATS", "6"))
 
     with tempfile.TemporaryDirectory(prefix="floodsr-bench-") as tmp:
         root = Path(tmp)

@@ -429,56 +429,35 @@ class EngineJAX(EngineBase):
 
         return up(crop_shape[0]), up(crop_shape[1])
 
-    def run_scene(
+    def scene_executor(
         self,
-        depth_raw,
-        dem_raw,
+        crop_shape: tuple[int, int],
         *,
         stride_hr: int,
         overlap_hr: int,
         max_depth: float,
         dem_pct_clip: float,
-        crop_shape: tuple[int, int],
-        post_resample=None,
-        low_depth_mask_m: float = 1e-3,
-        row_sink=None,
-    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
-        """Fused whole-scene execution: one H2D, one jit region, banded D2H.
+    ):
+        """Get-or-build the compiled scene executable serving ``crop_shape``.
 
-        ``row_sink(band)``: optional consumer of finished output row bands
-        (top to bottom) called while later bands are still in flight from the
-        device — the worker plugs streaming GeoTIFF strip writes in here.
-
-        ``depth_raw``/``dem_raw`` are UNPADDED LR/HR scenes — numpy arrays or
-        jax arrays already resident on device (e.g. straight from the device
-        warp). The engine pads them into the scene BUCKET for ``crop_shape``
-        (see :meth:`scene_bucket_for`), runs the bucket's compiled executor
-        (tile window grid derived from ``stride_hr``), then finishes on host:
-        crop to ``crop_shape``, clip, optional ``post_resample``
-        (``(dst_shape, src_transform, dst_transform)``), and the low-depth
-        mask — reference order crop → clip → resample → mask
-        (``floodsr/models/ResUNet_16x_DEM.py:554-583``).
-
-        Returns the finished meter-domain scene plus per-tile DEM stats for
-        the content grid tiles.
+        Returns ``(fn, bucket, capacity, chunk)``. Exposed so servers can
+        precompile the buckets they expect at boot (:meth:`warmup`) instead
+        of paying the 1-6 min XLA compile on the first request.
         """
-        from floodsr_tpu.engine.scene import (
-            build_scene_executor,
-            pack_scene_indices,
-            resolve_chunk,
-        )
+        from floodsr_tpu.engine.scene import build_scene_executor, resolve_chunk
         from floodsr_tpu.tiling import build_window_grid
 
         assert self.params is not None and self.config is not None, (
             "engine must be loaded before inference"
         )
         cfg = self.config
-        tile, scale = cfg.hr_tile, cfg.scale
-        crop_h, crop_w = int(crop_shape[0]), int(crop_shape[1])
-        bucket = self.scene_bucket_for((crop_h, crop_w))
+        tile = cfg.hr_tile
+        bucket = self.scene_bucket_for((int(crop_shape[0]), int(crop_shape[1])))
         chunk = resolve_chunk(self.max_batch, self.mesh, self.batch_axis)
         # Static tile budget: the bucket's own grid size, chunk-rounded.
-        bucket_grid_n = len(build_window_grid(bucket[0], bucket[1], tile, int(stride_hr))["y0"])
+        bucket_grid_n = len(
+            build_window_grid(bucket[0], bucket[1], tile, int(stride_hr))["y0"]
+        )
         capacity = -(-bucket_grid_n // chunk) * chunk
 
         key = (
@@ -513,6 +492,109 @@ class EngineJAX(EngineBase):
             )
         else:
             self.log.debug(f"scene executable cache hit for bucket={bucket}")
+        return fn, bucket, capacity, chunk
+
+    def warmup(
+        self,
+        crop_shapes,
+        *,
+        stride_hr: int,
+        overlap_hr: int,
+        max_depth: float,
+        dem_pct_clip: float,
+        execute: bool = True,
+    ) -> int:
+        """Precompile (and optionally pre-execute) scene buckets at boot.
+
+        ``crop_shapes``: iterable of expected HR scene extents; shapes that
+        land in the same bucket compile once. With ``execute`` each fresh
+        executable also runs once on zeros so the first real request pays
+        neither compile nor first-dispatch costs. Returns the number of
+        distinct buckets warmed.
+        """
+        from floodsr_tpu.engine.scene import pack_scene_indices
+        from floodsr_tpu.tiling import build_window_grid
+
+        assert self.config is not None
+        cfg = self.config
+        warmed = set()
+        for shape in crop_shapes:
+            fn, bucket, capacity, chunk = self.scene_executor(
+                (int(shape[0]), int(shape[1])),
+                stride_hr=stride_hr,
+                overlap_hr=overlap_hr,
+                max_depth=max_depth,
+                dem_pct_clip=dem_pct_clip,
+            )
+            if bucket in warmed:
+                continue
+            warmed.add(bucket)
+            if execute:
+                grid = build_window_grid(bucket[0], bucket[1], cfg.hr_tile, int(stride_hr))
+                idx = jax.tree.map(
+                    jnp.asarray, pack_scene_indices(grid, capacity, chunk)
+                )
+                lr_bucket = (bucket[0] // cfg.scale, bucket[1] // cfg.scale)
+                out, _ = fn(
+                    self.params,
+                    self.state,
+                    jnp.zeros(lr_bucket, jnp.float32),
+                    jnp.zeros(bucket, jnp.float32),
+                    idx,
+                )
+                jax.block_until_ready(out)
+        self.log.info(f"warmed {len(warmed)} scene bucket executable(s)")
+        return len(warmed)
+
+    def run_scene(
+        self,
+        depth_raw,
+        dem_raw,
+        *,
+        stride_hr: int,
+        overlap_hr: int,
+        max_depth: float,
+        dem_pct_clip: float,
+        crop_shape: tuple[int, int],
+        post_resample=None,
+        low_depth_mask_m: float = 1e-3,
+        row_sink=None,
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Fused whole-scene execution: one H2D, one jit region, banded D2H.
+
+        ``row_sink(band)``: optional consumer of finished output row bands
+        (top to bottom) called while later bands are still in flight from the
+        device — the worker plugs streaming GeoTIFF strip writes in here.
+
+        ``depth_raw``/``dem_raw`` are UNPADDED LR/HR scenes — numpy arrays or
+        jax arrays already resident on device (e.g. straight from the device
+        warp). The engine pads them into the scene BUCKET for ``crop_shape``
+        (see :meth:`scene_bucket_for`), runs the bucket's compiled executor
+        (tile window grid derived from ``stride_hr``), then finishes on host:
+        crop to ``crop_shape``, clip, optional ``post_resample``
+        (``(dst_shape, src_transform, dst_transform)``), and the low-depth
+        mask — reference order crop → clip → resample → mask
+        (``floodsr/models/ResUNet_16x_DEM.py:554-583``).
+
+        Returns the finished meter-domain scene plus per-tile DEM stats for
+        the content grid tiles.
+        """
+        from floodsr_tpu.engine.scene import pack_scene_indices
+        from floodsr_tpu.tiling import build_window_grid
+
+        assert self.params is not None and self.config is not None, (
+            "engine must be loaded before inference"
+        )
+        cfg = self.config
+        tile, scale = cfg.hr_tile, cfg.scale
+        crop_h, crop_w = int(crop_shape[0]), int(crop_shape[1])
+        fn, bucket, capacity, chunk = self.scene_executor(
+            (crop_h, crop_w),
+            stride_hr=stride_hr,
+            overlap_hr=overlap_hr,
+            max_depth=max_depth,
+            dem_pct_clip=dem_pct_clip,
+        )
 
         # Content grid: tile windows over the crop extent padded to tile
         # multiples — identical windowing to an unbucketed run; the bucket

@@ -152,6 +152,47 @@ class ModelWorker(Model):
         t.start()
         return t
 
+    def warmup(
+        self,
+        hr_shapes,
+        *,
+        window_method: str = "feather",
+        tile_overlap: int | None = None,
+        max_depth: float | None = None,
+        dem_pct_clip: float | None = None,
+    ) -> int:
+        """Precompile the scene executables for expected HR scene extents.
+
+        Serving hook: the first request for a new scene bucket otherwise
+        pays the XLA compile (minutes on some hosts). Resolves windowing and
+        normalization parameters exactly as :meth:`run` would (train-config
+        defaults + overrides) so the warmed executables are the ones real
+        requests hit. Returns the number of distinct buckets warmed.
+        """
+        assert self.engine is not None, "worker must be entered before warmup"
+        preprocess_cfg = resolve_preprocess_config(
+            self.model_fp, max_depth=max_depth, dem_pct_clip=dem_pct_clip,
+            logger=self.log,
+        )
+        contract = self.engine.contract
+        assert contract is not None
+        scale = int(contract.scale)
+        hr_tile = int(contract.dem_hr_hwc[0])
+        lr_tile = int(contract.depth_lr_hwc[0])
+        overlap_lr = int(tile_overlap) if tile_overlap is not None else lr_tile // 4
+        if window_method == "hard":
+            stride_hr, weight_overlap = hr_tile, 0
+        else:
+            stride_hr = hr_tile - overlap_lr * scale
+            weight_overlap = overlap_lr * scale
+        return self.engine.warmup(
+            hr_shapes,
+            stride_hr=stride_hr,
+            overlap_hr=weight_overlap,
+            max_depth=float(preprocess_cfg["max_depth"]),
+            dem_pct_clip=float(preprocess_cfg["dem_pct_clip"]),
+        )
+
     def run_many(self, jobs, **shared_kwargs) -> list[dict]:
         """Pipelined multi-scene serving: stream scenes through one engine.
 

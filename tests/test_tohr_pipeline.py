@@ -92,6 +92,29 @@ class TestTohrNativeScale:
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(a, c)
 
+    def test_warmup_precompiles_the_executable_run_hits(
+        self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        """warmup() builds the exact scene executable a real run then reuses."""
+        from floodsr_tpu.io import read_raster as _rr
+
+        dem, _, _ = _rr(synthetic_tohr_tiles["dem_fp"])
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            n = worker.warmup([dem.shape], tile_overlap=1)
+            assert n == 1
+            keys_before = set(worker.engine._jit_cache)
+            assert any(k[0] == "scene" for k in keys_before)
+            worker.run(
+                depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                output_fp=tmp_path / "warm.tif",
+                window_method="feather",
+                tile_overlap=1,
+            )
+            # the run added no new scene executable — warmup built the one it needed
+            scene_keys_after = {k for k in worker.engine._jit_cache if k[0] == "scene"}
+            assert scene_keys_after == {k for k in keys_before if k[0] == "scene"}
+
     def test_run_many_streams_scenes_with_prefetch(
         self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
     ):
