@@ -301,6 +301,11 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
     # Multi-scene serving: stream every input through one loaded model
     # (compiled executables + device DEM cache reused; next scene's DEM
     # prefetched while the current one computes).
+    if args.fetch_out is not None:
+        raise ValueError(
+            "--fetch-out names a single DEM file and cannot be combined with "
+            "multiple --in rasters (each scene fetches its own DEM)"
+        )
     if args.out is not None:
         out_dir = Path(args.out).expanduser()
         if out_dir.suffix:
