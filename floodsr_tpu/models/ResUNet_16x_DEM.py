@@ -94,6 +94,9 @@ class ModelWorker(Model):
     #: max device-resident DEMs kept across runs (terrain is static across
     #: forecast cycles; a hit skips both GeoTIFF decode and the big H2D).
     DEM_CACHE_CAP = 4
+    #: byte budget for the cached device DEMs (f32 on device; a 30k² DEM is
+    #: ~3.6 GB — count alone could pressure HBM on country-scale terrain).
+    DEM_CACHE_MAX_BYTES = 2 * 1024**3
 
     def _dem_cache_key(self, path: Path):
         try:
@@ -123,7 +126,14 @@ class ModelWorker(Model):
         cache = self._dem_device_cache
         cache[key] = value
         cache.move_to_end(key)
-        while len(cache) > self.DEM_CACHE_CAP:
+
+        def total_bytes():
+            return sum(int(v[0].nbytes) for v in cache.values())
+
+        while len(cache) > 1 and (
+            len(cache) > self.DEM_CACHE_CAP
+            or total_bytes() > self.DEM_CACHE_MAX_BYTES
+        ):
             cache.popitem(last=False)
 
     def prefetch_dem(self, dem_hr_fp) -> "threading.Thread | None":
