@@ -277,6 +277,13 @@ def hr_tail_pallas(
         mode = "f32" if interpret else os.environ.get(
             "FLOODSR_HR_TAIL_PRECISION", "x3"
         )
+    if mode == "f32" and not interpret:
+        raise AssertionError(
+            "mode='f32' is exact only under interpret mode; on hardware a "
+            "plain f32 dot runs Mosaic's DEFAULT single-pass bf16 multiply "
+            "(the exact silent-precision-loss this kernel guards against). "
+            "Use 'x3' (HIGH semantics) or 'highest'."
+        )
     return _hr_tail_pallas_jit(
         sr_feat, dem_feat, *weights, band=band, interpret=interpret, mode=mode
     )
