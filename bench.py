@@ -121,6 +121,7 @@ def main() -> int:
     # are cheap, so sample generously.
     repeats = int(os.environ.get("FLOODSR_BENCH_REPEATS", "6"))
 
+    t_start = time.perf_counter()
     with tempfile.TemporaryDirectory(prefix="floodsr-bench-") as tmp:
         root = Path(tmp)
         scene = _make_scene(root)
@@ -164,11 +165,17 @@ def main() -> int:
 
         # Secondary: the documented bfloat16 fast path on the same scene
         # (body bf16, head f32). Quality evidence: docs/perf/flagship_study
-        # pins bf16-vs-f32 output delta (rmse 0.016 m on the trained s2d2
-        # flagship; eval metrics within 1e-3 of f32) — offered as an explicit
-        # opt-in, outside the strict 1e-3 parity gate.
+        # pins bf16 held-out eval metrics ≈ f32 on the trained s2d4 flagship
+        # — offered as an explicit opt-in, outside the strict 1e-3 parity
+        # gate. The pass costs another scene-executable compile (~1-4 min on
+        # this backend), so it is skipped when the run is already long —
+        # the harness's time budget must never swallow the primary JSON
+        # line below.
         pipe_bf16 = None
-        if os.environ.get("FLOODSR_BENCH_BF16", "1") == "1" and compute_dtype == "float32":
+        budget_s = float(os.environ.get("FLOODSR_BENCH_BF16_BUDGET_S", "900"))
+        if time.perf_counter() - t_start > budget_s:
+            print("# skipping bf16 secondary (wall budget)", file=sys.stderr)
+        elif os.environ.get("FLOODSR_BENCH_BF16", "1") == "1" and compute_dtype == "float32":
             bf16_worker = worker_cls(
                 model_fp=model_fp, compute_dtype="bfloat16", max_batch=max_batch
             )
