@@ -1,16 +1,15 @@
-"""Requalify hr_s2d=4 with a longer training budget (TPU).
+"""Long-budget hr_s2d quality study on the production patch distribution.
 
-Round-1 rejected s2d4 on quality from a 1500-step study. Its MXU story is
-too good to drop on an undertrained run (128-channel HR stages fill the
-128-lane MXU; measured ~3x the s2d2 forward at f32-strict), so this script
-gives it a longer budget on the production patch distribution (512² crops of
-1024² scenes — the same dataset the flagship golden trains on) and evaluates
-meter-domain quality on a held-out split against (a) bilinear and (b) the
-committed s2d2 flagship golden artifact.
+Trains a chosen ``--s2d`` config (default 4) on 512² crops of 1024²
+synthetic hydraulic scenes — the same dataset the flagship golden trains
+on — and evaluates meter-domain quality on a held-out split against
+(a) bilinear and (b) the committed flagship golden artifact. Written to
+requalify s2d4 after round-1's undertrained 1500-step rejection; also used
+for the equal-budget s2d2 rematch (both entries live in
+``docs/perf/flagship_study.json`` as ``configs.s2d{N}_long``; outcome
+recorded in ADR-0007).
 
-Run on the TPU host: ``python bin/requalify_s2d4.py --steps 5000``.
-Appends results to ``docs/perf/flagship_study.json`` under
-``configs.s2d4_long``.
+Run on the TPU host: ``python bin/requalify_s2d4.py --steps 5000 [--s2d 2]``.
 """
 
 from __future__ import annotations
