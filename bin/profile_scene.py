@@ -224,7 +224,9 @@ def main() -> int:
     for batch in (4, 8, 16):
         d = jnp.asarray(rng.uniform(0, 1, (batch, cfg.lr_tile, cfg.lr_tile, 1)).astype(np.float32))
         m = jnp.asarray(rng.uniform(0, 1, (batch, tile, tile, 1)).astype(np.float32))
-        for label, kw in [("pallas", {}), ("xla", {"pallas_tail": False})]:
+        # Explicit pallas_tail=True: resunet_apply defaults the Pallas tail
+        # OFF, so relying on the default would measure the XLA path twice.
+        for label, kw in [("pallas", {"pallas_tail": True}), ("xla", {"pallas_tail": False})]:
             f = jax.jit(
                 lambda p, s, d_, m_, _kw=kw: resunet_apply(
                     p, s, d_, m_, cfg, train=False, compute_dtype=jnp.float32, **_kw

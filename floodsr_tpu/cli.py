@@ -326,6 +326,18 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
         }
         for in_fp in in_fps
     ]
+    # Two --in rasters with the same basename (different directories) would
+    # silently write to the same --out file; refuse up front.
+    seen: dict[Path, Path] = {}
+    for job in jobs:
+        out_fp = Path(job["output_fp"]).expanduser().resolve()
+        if out_fp in seen:
+            raise ValueError(
+                f"output path collision: inputs '{seen[out_fp]}' and "
+                f"'{job['depth_lr_fp']}' both resolve to '{out_fp}'; "
+                "rename an input or use per-input output directories"
+            )
+        seen[out_fp] = Path(job["depth_lr_fp"])
     results = tohr_many(
         model_version=model_version, model_fp=model_fp, jobs=jobs, **shared
     )

@@ -69,6 +69,10 @@ class ModelWorker(Model):
         self.engine: EngineJAX | None = None
         self._dem_device_cache: OrderedDict = OrderedDict()
         self._dem_prefetch: dict = {}
+        # Guards cache + prefetch-registry mutation: run() on the main thread
+        # and run_many's background prefetch insert/evict concurrently.
+        self._dem_cache_lock = threading.Lock()
+        self._dem_cache_bytes = 0
 
     def __enter__(self):
         self.engine = EngineJAX(
@@ -85,8 +89,10 @@ class ModelWorker(Model):
         if self.engine is not None:
             self.engine.close()
         self.engine = None
-        self._dem_device_cache.clear()
-        self._dem_prefetch.clear()
+        with self._dem_cache_lock:
+            self._dem_device_cache.clear()
+            self._dem_cache_bytes = 0
+            self._dem_prefetch.clear()
         return False
 
     # -- DEM device cache / scene streaming ----------------------------
@@ -123,18 +129,32 @@ class ModelWorker(Model):
         return dem_dev, nodata, profile
 
     def _dem_cache_put(self, key, value) -> None:
-        cache = self._dem_device_cache
-        cache[key] = value
-        cache.move_to_end(key)
+        # Lock-guarded with a running byte counter: the prefetch thread and
+        # the main run() thread both insert/evict, and iterating the
+        # OrderedDict for a byte total while the other thread mutates it
+        # raises "mutated during iteration".
+        with self._dem_cache_lock:
+            cache = self._dem_device_cache
+            old = cache.pop(key, None)
+            if old is not None:
+                self._dem_cache_bytes -= int(old[0].nbytes)
+            cache[key] = value
+            self._dem_cache_bytes += int(value[0].nbytes)
+            while len(cache) > 1 and (
+                len(cache) > self.DEM_CACHE_CAP
+                or self._dem_cache_bytes > self.DEM_CACHE_MAX_BYTES
+            ):
+                _, evicted = cache.popitem(last=False)
+                self._dem_cache_bytes -= int(evicted[0].nbytes)
 
-        def total_bytes():
-            return sum(int(v[0].nbytes) for v in cache.values())
-
-        while len(cache) > 1 and (
-            len(cache) > self.DEM_CACHE_CAP
-            or total_bytes() > self.DEM_CACHE_MAX_BYTES
-        ):
-            cache.popitem(last=False)
+    def _dem_cache_get(self, key):
+        if key is None:
+            return None
+        with self._dem_cache_lock:
+            value = self._dem_device_cache.get(key)
+            if value is not None:
+                self._dem_device_cache.move_to_end(key)
+            return value
 
     def prefetch_dem(self, dem_hr_fp) -> "threading.Thread | None":
         """Decode + upload a scene's DEM in a background thread.
@@ -146,7 +166,7 @@ class ModelWorker(Model):
         """
         path = Path(dem_hr_fp).expanduser().resolve()
         key = self._dem_cache_key(path)
-        if key is None or key in self._dem_device_cache or key in self._dem_prefetch:
+        if key is None:
             return None
 
         def work():
@@ -155,10 +175,16 @@ class ModelWorker(Model):
             except Exception:
                 self.log.exception(f"DEM prefetch failed for {path}")
             finally:
-                self._dem_prefetch.pop(key, None)
+                with self._dem_cache_lock:
+                    self._dem_prefetch.pop(key, None)
 
-        t = threading.Thread(target=work, name="floodsr-dem-prefetch", daemon=True)
-        self._dem_prefetch[key] = t
+        with self._dem_cache_lock:
+            if key in self._dem_device_cache or key in self._dem_prefetch:
+                return None
+            t = threading.Thread(
+                target=work, name="floodsr-dem-prefetch", daemon=True
+            )
+            self._dem_prefetch[key] = t
         t.start()
         return t
 
@@ -388,12 +414,11 @@ class ModelWorker(Model):
         # the dominant per-scene costs on transfer-limited hosts. A prefetch
         # started by run_many/prefetch_dem is joined rather than duplicated.
         dem_cache_key = self._dem_cache_key(dem_hr_path)
-        inflight = self._dem_prefetch.get(dem_cache_key) if dem_cache_key else None
+        with self._dem_cache_lock:
+            inflight = self._dem_prefetch.get(dem_cache_key) if dem_cache_key else None
         if inflight is not None:
             inflight.join()
-        cached = (
-            self._dem_device_cache.get(dem_cache_key) if dem_cache_key else None
-        )
+        cached = self._dem_cache_get(dem_cache_key)
         if cached is not None:
             dem_hr_dev, dem_hr_raw_nodata, dem_hr_raw_profile = cached
             log.debug("DEM device cache hit; skipping decode + upload")

@@ -96,7 +96,14 @@ def dem_tile_stats_pallas(
 
 
 def tile_stats_eligible(shape: tuple[int, ...]) -> bool:
-    """VMEM residency bound: one [H, W] f32 tile plus slack."""
+    """VMEM residency bound: one [H, W] f32 tile plus comparison temporaries.
+
+    The kernel needs the tile plus ~2 tile-sized boolean/float temporaries
+    for the bisection counts, so the bound is 3 tile-equivalents against the
+    Mosaic default 16 MiB VMEM budget (the hr_tail kernel documents the same
+    default) — a tile over ~5 MiB would compile-fail at runtime instead of
+    falling back to the unfused XLA path.
+    """
     if len(shape) != 3:
         return False
-    return shape[1] * shape[2] * 4 <= 64 * 1024 * 1024
+    return 3 * shape[1] * shape[2] * 4 <= 16 * 1024 * 1024

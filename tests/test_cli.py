@@ -157,6 +157,28 @@ class TestTohrCli:
         )
         assert code == 1
 
+    def test_tohr_multi_input_rejects_output_collision(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path
+    ):
+        """Same basename from two directories must not silently overwrite."""
+        import shutil
+
+        other_dir = tmp_path / "other"
+        other_dir.mkdir()
+        lr_name = Path(synthetic_tohr_tiles["depth_lr_fp"]).name
+        twin = other_dir / lr_name
+        shutil.copy2(synthetic_tohr_tiles["depth_lr_fp"], twin)
+        code = main(
+            [
+                "tohr",
+                "--in", str(synthetic_tohr_tiles["depth_lr_fp"]), str(twin),
+                "--dem", str(synthetic_tohr_tiles["dem_fp"]),
+                "--out", str(tmp_path / "preds"),
+                "--model-path", str(tiny_model_fp),
+            ]
+        )
+        assert code == 1
+
     def test_tohr_machine_json(self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, capsys):
         out_fp = tmp_path / "mj_pred.tif"
         payload = {
