@@ -37,7 +37,7 @@ class Config:
     manifest_fp: str | None = None
     log_level: str | None = None
     # Engine execution knobs (machine/user preference, not correctness).
-    compute_dtype: str = "float32"       # "float32" | "bfloat16"
+    compute_dtype: str = "float32"       # "float32" | "bfloat16" | "mixed"
     output_transfer: str = "uint16"      # "uint16" | "float32"
     input_transfer: str = "uint16"       # "uint16" | "float32" (DEM upload encoding)
     max_batch: int = 8
@@ -102,8 +102,10 @@ def load_config(
 
     merged = {name: _coerce(name, value) for name, value in merged.items()}
     config = Config(**merged)
-    if config.compute_dtype not in {"float32", "bfloat16"}:
-        raise ValueError(f"compute_dtype must be float32|bfloat16; got {config.compute_dtype}")
+    if config.compute_dtype not in {"float32", "bfloat16", "mixed"}:
+        raise ValueError(
+            f"compute_dtype must be float32|bfloat16|mixed; got {config.compute_dtype}"
+        )
     if config.output_transfer not in {"uint16", "float32"}:
         raise ValueError(f"output_transfer must be uint16|float32; got {config.output_transfer}")
     if config.input_transfer not in {"uint16", "float32"}:

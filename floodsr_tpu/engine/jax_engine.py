@@ -69,18 +69,34 @@ class EngineJAX(EngineBase):
         output_transfer: str = "uint16",
         scene_bucket_tiles: int = 2,
         pallas_tail: bool | None = None,
+        scene_trunk_chunk: int = 32,
     ):
         assert output_transfer in {"uint16", "float32"}, output_transfer
         self._model_fp = Path(model_fp).expanduser().resolve()
         assert self._model_fp.exists(), f"model file does not exist: {self._model_fp}"
         self.log = logger or logging.getLogger(__name__)
-        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        # Precision: "float32" = every stage f32/HIGH (strict parity),
+        # "bfloat16" = single-pass bf16 body (fast, outside the 1e-3 m gate),
+        # "mixed" = bf16 trunk + f32/HIGH tail + f32 head (gate-passing fast
+        # path; per-stage policy in nn/resunet.py::PRECISION_POLICIES).
+        policy_by_name = {"float32": "f32", "bfloat16": "bf16", "mixed": "mixed"}
+        assert compute_dtype in policy_by_name, (
+            f"compute_dtype must be one of {sorted(policy_by_name)}; got {compute_dtype}"
+        )
+        self.precision_policy = policy_by_name[compute_dtype]
+        self.compute_dtype = (
+            jnp.bfloat16 if self.precision_policy == "bf16" else jnp.float32
+        )
         self.max_batch = int(max_batch)
         self.mesh = mesh
         self.batch_axis = batch_axis
         self.output_transfer = output_transfer
         self.scene_bucket_tiles = int(scene_bucket_tiles)
         self.pallas_tail = pallas_tail
+        # Trunk batch width for the two-phase scene executor (phase 1 runs
+        # the encoder/decoder this many tiles at a time; the HR tail stays
+        # at max_batch). 0/1 disables the split.
+        self.scene_trunk_chunk = int(scene_trunk_chunk)
         self.config: ResUNetConfig | None = None
         self.params = None
         self.state = None
@@ -212,6 +228,40 @@ class EngineJAX(EngineBase):
             f"scale={self.contract.scale}"
         )
 
+    def split_forward_callables(self):
+        """Trunk/tail halves for the two-phase scene executor, or ``None``.
+
+        Only the native ResUNet path splits (the ONNX graph executor runs its
+        stored IR whole). Returns ``(trunk_fn, tail_fn)`` with signatures
+        ``trunk_fn(params, state, depth_nhwc, dem_nhwc) -> feat`` and
+        ``tail_fn(params, state, feat, dem_nhwc) -> pred_nhwc``.
+        """
+        if getattr(self, "_forward_override", None) is not None:
+            return None
+        from floodsr_tpu.nn.resunet import resunet_tail_apply, resunet_trunk_apply
+
+        cfg = self.config
+        pallas_tail = self.pallas_tail
+        precision = self.precision_policy
+        compute_dtype = self.compute_dtype
+
+        def trunk(params, state, depth, dem):
+            feat, _ = resunet_trunk_apply(
+                params, state, depth, dem, cfg, train=False,
+                compute_dtype=compute_dtype, precision=precision,
+            )
+            return feat
+
+        def tail(params, state, feat, dem):
+            out, _ = resunet_tail_apply(
+                params, state, feat, dem, cfg, train=False,
+                compute_dtype=compute_dtype, precision=precision,
+                pallas_tail=pallas_tail,
+            )
+            return out
+
+        return trunk, tail
+
     def forward_callable(self):
         """(params, state, depth_nhwc, dem_nhwc, compute_dtype) → pred_nhwc."""
         override = getattr(self, "_forward_override", None)
@@ -221,11 +271,13 @@ class EngineJAX(EngineBase):
             return lambda p, s, d, m, dtype=None: override(p, s, d, m)
         cfg = self.config
         pallas_tail = self.pallas_tail
+        precision = self.precision_policy
 
         def run(params, state, depth, dem, dtype=jnp.float32):
             out, _ = resunet_apply(
                 params, state, depth, dem, cfg, train=False,
                 compute_dtype=dtype, pallas_tail=pallas_tail,
+                precision=precision,
             )
             return out
 
@@ -485,6 +537,12 @@ class EngineJAX(EngineBase):
                 transfer_dtype=self.output_transfer,
                 mesh=self.mesh,
                 batch_axis=self.batch_axis,
+                split_forward=(
+                    self.split_forward_callables()
+                    if self.scene_trunk_chunk > 1
+                    else None
+                ),
+                trunk_chunk=self.scene_trunk_chunk,
             )
             self._jit_cache[key] = fn
             self.log.debug(

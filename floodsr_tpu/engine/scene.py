@@ -34,6 +34,7 @@ from floodsr_tpu.nn.resunet import ResUNetConfig, resunet_apply
 from floodsr_tpu.ops.normalize import (
     invert_depth_log1p,
     normalize_dem_batch,
+    normalize_dem_with_stats,
     scale_depth_log1p,
 )
 from floodsr_tpu.tiling.windows import build_feather_ramp
@@ -144,6 +145,8 @@ def build_scene_executor(
     transfer_dtype: str = "float32",
     mesh=None,
     batch_axis: str = "dp",
+    split_forward=None,
+    trunk_chunk: int = 32,
 ):
     """Build ``(jitted_fn, chunk_size)`` for one scene bucket.
 
@@ -155,15 +158,123 @@ def build_scene_executor(
     (clipped to [0, max_depth], uint16-quantized when configured) and
     per-tile DEM normalization stats ``[capacity, 3]``.
 
+    ``split_forward``: optional ``(trunk_fn, tail_fn)`` pair (the halves of
+    :func:`floodsr_tpu.nn.resunet.resunet_apply`). When given (and no mesh),
+    the executor runs TWO scans: the trunk over ``trunk_chunk``-tile batches
+    (its tiny spatial dims leave the MXU latency-bound at tail-sized chunks
+    — measured ~1 TF/s effective at chunk 8), then the HR tail + mosaic at
+    ``chunk``. The LR-resolution feature buffer between phases is
+    ``capacity × lr_tile² × base_filters`` (~17 MB for the flagship bucket).
+    Per-tile DEM stats computed in phase 1 are REUSED in phase 2
+    (``normalize_dem_with_stats`` is bitwise-identical to the fused
+    ``normalize_dem_batch`` given the same stats).
+
     With a ``mesh``, each scan step's tile chunk is sharded over ``batch_axis``
     (data-parallel forward over ICI); scene buffers and inputs stay replicated
     and the partitioner inserts the gathers feeding the mosaic accumulation.
+    The sharded path keeps the single-scan formulation (ADR-0006).
     """
     tile = cfg.hr_tile
     lr_tile = cfg.lr_tile
     scale = cfg.scale
     chunk = resolve_chunk(chunk, mesh, batch_axis)
     assert capacity % chunk == 0, (capacity, chunk)
+    two_phase = split_forward is not None and mesh is None
+    if two_phase:
+        trunk_chunk = max(1, min(int(trunk_chunk), capacity))
+        while capacity % trunk_chunk:
+            trunk_chunk -= 1
+
+    def _mosaic_accumulate(carry, chunk_idx, pred_m):
+        accum, wsum = carry
+        y0c = chunk_idx["y0"]
+        x0c = chunk_idx["x0"]
+        weights = _feather_weights_chunk(
+            tile, overlap_hr,
+            chunk_idx["yf"], chunk_idx["yl"],
+            chunk_idx["xf"], chunk_idx["xl"],
+            chunk_idx["valid"],
+        )
+        pw = pred_m * weights
+
+        def body(i, acc_ws):
+            acc, ws = acc_ws
+            start = (y0c[i], x0c[i])
+            cur = jax.lax.dynamic_slice(acc, start, (tile, tile))
+            acc = jax.lax.dynamic_update_slice(acc, cur + pw[i], start)
+            curw = jax.lax.dynamic_slice(ws, start, (tile, tile))
+            ws = jax.lax.dynamic_update_slice(ws, curw + weights[i], start)
+            return acc, ws
+
+        return jax.lax.fori_loop(0, chunk, body, (accum, wsum))
+
+    def _finish(accum, wsum, stats_flat):
+        scene = jnp.where(wsum > 0, accum / jnp.maximum(wsum, 1e-6), 0.0)
+        out = jnp.clip(scene, 0.0, max_depth)
+        if transfer_dtype == "uint16":
+            # Fixed-point transfer encoding: halves device→host bytes on
+            # tunnel-limited hosts; quantization step max_depth/65535
+            # (~7.6e-5 m at the default 5 m) is two orders below the 1e-3 m
+            # parity gate. The host dequantizes, then crops/post-resamples/
+            # masks.
+            out = jnp.round(out * (65535.0 / max_depth)).astype(jnp.uint16)
+            return out, stats_flat
+        return out.astype(jnp.float32), stats_flat
+
+    def scene_fn_two_phase(params, state, depth_pad, dem_pad, idx):
+        assert dem_pad.shape == tuple(scene_shape), (
+            f"DEM must be bucket-padded to {scene_shape}; got {dem_pad.shape}"
+        )
+        trunk_fn, tail_fn = split_forward
+        # Phase 1 — trunk over wide batches: gather + normalize + encoder/
+        # decoder; stack LR features and per-tile stats for phase 2.
+        t_idx = {
+            k: idx[k].reshape(-1, trunk_chunk) for k in ("y0", "x0")
+        }
+
+        def trunk_step(_, ti):
+            depth_tiles = _gather_tiles(
+                depth_pad, ti["y0"] // scale, ti["x0"] // scale, lr_tile
+            )
+            dem_tiles = _gather_tiles(dem_pad, ti["y0"], ti["x0"], tile)
+            depth_norm = scale_depth_log1p(depth_tiles, max_depth)
+            dem_norm, stats = normalize_dem_batch(dem_tiles, dem_pct_clip)
+            feat = trunk_fn(
+                params, state, depth_norm[..., None], dem_norm[..., None]
+            )
+            stats_arr = jnp.stack(
+                [stats["p_clip"], stats["dem_min"], stats["dem_max"]], axis=-1
+            )
+            return None, (feat, stats_arr)
+
+        _, (feats, stats) = jax.lax.scan(trunk_step, None, t_idx)
+        feats = feats.reshape(capacity, *feats.shape[2:])
+        stats_flat = stats.reshape(capacity, 3)
+
+        # Phase 2 — HR tail + mosaic at the tail chunk, reusing phase-1 stats.
+        feat_chunks = feats.reshape(-1, chunk, *feats.shape[1:])
+        stat_chunks = stats_flat.reshape(-1, chunk, 3)
+
+        def tail_step(carry, inp):
+            chunk_idx, feat_c, st = inp
+            dem_tiles = _gather_tiles(
+                dem_pad, chunk_idx["y0"], chunk_idx["x0"], tile
+            )
+            dem_norm = normalize_dem_with_stats(
+                dem_tiles, st[:, 0], st[:, 1], st[:, 2]
+            )
+            pred_norm = tail_fn(params, state, feat_c, dem_norm[..., None])
+            pred_m = invert_depth_log1p(pred_norm[..., 0], max_depth)
+            return _mosaic_accumulate(carry, chunk_idx, pred_m), None
+
+        init = (
+            jnp.zeros(scene_shape, jnp.float32),
+            jnp.zeros(scene_shape, jnp.float32),
+        )
+        (accum, wsum), _ = jax.lax.scan(
+            tail_step, init, (idx, feat_chunks, stat_chunks)
+        )
+        return _finish(accum, wsum, stats_flat)
 
     def scene_fn(params, state, depth_pad, dem_pad, idx):
         assert dem_pad.shape == tuple(scene_shape), (
@@ -171,7 +282,6 @@ def build_scene_executor(
         )
 
         def chunk_step(carry, chunk_idx):
-            accum, wsum = carry
             y0c = chunk_idx["y0"]
             x0c = chunk_idx["x0"]
             depth_tiles = _gather_tiles(depth_pad, y0c // scale, x0c // scale, lr_tile)
@@ -195,46 +305,21 @@ def build_scene_executor(
                     compute_dtype=compute_dtype,
                 )
             pred_m = invert_depth_log1p(pred_norm[..., 0], max_depth)
-
-            weights = _feather_weights_chunk(
-                tile, overlap_hr,
-                chunk_idx["yf"], chunk_idx["yl"],
-                chunk_idx["xf"], chunk_idx["xl"],
-                chunk_idx["valid"],
-            )
-            pw = pred_m * weights
-
-            def body(i, acc_ws):
-                acc, ws = acc_ws
-                start = (y0c[i], x0c[i])
-                cur = jax.lax.dynamic_slice(acc, start, (tile, tile))
-                acc = jax.lax.dynamic_update_slice(acc, cur + pw[i], start)
-                curw = jax.lax.dynamic_slice(ws, start, (tile, tile))
-                ws = jax.lax.dynamic_update_slice(ws, curw + weights[i], start)
-                return acc, ws
-
-            accum, wsum = jax.lax.fori_loop(0, chunk, body, (accum, wsum))
+            carry = _mosaic_accumulate(carry, chunk_idx, pred_m)
             stats_arr = jnp.stack(
                 [stats["p_clip"], stats["dem_min"], stats["dem_max"]], axis=-1
             )
-            return (accum, wsum), stats_arr
+            return carry, stats_arr
 
         init = (
             jnp.zeros(scene_shape, jnp.float32),
             jnp.zeros(scene_shape, jnp.float32),
         )
         (accum, wsum), stats = jax.lax.scan(chunk_step, init, idx)
-        scene = jnp.where(wsum > 0, accum / jnp.maximum(wsum, 1e-6), 0.0)
-        out = jnp.clip(scene, 0.0, max_depth)
-        if transfer_dtype == "uint16":
-            # Fixed-point transfer encoding: halves device→host bytes on
-            # tunnel-limited hosts; quantization step max_depth/65535
-            # (~7.6e-5 m at the default 5 m) is two orders below the 1e-3 m
-            # parity gate. The host dequantizes, then crops/post-resamples/
-            # masks.
-            out = jnp.round(out * (65535.0 / max_depth)).astype(jnp.uint16)
-            return out, stats.reshape(-1, 3)
-        return out.astype(jnp.float32), stats.reshape(-1, 3)
+        return _finish(accum, wsum, stats.reshape(-1, 3))
+
+    if two_phase:
+        scene_fn = scene_fn_two_phase
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec

@@ -222,6 +222,63 @@ def _precision_for(dtype) -> lax.Precision:
     return lax.Precision.HIGH if dtype == jnp.float32 else lax.Precision.DEFAULT
 
 
+# -- per-stage precision policies -------------------------------------------
+#
+# The parity gate (≤1e-3 m RMSE vs the CPU float32 reference) applies to the
+# PIPELINE OUTPUT, not to per-layer numerics — and the measured error budget
+# is dominated by the HR tail (docs/perf/kernel_study.json: single-pass bf16
+# tail alone costs 6.5e-3 m). A policy assigns each stage an operand dtype;
+# matmul/conv precision follows the dtype (_precision_for: f32 → bf16x3
+# "HIGH" MXU passes, bf16 → one pass). Stage boundaries cast activations.
+
+PRECISION_STAGES = ("trunk", "sr_up", "tail", "head")
+
+#: named policies (head stays f32 in every one — it is ~0.3% of MACs and
+#: anchors the meter-domain output):
+#:   f32    — every stage f32/HIGH (the strict-parity reference config)
+#:   bf16   — body single-pass bf16 (fast; FAILS the 1e-3 m gate: 6.5e-3)
+#:   mixed  — trunk+sr_up bf16, tail f32/HIGH (the gate-passing default;
+#:            parity margin measured per-config in docs/perf/precision_study)
+PRECISION_POLICIES: dict[str, dict[str, str]] = {
+    "f32": {"trunk": "f32", "sr_up": "f32", "tail": "f32", "head": "f32"},
+    "bf16": {"trunk": "bf16", "sr_up": "bf16", "tail": "bf16", "head": "f32"},
+    "mixed": {"trunk": "bf16", "sr_up": "bf16", "tail": "f32", "head": "f32"},
+}
+
+
+def resolve_precision_policy(
+    policy: "str | dict | None" = None,
+    compute_dtype=None,
+) -> dict[str, Any]:
+    """Normalize a policy spec into ``{stage: jnp dtype}``.
+
+    ``policy`` may be a named policy, a ``{stage: "bf16"|"f32"}`` dict
+    (missing stages default to the ``f32`` policy), or ``None`` — in which
+    case ``compute_dtype`` picks the matching uniform policy (back-compat
+    with the single-knob API).
+    """
+    if policy is None:
+        policy = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
+    if isinstance(policy, str):
+        assert policy in PRECISION_POLICIES, (
+            f"unknown precision policy '{policy}'; "
+            f"known: {sorted(PRECISION_POLICIES)}"
+        )
+        spec = PRECISION_POLICIES[policy]
+    else:
+        unknown = set(policy) - set(PRECISION_STAGES)
+        assert not unknown, f"unknown precision stages {sorted(unknown)}"
+        spec = {**PRECISION_POLICIES["f32"], **policy}
+    lut = {"bf16": jnp.bfloat16, "f32": jnp.float32}
+    out = {}
+    for stage in PRECISION_STAGES:
+        v = spec[stage]
+        assert v in lut, f"stage '{stage}': dtype must be bf16|f32, got {v!r}"
+        out[stage] = lut[v]
+    assert out["head"] == jnp.float32, "head stage must stay float32"
+    return out
+
+
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     w = p["w"].astype(x.dtype)
     out = lax.conv_general_dilated(
@@ -346,16 +403,53 @@ def resunet_apply(
     train: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
     pallas_tail: bool | None = None,
+    precision: "str | dict | None" = None,
 ) -> tuple[jnp.ndarray, Params]:
     """Forward pass: normalized inputs ``[N,h,w,1]``/``[N,H,W,1]`` → ``[N,H,W,1]``.
 
     Returns ``(prediction, new_state)``; ``new_state`` equals ``state`` in
     inference mode. Head math runs in float32 regardless of ``compute_dtype``.
 
+    ``precision``: per-stage precision policy (see
+    :func:`resolve_precision_policy`) — a named policy (``"f32"``/``"bf16"``/
+    ``"mixed"``) or a ``{stage: "bf16"|"f32"}`` dict. ``None`` derives the
+    uniform policy from ``compute_dtype`` (back-compat single knob).
+
     ``pallas_tail``: run the DEM-fusion residual blocks + head as the fused
     Pallas VMEM kernel (:mod:`floodsr_tpu.ops.pallas.hr_tail`). ``None`` =
     auto (TPU backend, float32, eligible config); ``True`` forces it (tests
     use interpret mode off-TPU); ``False`` disables.
+    """
+    out, trunk_state = resunet_trunk_apply(
+        params, state, depth_lr, dem_hr, cfg,
+        train=train, compute_dtype=compute_dtype, precision=precision,
+    )
+    out, tail_state = resunet_tail_apply(
+        params, state, out, dem_hr, cfg,
+        train=train, compute_dtype=compute_dtype, precision=precision,
+        pallas_tail=pallas_tail,
+    )
+    return out, {**trunk_state, **tail_state}
+
+
+def resunet_trunk_apply(
+    params: Params,
+    state: Params,
+    depth_lr: jnp.ndarray,
+    dem_hr: jnp.ndarray,
+    cfg: ResUNetConfig,
+    *,
+    train: bool = False,
+    compute_dtype: jnp.dtype = jnp.float32,
+    precision: "str | dict | None" = None,
+) -> tuple[jnp.ndarray, Params]:
+    """Trunk half: stem + UNet encoder/decoder → LR-resolution features.
+
+    Returns ``([N,h,w,base_filters]`` features in the trunk stage dtype,
+    ``{"enc","dec"}`` state)``. Split out so the scene executor can batch the
+    trunk far wider than the HR tail (the trunk's tiny spatial dims leave the
+    MXU latency-bound at tail-sized chunks); ``resunet_apply`` composes the
+    halves and is bit-identical to the previous fused formulation.
     """
     if depth_lr.ndim != 4 or dem_hr.ndim != 4:
         raise AssertionError(
@@ -367,7 +461,8 @@ def resunet_apply(
             f"LR spatial dims {depth_lr.shape[1:3]} must be divisible by "
             f"2^levels={divisor} for the UNet skip shapes to line up"
         )
-    x_dtype = compute_dtype
+    stage_dtype = resolve_precision_policy(precision, compute_dtype)
+    x_dtype = stage_dtype["trunk"]
     depth_lr = depth_lr.astype(x_dtype)
     dem_hr = dem_hr.astype(x_dtype)
 
@@ -382,7 +477,7 @@ def resunet_apply(
     x = jnp.concatenate([depth_lr, dem_lr.astype(x_dtype)], axis=-1)
     x = _conv(params["stem"], x)
 
-    new_state: Params = {"enc": [], "dec": [], "fuse": []}
+    new_state: Params = {"enc": [], "dec": []}
     skips = []
     for stage, (blocks_p, blocks_s) in enumerate(zip(params["enc"], state["enc"])):
         stage_states = []
@@ -402,24 +497,52 @@ def resunet_apply(
             x, ns = _res_block(bp, bs, x, cfg, train=train)
             stage_states.append(ns)
         new_state["dec"].append({"blocks": stage_states})
+    return x, new_state
 
+
+def resunet_tail_apply(
+    params: Params,
+    state: Params,
+    trunk_feat: jnp.ndarray,
+    dem_hr: jnp.ndarray,
+    cfg: ResUNetConfig,
+    *,
+    train: bool = False,
+    compute_dtype: jnp.dtype = jnp.float32,
+    precision: "str | dict | None" = None,
+    pallas_tail: bool | None = None,
+) -> tuple[jnp.ndarray, Params]:
+    """Tail half: SR upsample + DEM re-fusion + head → HR prediction.
+
+    ``trunk_feat`` is :func:`resunet_trunk_apply`'s output; ``dem_hr`` is the
+    same normalized HR DEM the trunk saw (it re-enters here at the TAIL's
+    precision — taken from the un-rounded input so a bf16 trunk does not
+    degrade the tail's DEM conditioning). Returns ``(prediction_f32,
+    {"fuse"} state)``.
+    """
+    stage_dtype = resolve_precision_policy(precision, compute_dtype)
+    new_state: Params = {"fuse": []}
     s2d = int(cfg.hr_s2d)
     s0, s1 = _split_scale(cfg.scale // s2d)
+    x = trunk_feat.astype(stage_dtype["sr_up"])
     x = _conv_transpose(params["sr_up1"], x, stride=s0)
     x = jax.nn.relu(x)
     x = _conv_transpose(params["sr_up2"], x, stride=s1)
     x = jax.nn.relu(x)
 
+    tail_dtype = stage_dtype["tail"]
+    x = x.astype(tail_dtype)
+    dem_tail = dem_hr.astype(tail_dtype)
     if s2d > 1:
         # HR stages at (H/s2d)² with s2d²-packed DEM channels (space-to-depth).
-        n, hh, ww, _ = dem_hr.shape
+        n, hh, ww, _ = dem_tail.shape
         dem_in = (
-            dem_hr.reshape(n, hh // s2d, s2d, ww // s2d, s2d, 1)
+            dem_tail.reshape(n, hh // s2d, s2d, ww // s2d, s2d, 1)
             .transpose(0, 1, 3, 2, 4, 5)
             .reshape(n, hh // s2d, ww // s2d, s2d * s2d)
         )
     else:
-        dem_in = dem_hr
+        dem_in = dem_tail
     dem_feat = jax.nn.relu(_conv(params["dem_feat"], dem_in))
 
     tail_h = x.shape[1]
@@ -451,8 +574,8 @@ def resunet_apply(
             *weights,
             band=band,
             interpret=jax.default_backend() != "tpu",
-            # bf16 compute → single-pass MXU taps; f32 → bf16x3 (HIGH).
-            mode="bf16" if compute_dtype == jnp.bfloat16 else None,
+            # bf16 tail → single-pass MXU taps; f32 tail → bf16x3 (HIGH).
+            mode="bf16" if tail_dtype == jnp.bfloat16 else None,
         )
         new_state["fuse"] = [bs for bs in state["fuse"]]
     else:

@@ -93,6 +93,96 @@ class TestModelCore:
         assert ResUNetConfig(base_filters=32).widths == (32, 64, 128, 256, 512)
 
 
+class TestPrecisionPolicy:
+    def test_resolve_named_and_dict(self):
+        import jax.numpy as jnp
+
+        from floodsr_tpu.nn.resunet import resolve_precision_policy
+
+        f32 = resolve_precision_policy("f32")
+        assert all(dt == jnp.float32 for dt in f32.values())
+        mixed = resolve_precision_policy("mixed")
+        assert mixed["trunk"] == jnp.bfloat16
+        assert mixed["sr_up"] == jnp.bfloat16
+        assert mixed["tail"] == jnp.float32
+        assert mixed["head"] == jnp.float32
+        # dict spec: unnamed stages default to f32
+        partial = resolve_precision_policy({"trunk": "bf16"})
+        assert partial["trunk"] == jnp.bfloat16
+        assert partial["tail"] == jnp.float32
+        # back-compat: derive from compute_dtype when policy is None
+        assert resolve_precision_policy(None, jnp.bfloat16)["trunk"] == jnp.bfloat16
+        assert resolve_precision_policy(None, jnp.float32)["trunk"] == jnp.float32
+
+    def test_resolve_rejects_bad_specs(self):
+        from floodsr_tpu.nn.resunet import resolve_precision_policy
+
+        with pytest.raises(AssertionError):
+            resolve_precision_policy("fp8")
+        with pytest.raises(AssertionError):
+            resolve_precision_policy({"not_a_stage": "bf16"})
+        with pytest.raises(AssertionError):
+            resolve_precision_policy({"head": "bf16"})  # head must stay f32
+
+    def test_f32_policy_matches_legacy_path_exactly(self):
+        params, state = init_resunet(7, TINY_CFG)
+        depth = np.random.default_rng(0).random((2, 8, 8, 1), dtype=np.float32)
+        dem = np.random.default_rng(1).random((2, 32, 32, 1), dtype=np.float32)
+        legacy, _ = resunet_apply(params, state, depth, dem, TINY_CFG)
+        via_policy, _ = resunet_apply(
+            params, state, depth, dem, TINY_CFG, precision="f32"
+        )
+        np.testing.assert_array_equal(np.asarray(legacy), np.asarray(via_policy))
+
+    def test_policies_change_numerics_and_match_legacy_paths(self):
+        """Stage knobs are live, and named policies equal the legacy paths.
+
+        Absolute parity margins of the mixed policy are a property of the
+        TRAINED flagship (activation scales), measured on hardware and
+        recorded in docs/perf/precision_study.json — an untrained He-init
+        net has unrealistically large trunk activations, so no absolute
+        closeness gate here.
+        """
+        import jax.numpy as jnp
+
+        params, state = init_resunet(7, TINY_CFG)
+        rng = np.random.default_rng(2)
+        depth = rng.random((2, 8, 8, 1), dtype=np.float32)
+        dem = rng.random((2, 32, 32, 1), dtype=np.float32)
+        ref, _ = resunet_apply(params, state, depth, dem, TINY_CFG, precision="f32")
+        mixed, _ = resunet_apply(params, state, depth, dem, TINY_CFG, precision="mixed")
+        bf16, _ = resunet_apply(params, state, depth, dem, TINY_CFG, precision="bf16")
+        assert mixed.dtype == np.float32 and bf16.dtype == np.float32
+        assert np.isfinite(np.asarray(mixed)).all()
+        # each knob produces a distinct computation
+        assert not np.array_equal(np.asarray(ref), np.asarray(mixed))
+        assert not np.array_equal(np.asarray(mixed), np.asarray(bf16))
+        # the bf16 named policy IS the legacy compute_dtype=bfloat16 path
+        legacy_bf16, _ = resunet_apply(
+            params, state, depth, dem, TINY_CFG, compute_dtype=jnp.bfloat16
+        )
+        np.testing.assert_array_equal(np.asarray(bf16), np.asarray(legacy_bf16))
+        # trunk-only override differs from both uniform policies
+        trunk_only, _ = resunet_apply(
+            params, state, depth, dem, TINY_CFG, precision={"trunk": "bf16"}
+        )
+        assert not np.array_equal(np.asarray(trunk_only), np.asarray(ref))
+        assert not np.array_equal(np.asarray(trunk_only), np.asarray(bf16))
+
+    def test_engine_accepts_mixed(self, tiny_artifact):
+        eng = EngineJAX(tiny_artifact, compute_dtype="mixed", max_batch=2)
+        depth = np.random.default_rng(0).random((2, 8, 8), dtype=np.float32)
+        dem = 100.0 + np.random.default_rng(1).random((2, 32, 32), dtype=np.float32)
+        out = eng.run_tiles(depth, dem)
+        assert out["predictions_m"].shape == (2, 32, 32)
+        assert np.isfinite(out["predictions_m"]).all()
+        eng.close()
+
+    def test_engine_rejects_unknown_dtype(self, tiny_artifact):
+        with pytest.raises(AssertionError):
+            EngineJAX(tiny_artifact, compute_dtype="float16")
+
+
 class TestCheckpoint:
     def test_roundtrip_identity(self, tiny_artifact):
         art = load_artifact(tiny_artifact)
@@ -302,6 +392,41 @@ class TestSceneBucketing:
         )
         assert np.isfinite(full).all() and full.shape == (64, 64)
         eng.close()
+
+
+class TestTwoPhaseSceneExecutor:
+    def _run(self, tiny_artifact, trunk_chunk):
+        rng = np.random.default_rng(11)
+        depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
+        dem = rng.uniform(300, 800, (64, 64)).astype(np.float32)
+        eng = EngineJAX(
+            tiny_artifact, max_batch=4, scene_trunk_chunk=trunk_chunk,
+            output_transfer="float32",
+        )
+        out, stats = eng.run_scene(
+            depth, dem, stride_hr=24, overlap_hr=8,
+            max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
+        )
+        eng.close()
+        return out, stats
+
+    def test_two_phase_matches_single_phase(self, tiny_artifact):
+        """Trunk-wide phase 1 + tail phase 2 ≡ fused single-scan executor.
+
+        The math is identical op-for-op (phase 2 reuses phase-1 stats via
+        normalize_dem_with_stats, the exact function normalize_dem_batch
+        composes), so outputs must agree to float rounding.
+        """
+        single, stats_s = self._run(tiny_artifact, trunk_chunk=0)
+        double, stats_d = self._run(tiny_artifact, trunk_chunk=8)
+        np.testing.assert_allclose(double, single, atol=1e-5, rtol=0)
+        for k in stats_s:
+            np.testing.assert_allclose(stats_d[k], stats_s[k], atol=1e-5)
+
+    def test_trunk_chunk_rounds_to_capacity_divisor(self, tiny_artifact):
+        # capacity here is small; an oversized trunk_chunk must still work.
+        out, _ = self._run(tiny_artifact, trunk_chunk=1000)
+        assert np.isfinite(out).all()
 
 
 class TestHalfPrecisionStorage:
