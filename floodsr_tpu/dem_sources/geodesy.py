@@ -4,16 +4,23 @@ The reference leans on pyproj/GDAL for CRS transforms in exactly one place:
 converting the low-res raster footprint to EPSG:4326 for the STAC bbox query
 (reference: ``floodsr/dem_sources/hrdem_stac.py:61-67``). pyproj is not
 available in this stack, so the projections that actually occur in the HRDEM
-workflow are implemented directly (Snyder, *Map Projections — A Working
+workflow — plus the CRSs the reference's own test rasters use (EPSG:3979,
+EPSG:2169) — are implemented directly (Snyder, *Map Projections — A Working
 Manual*, USGS PP 1395):
 
-- Transverse Mercator (UTM zones EPSG:326xx/327xx, plus parameterized TMs)
+- Transverse Mercator (UTM zones EPSG:326xx/327xx/269xx/258xx, plus
+  parameterized national TM grids: Luxembourg 2169, OSGB 27700, Irish TM
+  2157, NZTM 2193)
 - Lambert Conformal Conic 2SP (EPSG:3978/3979 Canada Atlas/LCC)
 - Web Mercator (EPSG:3857) and geographic passthrough (EPSG:4326/4269/4617)
 
-Accuracy is series-level (sub-millimeter within a UTM zone) — far beyond what
-a degree-resolution STAC bbox needs. Unknown EPSG codes raise with a clear
-message instead of silently guessing.
+Each projection carries its own reference ellipsoid and (when the datum is
+not WGS84/GRS80-equivalent) a 7-parameter Helmert shift to WGS84
+(position-vector convention, the EPSG ``towgs84`` values), applied through
+geocentric coordinates in :func:`transform_points`. Accuracy is series-level
+within a zone (sub-mm projection math; ~1 m for shifted datums) — far beyond
+what a degree-resolution STAC bbox needs. Unknown EPSG codes raise with a
+clear message instead of silently guessing.
 """
 
 from __future__ import annotations
@@ -23,23 +30,104 @@ from dataclasses import dataclass
 
 from floodsr_tpu.io.crs import CRS
 
-# GRS80 ellipsoid (NAD83 family); WGS84 differs in f by ~1e-10 — irrelevant here.
-_A = 6378137.0
-_F = 1.0 / 298.257222101
-_E2 = _F * (2 - _F)
-_E = math.sqrt(_E2)
-_EP2 = _E2 / (1 - _E2)
+
+@dataclass(frozen=True)
+class Ellipsoid:
+    a: float
+    inv_f: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2 - self.f)
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.e2)
+
+    @property
+    def ep2(self) -> float:
+        return self.e2 / (1 - self.e2)
 
 
-def _mercator_m(phi: float) -> float:
-    """Meridian arc length from the equator (Snyder eq. 3-21)."""
-    e2, e4, e6 = _E2, _E2**2, _E2**3
-    return _A * (
-        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
-        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
-        + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
-        - (35 * e6 / 3072) * math.sin(6 * phi)
+#: GRS80 (NAD83/ETRS89 family); WGS84 differs in f by ~1e-10 — equivalent here.
+GRS80 = Ellipsoid(6378137.0, 298.257222101)
+WGS84 = Ellipsoid(6378137.0, 298.257223563)
+#: International 1924 (Hayford) — Luxembourg 1930, ED50, Belgian 72, ...
+INTL1924 = Ellipsoid(6378388.0, 297.0)
+#: Airy 1830 — Ordnance Survey GB.
+AIRY1830 = Ellipsoid(6377563.396, 299.3249646)
+
+
+@dataclass(frozen=True)
+class DatumShift:
+    """7-parameter Helmert transform to WGS84 (EPSG position-vector towgs84).
+
+    ``dx/dy/dz`` meters, ``rx/ry/rz`` arc-seconds, ``s_ppm`` parts-per-million.
+    The inverse uses negated parameters — exact to second order, i.e. well
+    under the ~1 m accuracy class of published towgs84 values themselves.
+    """
+
+    dx: float = 0.0
+    dy: float = 0.0
+    dz: float = 0.0
+    rx: float = 0.0
+    ry: float = 0.0
+    rz: float = 0.0
+    s_ppm: float = 0.0
+
+    def _apply(self, x, y, z, sign):
+        arc = math.pi / (180.0 * 3600.0)
+        rx, ry, rz = sign * self.rx * arc, sign * self.ry * arc, sign * self.rz * arc
+        m = 1.0 + sign * self.s_ppm * 1e-6
+        xp = sign * self.dx + m * (x - rz * y + ry * z)
+        yp = sign * self.dy + m * (rz * x + y - rx * z)
+        zp = sign * self.dz + m * (-ry * x + rx * y + z)
+        return xp, yp, zp
+
+    def geodetic_to_wgs84(self, lon_deg, lat_deg, ell: Ellipsoid):
+        x, y, z = _geodetic_to_geocentric(lon_deg, lat_deg, ell)
+        return _geocentric_to_geodetic(*self._apply(x, y, z, +1.0), WGS84)
+
+    def wgs84_to_geodetic(self, lon_deg, lat_deg, ell: Ellipsoid):
+        x, y, z = _geodetic_to_geocentric(lon_deg, lat_deg, WGS84)
+        return _geocentric_to_geodetic(*self._apply(x, y, z, -1.0), ell)
+
+
+def _geodetic_to_geocentric(lon_deg, lat_deg, ell: Ellipsoid, h: float = 0.0):
+    lam, phi = math.radians(lon_deg), math.radians(lat_deg)
+    sin_phi, cos_phi = math.sin(phi), math.cos(phi)
+    n = ell.a / math.sqrt(1 - ell.e2 * sin_phi**2)
+    x = (n + h) * cos_phi * math.cos(lam)
+    y = (n + h) * cos_phi * math.sin(lam)
+    z = (n * (1 - ell.e2) + h) * sin_phi
+    return x, y, z
+
+
+def _geocentric_to_geodetic(x, y, z, ell: Ellipsoid):
+    """Bowring's method + 2 Newton refinements (µm-level convergence)."""
+    lam = math.atan2(y, x)
+    p = math.hypot(x, y)
+    if p < 1e-9:
+        return math.degrees(lam), math.copysign(90.0, z)
+    b = ell.a * (1 - ell.f)
+    theta = math.atan2(z * ell.a, p * b)
+    ep2 = ell.ep2
+    phi = math.atan2(
+        z + ep2 * b * math.sin(theta) ** 3,
+        p - ell.e2 * ell.a * math.cos(theta) ** 3,
     )
+    for _ in range(2):
+        sin_phi = math.sin(phi)
+        n = ell.a / math.sqrt(1 - ell.e2 * sin_phi**2)
+        phi = math.atan2(z + ell.e2 * n * sin_phi, p)
+    return math.degrees(lam), math.degrees(phi)
+
+
+_NO_SHIFT = DatumShift()
 
 
 @dataclass(frozen=True)
@@ -49,22 +137,37 @@ class TransverseMercator:
     k0: float = 0.9996
     false_easting: float = 500000.0
     false_northing: float = 0.0
+    ellipsoid: Ellipsoid = GRS80
+    datum: DatumShift = _NO_SHIFT
+
+    def _m(self, phi: float) -> float:
+        """Meridian arc length from the equator (Snyder eq. 3-21)."""
+        e2 = self.ellipsoid.e2
+        e4, e6 = e2**2, e2**3
+        return self.ellipsoid.a * (
+            (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+            - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+            + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+            - (35 * e6 / 3072) * math.sin(6 * phi)
+        )
 
     def forward(self, lon_deg: float, lat_deg: float) -> tuple[float, float]:
+        ell = self.ellipsoid
+        e2, ep2 = ell.e2, ell.ep2
         phi = math.radians(lat_deg)
         lam = math.radians(lon_deg)
         lam0 = math.radians(self.lon0_deg)
         sin_phi, cos_phi, tan_phi = math.sin(phi), math.cos(phi), math.tan(phi)
-        n = _A / math.sqrt(1 - _E2 * sin_phi**2)
+        n = ell.a / math.sqrt(1 - e2 * sin_phi**2)
         t = tan_phi**2
-        c = _EP2 * cos_phi**2
+        c = ep2 * cos_phi**2
         a_ = (lam - lam0) * cos_phi
-        m = _mercator_m(phi)
-        m0 = _mercator_m(math.radians(self.lat0_deg))
+        m = self._m(phi)
+        m0 = self._m(math.radians(self.lat0_deg))
         x = self.false_easting + self.k0 * n * (
             a_
             + (1 - t + c) * a_**3 / 6
-            + (5 - 18 * t + t**2 + 72 * c - 58 * _EP2) * a_**5 / 120
+            + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * a_**5 / 120
         )
         y = self.false_northing + self.k0 * (
             m
@@ -74,16 +177,18 @@ class TransverseMercator:
             * (
                 a_**2 / 2
                 + (5 - t + 9 * c + 4 * c**2) * a_**4 / 24
-                + (61 - 58 * t + t**2 + 600 * c - 330 * _EP2) * a_**6 / 720
+                + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * a_**6 / 720
             )
         )
         return x, y
 
     def inverse(self, x: float, y: float) -> tuple[float, float]:
-        m0 = _mercator_m(math.radians(self.lat0_deg))
+        ell = self.ellipsoid
+        e2, ep2 = ell.e2, ell.ep2
+        m0 = self._m(math.radians(self.lat0_deg))
         m = m0 + (y - self.false_northing) / self.k0
-        mu = m / (_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
-        e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
+        mu = m / (ell.a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+        e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
         phi1 = (
             mu
             + (3 * e1 / 2 - 27 * e1**3 / 32) * math.sin(2 * mu)
@@ -92,22 +197,22 @@ class TransverseMercator:
             + (1097 * e1**4 / 512) * math.sin(8 * mu)
         )
         sin1, cos1, tan1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
-        c1 = _EP2 * cos1**2
+        c1 = ep2 * cos1**2
         t1 = tan1**2
-        n1 = _A / math.sqrt(1 - _E2 * sin1**2)
-        r1 = _A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
+        n1 = ell.a / math.sqrt(1 - e2 * sin1**2)
+        r1 = ell.a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
         d = (x - self.false_easting) / (n1 * self.k0)
         phi = phi1 - (n1 * tan1 / r1) * (
             d**2 / 2
-            - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * _EP2) * d**4 / 24
-            + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * _EP2 - 3 * c1**2)
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2)
             * d**6
             / 720
         )
         lam = math.radians(self.lon0_deg) + (
             d
             - (1 + 2 * t1 + c1) * d**3 / 6
-            + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * _EP2 + 24 * t1**2) * d**5 / 120
+            + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2) * d**5 / 120
         ) / cos1
         return math.degrees(lam), math.degrees(phi)
 
@@ -120,12 +225,15 @@ class LambertConformalConic2SP:
     lon0_deg: float
     false_easting: float = 0.0
     false_northing: float = 0.0
+    ellipsoid: Ellipsoid = GRS80
+    datum: DatumShift = _NO_SHIFT
 
     def _mt(self, phi: float) -> tuple[float, float]:
+        e, e2 = self.ellipsoid.e, self.ellipsoid.e2
         sin_phi = math.sin(phi)
-        m = math.cos(phi) / math.sqrt(1 - _E2 * sin_phi**2)
+        m = math.cos(phi) / math.sqrt(1 - e2 * sin_phi**2)
         t = math.tan(math.pi / 4 - phi / 2) / (
-            ((1 - _E * sin_phi) / (1 + _E * sin_phi)) ** (_E / 2)
+            ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
         )
         return m, t
 
@@ -141,25 +249,26 @@ class LambertConformalConic2SP:
         else:
             n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
         f = m1 / (n * t1**n)
-        rho0 = _A * f * t0**n
+        rho0 = self.ellipsoid.a * f * t0**n
         return n, f, rho0
 
     def forward(self, lon_deg: float, lat_deg: float) -> tuple[float, float]:
         n, f, rho0 = self._constants()
         phi = math.radians(lat_deg)
         _, t = self._mt(phi)
-        rho = _A * f * t**n
+        rho = self.ellipsoid.a * f * t**n
         theta = n * (math.radians(lon_deg) - math.radians(self.lon0_deg))
         x = self.false_easting + rho * math.sin(theta)
         y = self.false_northing + rho0 - rho * math.cos(theta)
         return x, y
 
     def inverse(self, x: float, y: float) -> tuple[float, float]:
+        e = self.ellipsoid.e
         n, f, rho0 = self._constants()
         dx = x - self.false_easting
         dy = rho0 - (y - self.false_northing)
         rho = math.copysign(math.hypot(dx, dy), n)
-        t = (rho / (_A * f)) ** (1 / n)
+        t = (rho / (self.ellipsoid.a * f)) ** (1 / n)
         # Snyder eq. 14-11: negate both components when n < 0 (south-facing
         # cones); the signs of dx/dy themselves must be preserved.
         sign = 1.0 if n >= 0 else -1.0
@@ -169,31 +278,82 @@ class LambertConformalConic2SP:
         for _ in range(8):
             sin_phi = math.sin(phi)
             phi = math.pi / 2 - 2 * math.atan(
-                t * ((1 - _E * sin_phi) / (1 + _E * sin_phi)) ** (_E / 2)
+                t * ((1 - e * sin_phi) / (1 + e * sin_phi)) ** (e / 2)
             )
         return math.degrees(lam), math.degrees(phi)
 
 
 @dataclass(frozen=True)
 class WebMercator:
+    ellipsoid: Ellipsoid = WGS84
+    datum: DatumShift = _NO_SHIFT
+
     def forward(self, lon_deg: float, lat_deg: float) -> tuple[float, float]:
-        x = _A * math.radians(lon_deg)
-        y = _A * math.log(math.tan(math.pi / 4 + math.radians(lat_deg) / 2))
+        a = self.ellipsoid.a
+        x = a * math.radians(lon_deg)
+        y = a * math.log(math.tan(math.pi / 4 + math.radians(lat_deg) / 2))
         return x, y
 
     def inverse(self, x: float, y: float) -> tuple[float, float]:
-        lon = math.degrees(x / _A)
-        lat = math.degrees(2 * math.atan(math.exp(y / _A)) - math.pi / 2)
+        a = self.ellipsoid.a
+        lon = math.degrees(x / a)
+        lat = math.degrees(2 * math.atan(math.exp(y / a)) - math.pi / 2)
         return lon, lat
 
 
 @dataclass(frozen=True)
 class Geographic:
+    ellipsoid: Ellipsoid = WGS84
+    datum: DatumShift = _NO_SHIFT
+
     def forward(self, lon_deg: float, lat_deg: float) -> tuple[float, float]:
         return lon_deg, lat_deg
 
     def inverse(self, x: float, y: float) -> tuple[float, float]:
         return x, y
+
+
+#: National grids by EPSG code. Datum-shift values are the published EPSG
+#: ``towgs84`` position-vector parameters for each source datum.
+_NATIONAL_GRIDS: dict[int, object] = {
+    # Luxembourg 1930 / Gauss (LUREF) — the reference's rss_mersch_A /
+    # rss_dudelange_A test rasters (International 1924 ellipsoid).
+    2169: TransverseMercator(
+        lon0_deg=6.166666666666667,
+        lat0_deg=49.833333333333336,
+        k0=1.0,
+        false_easting=80000.0,
+        false_northing=100000.0,
+        ellipsoid=INTL1924,
+        datum=DatumShift(-193.0, 13.7, -39.3, -0.41, -2.933, 2.688, 0.43),
+    ),
+    # OSGB 1936 / British National Grid (Airy 1830).
+    27700: TransverseMercator(
+        lon0_deg=-2.0,
+        lat0_deg=49.0,
+        k0=0.9996012717,
+        false_easting=400000.0,
+        false_northing=-100000.0,
+        ellipsoid=AIRY1830,
+        datum=DatumShift(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+    ),
+    # Irish Transverse Mercator (ETRS89/GRS80 — no shift).
+    2157: TransverseMercator(
+        lon0_deg=-8.0,
+        lat0_deg=53.5,
+        k0=0.99982,
+        false_easting=600000.0,
+        false_northing=750000.0,
+    ),
+    # NZGD2000 / New Zealand Transverse Mercator (GRS80 — no shift).
+    2193: TransverseMercator(
+        lon0_deg=173.0,
+        lat0_deg=0.0,
+        k0=0.9996,
+        false_easting=1600000.0,
+        false_northing=10000000.0,
+    ),
+}
 
 
 def projection_for(crs: CRS | str | int):
@@ -212,24 +372,19 @@ def projection_for(crs: CRS | str | int):
         )
     if 26901 <= code <= 26923:  # UTM north (NAD83)
         return TransverseMercator(lon0_deg=(code - 26900) * 6 - 183)
-    if 2944 <= code <= 2962:  # NAD83(CSRS) MTM/UTM Canada range (UTM part)
-        pass
+    if 25828 <= code <= 25838:  # UTM north (ETRS89)
+        return TransverseMercator(lon0_deg=(code - 25800) * 6 - 183)
     if code in (3978, 3979):  # Canada Atlas Lambert (NAD83 / NAD83 CSRS)
         return LambertConformalConic2SP(
             lat1_deg=49.0, lat2_deg=77.0, lat0_deg=49.0, lon0_deg=-95.0
         )
-    if code == 2169:  # Luxembourg 1930 / Gauss (TM; datum shift ignored ~0.1 km)
-        return TransverseMercator(
-            lon0_deg=6.166666666666667,
-            lat0_deg=49.833333333333336,
-            k0=1.0,
-            false_easting=80000.0,
-            false_northing=100000.0,
-        )
+    if code in _NATIONAL_GRIDS:
+        return _NATIONAL_GRIDS[code]
     raise ValueError(
         f"unsupported CRS for coordinate transformation: EPSG:{code}. "
         "Supported: geographic (4326/4269/4617/4258), web mercator (3857), "
-        "UTM (326xx/327xx/269xx), Canada Atlas Lambert (3978/3979), 2169."
+        "UTM (326xx/327xx/269xx/258xx), Canada Atlas Lambert (3978/3979), "
+        f"national grids {sorted(_NATIONAL_GRIDS)}."
     )
 
 
@@ -238,12 +393,20 @@ def transform_points(
     dst_crs: CRS | str | int,
     points: list[tuple[float, float]],
 ) -> list[tuple[float, float]]:
-    """Transform (x, y) points from src to dst CRS via geographic coordinates."""
+    """Transform (x, y) points from src to dst CRS via WGS84 geographic.
+
+    Datum shifts apply only when a projection declares one (the GRS80/WGS84
+    family is treated as coincident, standard at meter-level accuracy).
+    """
     src = projection_for(src_crs)
     dst = projection_for(dst_crs)
     out = []
     for x, y in points:
         lon, lat = src.inverse(x, y)
+        if src.datum is not _NO_SHIFT:
+            lon, lat = src.datum.geodetic_to_wgs84(lon, lat, src.ellipsoid)
+        if dst.datum is not _NO_SHIFT:
+            lon, lat = dst.datum.wgs84_to_geodetic(lon, lat, dst.ellipsoid)
         out.append(dst.forward(lon, lat))
     return out
 

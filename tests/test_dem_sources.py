@@ -66,7 +66,72 @@ class TestGeodesy:
 
     def test_unsupported_epsg_raises(self):
         with pytest.raises(ValueError, match="unsupported CRS"):
-            projection_for(27700)  # OSGB not implemented
+            projection_for(31370)  # Belgian Lambert 72 not implemented
+
+    def test_luxembourg_tm_origin_and_ellipsoid(self):
+        # EPSG:2169 true origin (6°10'E, 49°50'N) maps to the false
+        # easting/northing exactly, on the International 1924 ellipsoid.
+        from floodsr_tpu.dem_sources.geodesy import INTL1924
+
+        proj = projection_for(2169)
+        assert proj.ellipsoid is INTL1924
+        x, y = proj.forward(6.166666666666667, 49.833333333333336)
+        assert x == pytest.approx(80000.0, abs=1e-6)
+        assert y == pytest.approx(100000.0, abs=1e-6)
+
+    def test_luxembourg_datum_shift_applied_and_invertible(self):
+        # The LUREF→WGS84 Helmert shift moves geographic coordinates by
+        # O(100 m); the full 2169→4326→2169 roundtrip must still close to
+        # centimeters (shift + projection inverses are consistent).
+        pts_2169 = [(75000.0, 75000.0), (95000.0, 120000.0)]
+        wgs = transform_points(2169, 4326, pts_2169)
+        for lon, lat in wgs:
+            assert 5.5 < lon < 6.7 and 49.3 < lat < 50.3  # inside Luxembourg
+        back = transform_points(4326, 2169, wgs)
+        for (x0, y0), (x1, y1) in zip(pts_2169, back):
+            assert x1 == pytest.approx(x0, abs=0.02)
+            assert y1 == pytest.approx(y0, abs=0.02)
+        # no-shift projection of the same points differs by the datum shift
+        from floodsr_tpu.dem_sources.geodesy import projection_for as pf
+
+        proj = pf(2169)
+        raw = [proj.inverse(x, y) for (x, y) in pts_2169]
+        for (lon_s, lat_s), (lon_r, lat_r) in zip(wgs, raw):
+            dist_deg = abs(lon_s - lon_r) + abs(lat_s - lat_r)
+            assert 1e-4 < dist_deg < 1e-2  # ~10 m – 1 km
+
+    def test_osgb_true_origin(self):
+        proj = projection_for(27700)
+        x, y = proj.forward(-2.0, 49.0)
+        assert x == pytest.approx(400000.0, abs=1e-6)
+        assert y == pytest.approx(-100000.0, abs=1e-6)
+
+    def test_osgb_roundtrip_through_wgs84(self):
+        pts = [(400000.0, 500000.0), (530000.0, 180000.0)]  # mid-GB, London
+        wgs = transform_points(27700, 4326, pts)
+        assert -1.0 < wgs[1][0] < 0.5 and 51.0 < wgs[1][1] < 52.0
+        back = transform_points(4326, 27700, wgs)
+        for (x0, y0), (x1, y1) in zip(pts, back):
+            assert x1 == pytest.approx(x0, abs=0.02)
+            assert y1 == pytest.approx(y0, abs=0.02)
+
+    def test_etrs89_utm_matches_wgs84_utm(self):
+        # Same zone/math, GRS80 vs WGS84 — coordinates agree to sub-mm.
+        a = projection_for(25832).forward(9.5, 52.0)
+        b = projection_for(32632).forward(9.5, 52.0)
+        assert a[0] == pytest.approx(b[0], abs=1e-3)
+        assert a[1] == pytest.approx(b[1], abs=1e-3)
+
+    @pytest.mark.parametrize("epsg,x,y", [
+        (2157, 600000.0, 750000.0),   # Irish TM true origin
+        (2193, 1600000.0, 5900000.0),  # NZTM mid-country
+    ])
+    def test_national_grid_roundtrips(self, epsg, x, y):
+        proj = projection_for(epsg)
+        lon, lat = proj.inverse(x, y)
+        x2, y2 = proj.forward(lon, lat)
+        assert x2 == pytest.approx(x, abs=1e-2)
+        assert y2 == pytest.approx(y, abs=1e-2)
 
 
 class TestHrdemFetch:
