@@ -163,18 +163,52 @@ def _query_hrdem_assets(
 # ---------------------------------------------------------------------------
 
 
-def _open_asset(href: str) -> tuple[np.ndarray, float | None, dict]:
-    """Decode an asset raster: local paths directly, remote hrefs fetched whole."""
-    if not href.startswith(("http://", "https://")):
-        return read_raster(href)
-    blob = _TRANSPORT(href, None, {})
-    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as spool:
-        spool.write(blob)
-        spool_path = Path(spool.name)
-    try:
-        return read_raster(spool_path)
-    finally:
-        spool_path.unlink(missing_ok=True)
+def _open_asset_window(
+    href: str,
+    bounds: tuple[float, float, float, float] | None,
+    logger: logging.Logger | None = None,
+) -> tuple[np.ndarray, float | None, dict] | None:
+    """Read the part of an asset intersecting ``bounds`` (asset-CRS coords).
+
+    Remote hrefs are served by HTTP ``Range`` requests through the transport
+    hook — only the header/IFD plus the tiles/strips under the footprint are
+    transferred, never the whole asset (reference behavior via GDAL:
+    ``/root/reference/floodsr/dem_sources/hrdem_stac.py:117-219``). Returns
+    ``(array, nodata, windowed profile)`` or ``None`` when the asset does
+    not overlap ``bounds``.
+    """
+    from floodsr_tpu.io.affine import Affine
+    from floodsr_tpu.io.geotiff import open_raster_window_reader
+
+    reader, nodata, profile = open_raster_window_reader(href, transport=_TRANSPORT)
+    if bounds is None:
+        return reader.read_full(), nodata, profile
+    t = profile["transform"]
+    assert t.is_rectilinear(), (
+        f"rotated asset grids are not supported for windowed reads: {href}"
+    )
+    west, south, east, north = bounds
+    # Pixel window of the footprint with a 2-px bilinear margin.
+    cols = sorted(((west - t.c) / t.a, (east - t.c) / t.a))
+    rows = sorted(((north - t.f) / t.e, (south - t.f) / t.e))
+    col0 = max(0, math.floor(cols[0]) - 2)
+    row0 = max(0, math.floor(rows[0]) - 2)
+    col1 = min(profile["width"], math.ceil(cols[1]) + 2)
+    row1 = min(profile["height"], math.ceil(rows[1]) + 2)
+    if col1 <= col0 or row1 <= row0:
+        return None
+    arr = reader.read_window(row0, col0, row1 - row0, col1 - col0)
+    x0, y0 = t * (float(col0), float(row0))
+    win_profile = dict(profile)
+    win_profile["height"], win_profile["width"] = arr.shape[0], arr.shape[1]
+    win_profile["transform"] = Affine(t.a, t.b, x0, t.d, t.e, y0)
+    if logger is not None:
+        logger.debug(
+            "asset window %sx%s of %sx%s (%d bytes in %d range request(s)): %s",
+            arr.shape[0], arr.shape[1], profile["height"], profile["width"],
+            reader.bytes_fetched, reader.requests, href,
+        )
+    return arr, nodata, win_profile
 
 
 def write_dem_from_asset_hrefs(
@@ -201,7 +235,11 @@ def write_dem_from_asset_hrefs(
     out_path = Path(output_fp).expanduser().resolve()
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
-    lead_arr, lead_nodata, lead_profile = _open_asset(asset_hrefs[0])
+    lead = _open_asset_window(asset_hrefs[0], fp.bounds, log)
+    assert lead is not None, (
+        f"lead asset does not overlap depth bounds {fp.bounds}: {asset_hrefs[0]}"
+    )
+    lead_arr, lead_nodata, lead_profile = lead
     lead_crs = lead_profile["crs"]
     assert lead_crs is not None, f"asset CRS is required: {asset_hrefs[0]}"
     if lead_crs != fp.crs:
@@ -225,7 +263,11 @@ def write_dem_from_asset_hrefs(
     covered = np.zeros((height, width), dtype=bool)
     pending = [(lead_arr, lead_nodata, lead_profile)] + [None] * (len(asset_hrefs) - 1)
     for i, href in enumerate(asset_hrefs):
-        arr, src_nodata, src_profile = pending[i] or _open_asset(href)
+        opened = pending[i] or _open_asset_window(href, fp.bounds, log)
+        if opened is None:
+            log.debug("asset outside depth bounds, skipped: %s", href)
+            continue
+        arr, src_nodata, src_profile = opened
         if i > 0:
             assert src_profile["crs"] == fp.crs, f"asset CRS mismatch: {href}"
         warped = reproject_bilinear(

@@ -216,21 +216,10 @@ def read_raster(
     return arr, nodata, profile
 
 
-def read_raster_header(fp: str | Path) -> dict:
-    """Read only the georeferencing profile (IFD tags, no pixel decode).
-
-    Used for cheap post-write verification — shape/bounds checks don't need
-    a full strip decode of a multi-MB scene.
-    """
-    path = Path(fp).expanduser().resolve()
-    if not path.exists():
-        raise AssertionError(f"raster does not exist: {path}")
-    data = path.read_bytes()
-    order = data[:2].decode("ascii", "replace")
-    if order not in ("II", "MM"):
-        raise ValueError(f"not a TIFF file: bad byte order {order!r}")
-    page = _tiff._read_ifd(data, order)
-    tags = page.tags
+def _profile_from_tags(
+    tags: dict[int, object], dtype_str: str, height: int, width: int, count: int
+) -> tuple[float | None, dict]:
+    """(nodata, rasterio-shaped profile) from decoded TIFF tags."""
     nodata = None
     nodata_text = tags.get(TAG_GDAL_NODATA)
     if nodata_text is not None:
@@ -238,13 +227,13 @@ def read_raster_header(fp: str | Path) -> dict:
             nodata = float(str(nodata_text).strip())
         except ValueError:
             nodata = None
-    return {
+    return nodata, {
         "driver": "GTiff",
-        "dtype": str(np.dtype(page.dtype.newbyteorder("="))),
+        "dtype": dtype_str,
         "nodata": nodata,
-        "width": page.width,
-        "height": page.height,
-        "count": page.samples_per_pixel,
+        "width": int(width),
+        "height": int(height),
+        "count": int(count),
         "crs": _crs_from_geokeys(tags),
         "transform": _transform_from_tags(tags) or Affine.identity(),
         "compress": _TIFF_TO_COMPRESS.get(
@@ -253,12 +242,71 @@ def read_raster_header(fp: str | Path) -> dict:
     }
 
 
+def open_raster_window_reader(
+    src: str | Path, transport=None
+) -> tuple["object", float | None, dict]:
+    """Open a raster for windowed reads: ``(reader, nodata, full profile)``.
+
+    ``src`` may be a local path or an ``http(s)`` href — remote rasters are
+    read via HTTP ``Range`` requests through ``transport`` (the
+    ``(url, body, headers) -> bytes`` hook; required for hrefs), so a window
+    fetches only the intersecting tiles/strips, never the whole asset
+    (reference behavior: ``floodsr/dem_sources/hrdem_stac.py:117-219`` via
+    GDAL's ranged COG reads). The profile describes the FULL raster; use
+    ``reader.read_window(row, col, h, w)`` for pixels and shift the
+    transform for the window origin.
+    """
+    from floodsr_tpu.io.tiff_window import (
+        FileByteSource,
+        RangeTransportByteSource,
+        TiffWindowReader,
+    )
+
+    if isinstance(src, str) and src.startswith(("http://", "https://")):
+        assert transport is not None, "remote window reads require a transport"
+        source = RangeTransportByteSource(src, transport)
+    else:
+        path = Path(src).expanduser().resolve()
+        if not path.exists():
+            raise AssertionError(f"raster does not exist: {path}")
+        source = FileByteSource(path)
+    reader = TiffWindowReader(source)
+    page = reader.page
+    nodata, profile = _profile_from_tags(
+        page.tags,
+        str(np.dtype(page.dtype.newbyteorder("="))),
+        page.height,
+        page.width,
+        page.samples_per_pixel,
+    )
+    return reader, nodata, profile
+
+
+def read_raster_header(fp: str | Path) -> dict:
+    """Read only the georeferencing profile (IFD tags, no pixel decode).
+
+    Used for cheap post-write verification — shape/bounds checks don't need
+    a full strip decode of a multi-MB scene. Reads only the header/IFD byte
+    ranges (classic TIFF and BigTIFF) instead of the whole file.
+    """
+    _, _, profile = open_raster_window_reader(fp)
+    return profile
+
+
 def write_raster(
     fp: str | Path,
     array: np.ndarray,
     profile: dict,
+    *,
+    tile: tuple[int, int] | None = None,
+    bigtiff: bool | None = None,
 ) -> Path:
-    """Write a single-band raster with the given rasterio-style profile."""
+    """Write a single-band raster with the given rasterio-style profile.
+
+    ``tile`` writes a tiled (COG-style) layout; ``bigtiff`` forces the
+    8-byte-offset container (``None`` auto-switches past the classic 4 GiB
+    limit).
+    """
     path = Path(fp).expanduser().resolve()
     path.parent.mkdir(parents=True, exist_ok=True)
 
@@ -286,7 +334,10 @@ def write_raster(
         raise AssertionError(f"profile width {width} != array width {arr.shape[1]}")
 
     extra_tags = _geo_tags_for(transform, crs, nodata_f)
-    data = _tiff.encode_tiff(arr, extra_tags=extra_tags, compression=compression)
+    data = _tiff.encode_tiff(
+        arr, extra_tags=extra_tags, compression=compression,
+        tile=tile, bigtiff=bigtiff,
+    )
     path.write_bytes(data)
     return path
 

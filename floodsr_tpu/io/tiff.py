@@ -66,7 +66,13 @@ _FIELD_TYPES = {
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
+    18: ("Q", 8),  # IFD8 (BigTIFF)
 }
+
+#: classic-TIFF offsets overflow past this; auto-switch to BigTIFF above it.
+_CLASSIC_TIFF_LIMIT = (1 << 32) - (1 << 16)
 
 _LZW_CLEAR = 256
 _LZW_EOI = 257
@@ -356,7 +362,11 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict[int, object]]:
     endian = "<" if order == "II" else ">"
     (magic,) = struct.unpack_from(endian + "H", data, 2)
     if magic == 43:
-        raise ValueError("BigTIFF is not supported by the pure-Python codec")
+        # BigTIFF: delegate to the window reader's 8-byte-offset IFD parser.
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        reader = TiffWindowReader(MemoryByteSource(data))
+        return reader.read_full(), reader.page.tags
     if magic != 42:
         raise ValueError(f"not a TIFF file: bad magic {magic}")
 
@@ -425,12 +435,19 @@ def encode_tiff(
     compression: int = COMPRESSION_LZW,
     predictor: int | None = None,
     rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
+    bigtiff: bool | None = None,
 ) -> bytes:
-    """Encode an array as a little-endian striped TIFF.
+    """Encode an array as a little-endian TIFF (striped, or tiled via ``tile``).
 
     ``extra_tags`` entries are ``(tag, field_type, value)`` where value is a
     tuple of numbers or an ASCII string; they are emitted in ascending tag
-    order as TIFF requires.
+    order as TIFF requires. ``tile=(tile_height, tile_width)`` writes a tiled
+    layout (dimensions must be multiples of 16 per the TIFF spec — the
+    COG-style layout whose chunks a windowed reader can range-fetch).
+    ``bigtiff``: force the 8-byte-offset BigTIFF container; ``None`` switches
+    automatically when the projected size approaches the classic 4 GiB limit
+    (the capability GDAL gives the reference for arbitrary-size rasters).
     """
     if array.ndim == 2:
         array = array[:, :, None]
@@ -444,15 +461,30 @@ def encode_tiff(
 
     if predictor is None:
         predictor = 2 if (compression != COMPRESSION_NONE and arr.dtype.kind in "ui") else 1
-    if rows_per_strip is None:
-        target = 1 << 18  # ~256 KiB strips
-        rows_per_strip = max(1, min(h, target // max(1, w * s * itemsize)))
 
-    strips: list[bytes] = []
-    for row in range(0, h, rows_per_strip):
-        chunk = arr[row : row + rows_per_strip]
-        chunk = _apply_predictor_encode(chunk, predictor)
-        strips.append(_compress_chunk(chunk.tobytes(), compression))
+    chunks: list[bytes] = []
+    if tile is not None:
+        th, tw = int(tile[0]), int(tile[1])
+        if th % 16 or tw % 16 or th <= 0 or tw <= 0:
+            raise ValueError(f"tile dims must be positive multiples of 16; got {tile}")
+        for row in range(0, h, th):
+            for col in range(0, w, tw):
+                block = arr[row : row + th, col : col + tw]
+                # TIFF tiles are always full-size; pad edge tiles.
+                if block.shape[0] != th or block.shape[1] != tw:
+                    pad = ((0, th - block.shape[0]), (0, tw - block.shape[1]), (0, 0))
+                    block = np.pad(block, pad, mode="edge")
+                block = _apply_predictor_encode(block, predictor)
+                chunks.append(_compress_chunk(block.tobytes(), compression))
+    else:
+        if rows_per_strip is None:
+            target = 1 << 18  # ~256 KiB strips
+            rows_per_strip = max(1, min(h, target // max(1, w * s * itemsize)))
+        for row in range(0, h, rows_per_strip):
+            chunk = arr[row : row + rows_per_strip]
+            chunk = _apply_predictor_encode(chunk, predictor)
+            chunks.append(_compress_chunk(chunk.tobytes(), compression))
+    strips = chunks
 
     tags: list[tuple[int, int, tuple | str]] = [
         (TAG_IMAGE_WIDTH, 4, (w,)),
@@ -461,104 +493,140 @@ def encode_tiff(
         (TAG_COMPRESSION, 3, (compression,)),
         (TAG_PHOTOMETRIC, 3, (1,)),
         (TAG_SAMPLES_PER_PIXEL, 3, (s,)),
-        (TAG_ROWS_PER_STRIP, 4, (rows_per_strip,)),
         (TAG_PLANAR_CONFIG, 3, (1,)),
         (TAG_SAMPLE_FORMAT, 3, (_sample_format_for(arr.dtype),) * s),
     ]
+    if tile is not None:
+        tags.append((TAG_TILE_WIDTH, 4, (tw,)))
+        tags.append((TAG_TILE_LENGTH, 4, (th,)))
+        offsets_tag, counts_tag = TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS
+    else:
+        tags.append((TAG_ROWS_PER_STRIP, 4, (rows_per_strip,)))
+        offsets_tag, counts_tag = TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS
     if predictor != 1:
         tags.append((TAG_PREDICTOR, 3, (predictor,)))
     for tag, ftype, value in extra_tags or []:
         tags.append((tag, ftype, value))
 
-    # Offsets/byte-counts are patched once strip positions are known.
     num_strips = len(strips)
-    offsets_type = 4
-    tags.append((TAG_STRIP_OFFSETS, offsets_type, (0,) * num_strips))
-    tags.append((TAG_STRIP_BYTE_COUNTS, 4, tuple(len(sb) for sb in strips)))
+    if bigtiff is None:
+        # Auto: projected container size decides (chunk data dominates).
+        projected = sum(len(sb) + 1 for sb in strips) + 4096 + 16 * num_strips
+        bigtiff = projected > _CLASSIC_TIFF_LIMIT
+    off_ftype = 16 if bigtiff else 4
+    tags.append((offsets_tag, off_ftype, (0,) * num_strips))
+    tags.append((counts_tag, off_ftype, tuple(len(sb) for sb in strips)))
     tags.sort(key=lambda t: t[0])
 
-    endian = "<"
-    header = struct.pack(endian + "2sHI", b"II", 42, 8)
-    ifd_offset = 8
-    num_entries = len(tags)
-    ifd_size = 2 + num_entries * 12 + 4
-    extra_offset = ifd_offset + ifd_size
-
-    # First pass: lay out out-of-line tag payloads after the IFD.
-    payloads: list[bytes] = []
-    entries: list[bytes] = []
-    strip_offsets_entry_idx = None
-    for idx, (tag, ftype, value) in enumerate(tags):
-        ch, size = _FIELD_TYPES[ftype]
-        if ftype == 2:
-            raw = str(value).encode("ascii") + b"\0"
-            count = len(raw)
-        else:
-            vals = tuple(value)
-            count = len(vals)
-            raw = struct.pack(endian + ch * count, *vals)
-        if len(raw) <= 4:
-            value_field = raw.ljust(4, b"\0")
-            entries.append(struct.pack(endian + "HHI4s", tag, ftype, count, value_field))
-        else:
-            entries.append(
-                struct.pack(endian + "HHII", tag, ftype, count, extra_offset + sum(map(len, payloads)))
-            )
-            if len(raw) % 2:
-                raw += b"\0"
-            payloads.append(raw)
-        if tag == TAG_STRIP_OFFSETS:
-            strip_offsets_entry_idx = idx
-
-    data_offset = extra_offset + sum(map(len, payloads))
+    # Fixed layout: header | IFD | tag payloads | chunk data. Payload sizes
+    # are value-independent, so chunk offsets are computable up front and the
+    # offsets tag gets its real values before serialization.
+    header_size = 16 if bigtiff else 8
+    ifd_size = _ifd_size(tags, bigtiff)
+    extra_offset = header_size + ifd_size
+    data_offset = extra_offset + _payloads_size(tags, bigtiff)
     if data_offset % 2:
-        payloads.append(b"\0")
         data_offset += 1
 
-    # Compute actual strip offsets and rewrite the StripOffsets entry.
     strip_offsets = []
     pos = data_offset
     for sb in strips:
         strip_offsets.append(pos)
         pos += len(sb) + (len(sb) % 2)
-    raw = struct.pack(endian + "I" * num_strips, *strip_offsets)
-    if len(raw) <= 4:
-        entries[strip_offsets_entry_idx] = struct.pack(
-            endian + "HHI4s", TAG_STRIP_OFFSETS, 4, num_strips, raw.ljust(4, b"\0")
+    if not bigtiff and pos > (1 << 32) - 1:
+        raise ValueError(
+            f"container size {pos} overflows classic TIFF; pass bigtiff=True"
         )
-    else:
-        # Locate the payload slot assigned to strip offsets and replace it.
-        payload_pos = 0
-        slot = 0
-        for idx, (tag, ftype, value) in enumerate(tags):
-            ch, size = _FIELD_TYPES[ftype]
-            if ftype == 2:
-                raw_len = len(str(value).encode("ascii")) + 1
-            else:
-                raw_len = size * len(tuple(value))
-            if raw_len > 4:
-                if tag == TAG_STRIP_OFFSETS:
-                    payloads[slot] = raw
-                    entries[idx] = struct.pack(
-                        endian + "HHII", TAG_STRIP_OFFSETS, 4, num_strips, extra_offset + payload_pos
-                    )
-                    break
-                payload_pos += raw_len + (raw_len % 2)
-                slot += 1
+    tags = [
+        (t, ft, tuple(strip_offsets) if t == offsets_tag else v)
+        for (t, ft, v) in tags
+    ]
 
+    endian = "<"
     out = bytearray()
-    out += header
-    out += struct.pack(endian + "H", num_entries)
-    for e in entries:
-        out += e
-    out += struct.pack(endian + "I", 0)  # next IFD
-    for p in payloads:
-        out += p
+    if bigtiff:
+        out += struct.pack(endian + "2sHHHQ", b"II", 43, 8, 0, 16)
+    else:
+        out += struct.pack(endian + "2sHI", b"II", 42, 8)
+    ifd, payloads = _serialize_ifd(tags, bigtiff=bigtiff, payload_base=extra_offset)
+    out += ifd
+    out += payloads
+    while len(out) < data_offset:
+        out += b"\0"
     for sb in strips:
         out += sb
         if len(sb) % 2:
             out += b"\0"
     return bytes(out)
+
+
+def _tag_raw(tag: int, ftype: int, value, endian: str = "<") -> tuple[bytes, int]:
+    """Serialized tag value bytes + logical count."""
+    ch, _size = _FIELD_TYPES[ftype]
+    if ftype == 2:
+        raw = str(value).encode("ascii") + b"\0"
+        return raw, len(raw)
+    vals = tuple(value)
+    return struct.pack(endian + ch * len(vals), *vals), len(vals)
+
+
+def _ifd_size(tags, bigtiff: bool) -> int:
+    entry = 20 if bigtiff else 12
+    return (8 if bigtiff else 2) + len(tags) * entry + (8 if bigtiff else 4)
+
+
+def _payloads_size(tags, bigtiff: bool) -> int:
+    cap = 8 if bigtiff else 4
+    total = 0
+    for tag, ftype, value in tags:
+        raw, _ = _tag_raw(tag, ftype, value)
+        if len(raw) > cap:
+            total += len(raw) + (len(raw) % 2)
+    return total
+
+
+def _serialize_ifd(
+    tags, *, bigtiff: bool, payload_base: int, endian: str = "<"
+) -> tuple[bytes, bytes]:
+    """IFD table + out-of-line payload blob for FINAL tag values.
+
+    ``payload_base`` is the absolute file offset where the payload blob will
+    land (immediately after the IFD in both writers).
+    """
+    cap = 8 if bigtiff else 4
+    count_fmt = "Q" if bigtiff else "I"
+    entries: list[bytes] = []
+    payloads = bytearray()
+    for tag, ftype, value in tags:
+        raw, count = _tag_raw(tag, ftype, value, endian)
+        if len(raw) <= cap:
+            entries.append(
+                struct.pack(endian + "HH" + count_fmt, tag, ftype, count)
+                + raw.ljust(cap, b"\0")
+            )
+        else:
+            entries.append(
+                struct.pack(
+                    endian + "HH" + count_fmt + count_fmt,
+                    tag, ftype, count, payload_base + len(payloads),
+                )
+                if bigtiff
+                else struct.pack(
+                    endian + "HHII", tag, ftype, count, payload_base + len(payloads)
+                )
+            )
+            payloads += raw
+            if len(raw) % 2:
+                payloads += b"\0"
+    ifd = bytearray()
+    if bigtiff:
+        ifd += struct.pack(endian + "Q", len(entries))
+    else:
+        ifd += struct.pack(endian + "H", len(entries))
+    for e in entries:
+        ifd += e
+    ifd += struct.pack(endian + ("Q" if bigtiff else "I"), 0)  # next IFD
+    return bytes(ifd), bytes(payloads)
 
 
 class StripStreamWriter:
@@ -581,6 +649,7 @@ class StripStreamWriter:
         extra_tags: list[tuple[int, int, object]] | None = None,
         compression: int = COMPRESSION_LZW,
         rows_per_strip: int | None = None,
+        bigtiff: bool | None = None,
     ):
         self._handle = open(fp, "wb")
         self._height = int(height)
@@ -594,6 +663,15 @@ class StripStreamWriter:
             2 if (compression != COMPRESSION_NONE and self._dtype.kind in "ui") else 1
         )
         itemsize = self._dtype.itemsize
+        if bigtiff is None:
+            # Compressed strips can't be sized up front; the uncompressed
+            # bound decides (conservative — a BigTIFF container is always
+            # readable back, a classic one that overflows is not writable).
+            bigtiff = (
+                self._height * self._width * itemsize + (1 << 20)
+                > _CLASSIC_TIFF_LIMIT
+            )
+        self._bigtiff = bool(bigtiff)
         if rows_per_strip is None:
             target = 1 << 18
             rows_per_strip = max(1, min(self._height, target // max(1, width * itemsize)))
@@ -602,8 +680,11 @@ class StripStreamWriter:
         self._rows_done = 0
         self._offsets: list[int] = []
         self._counts: list[int] = []
-        # Header: II, magic 42, IFD pointer placeholder (patched in close()).
-        self._handle.write(struct.pack("<2sHI", b"II", 42, 0))
+        # Header with IFD pointer placeholder (backpatched in close()).
+        if self._bigtiff:
+            self._handle.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))
+        else:
+            self._handle.write(struct.pack("<2sHI", b"II", 42, 0))
 
     def write_rows(self, band: np.ndarray) -> None:
         band = np.ascontiguousarray(band, self._dtype)
@@ -632,16 +713,23 @@ class StripStreamWriter:
             f"wrote {self._rows_done} of {self._height} rows"
         )
         endian = "<"
+        bigtiff = self._bigtiff
+        off_ftype = 16 if bigtiff else 4
+        if not bigtiff and self._offsets and self._offsets[-1] > (1 << 32) - 1:
+            self._handle.close()
+            raise ValueError(
+                "strip offsets overflow classic TIFF; construct with bigtiff=True"
+            )
         tags: list[tuple[int, int, tuple | str]] = [
             (TAG_IMAGE_WIDTH, 4, (self._width,)),
             (TAG_IMAGE_LENGTH, 4, (self._height,)),
             (TAG_BITS_PER_SAMPLE, 3, (self._dtype.itemsize * 8,)),
             (TAG_COMPRESSION, 3, (self._compression,)),
             (TAG_PHOTOMETRIC, 3, (1,)),
-            (TAG_STRIP_OFFSETS, 4, tuple(self._offsets)),
+            (TAG_STRIP_OFFSETS, off_ftype, tuple(self._offsets)),
             (TAG_SAMPLES_PER_PIXEL, 3, (1,)),
             (TAG_ROWS_PER_STRIP, 4, (self._rps,)),
-            (TAG_STRIP_BYTE_COUNTS, 4, tuple(self._counts)),
+            (TAG_STRIP_BYTE_COUNTS, off_ftype, tuple(self._counts)),
             (TAG_PLANAR_CONFIG, 3, (1,)),
             (TAG_SAMPLE_FORMAT, 3, (_sample_format_for(self._dtype),)),
         ]
@@ -653,42 +741,19 @@ class StripStreamWriter:
         if self._handle.tell() % 2:
             self._handle.write(b"\0")
         ifd_offset = self._handle.tell()
-        ifd_size = 2 + len(tags) * 12 + 4
-        payload_base = ifd_offset + ifd_size
-        entries: list[bytes] = []
-        payloads: list[bytes] = []
-        for tag, ftype, value in tags:
-            ch, _size = _FIELD_TYPES[ftype]
-            if ftype == 2:
-                raw = str(value).encode("ascii") + b"\0"
-                count = len(raw)
-            else:
-                vals = tuple(value)
-                count = len(vals)
-                raw = struct.pack(endian + ch * count, *vals)
-            if len(raw) <= 4:
-                entries.append(
-                    struct.pack(endian + "HHI4s", tag, ftype, count, raw.ljust(4, b"\0"))
-                )
-            else:
-                entries.append(
-                    struct.pack(
-                        endian + "HHII", tag, ftype, count,
-                        payload_base + sum(map(len, payloads)),
-                    )
-                )
-                if len(raw) % 2:
-                    raw += b"\0"
-                payloads.append(raw)
-        self._handle.write(struct.pack(endian + "H", len(tags)))
-        for e in entries:
-            self._handle.write(e)
-        self._handle.write(struct.pack(endian + "I", 0))
-        for p in payloads:
-            self._handle.write(p)
+        payload_base = ifd_offset + _ifd_size(tags, bigtiff)
+        ifd, payloads = _serialize_ifd(
+            tags, bigtiff=bigtiff, payload_base=payload_base
+        )
+        self._handle.write(ifd)
+        self._handle.write(payloads)
         # Backpatch the header's IFD pointer.
-        self._handle.seek(4)
-        self._handle.write(struct.pack(endian + "I", ifd_offset))
+        if bigtiff:
+            self._handle.seek(8)
+            self._handle.write(struct.pack(endian + "Q", ifd_offset))
+        else:
+            self._handle.seek(4)
+            self._handle.write(struct.pack(endian + "I", ifd_offset))
         self._handle.close()
 
     def __enter__(self) -> "StripStreamWriter":

@@ -247,3 +247,71 @@ class TestHrdemFetch:
         lr_fp, _ = lowres_and_asset
         with pytest.raises(AssertionError, match="unsupported DEM source_id"):
             fetch_dem(source_id="nope", depth_lr_fp=lr_fp)
+
+
+class TestWindowedRemoteAsset:
+    def test_remote_cog_fetch_is_window_proportional(self, tmp_path):
+        """A small footprint over a large tiled remote asset transfers bytes
+        proportional to the window, not the asset (reference behavior:
+        rasterio windowed remote-COG reads,
+        /root/reference/floodsr/dem_sources/hrdem_stac.py:117-219)."""
+        crs = "EPSG:3979"
+        # LR depth: 8x8 @30 m -> 240 m footprint.
+        lr = np.full((8, 8), 1.0, np.float32)
+        lr_fp = tmp_path / "lowres.tif"
+        write_raster(
+            lr_fp, lr,
+            {
+                "height": 8, "width": 8, "count": 1, "dtype": "float32",
+                "crs": crs, "nodata": -9999.0,
+                "transform": from_origin(1510000.0, -170000.0, 30.0, 30.0),
+                "compress": "LZW",
+            },
+        )
+        # Large tiled 'remote' asset: 2048^2 @1 m, tiles 256^2 — the window
+        # covers ~(244/2048)^2 = 1.4% of the area.
+        rng = np.random.default_rng(7)
+        dem = rng.normal(300.0, 30.0, (2048, 2048)).astype(np.float32)
+        asset_fp = tmp_path / "asset_dtm_big.tif"
+        write_raster(
+            asset_fp, dem,
+            {
+                "height": 2048, "width": 2048, "count": 1, "dtype": "float32",
+                "crs": crs, "nodata": -32767.0,
+                "transform": from_origin(1509000.0, -169000.0, 1.0, 1.0),
+                "compress": "LZW",
+            },
+            tile=(256, 256),
+        )
+        asset_bytes = asset_fp.stat().st_size
+        blob = asset_fp.read_bytes()
+        transferred = []
+
+        def fake_transport(url, data, headers):
+            rng_header = headers.get("Range")
+            assert rng_header and rng_header.startswith("bytes="), headers
+            a, b = rng_header[len("bytes="):].split("-")
+            chunk = blob[int(a): int(b) + 1]
+            transferred.append(len(chunk))
+            return chunk
+
+        hrdem_stac.set_transport(fake_transport)
+        try:
+            out_fp = tmp_path / "windowed_dem.tif"
+            written = hrdem_stac.write_dem_from_asset_hrefs(
+                lr_fp, ["https://remote.example/asset_dtm_big.tif"], out_fp
+            )
+        finally:
+            hrdem_stac.set_transport(None)
+        got, nodata, profile = read_raster(written)
+        assert got.shape == (240, 240)
+        # Values match a direct local warp of the same asset.
+        direct = hrdem_stac.write_dem_from_asset_hrefs(
+            lr_fp, [str(asset_fp)], tmp_path / "direct_dem.tif"
+        )
+        want, _, _ = read_raster(direct)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # Transfer accounting: window bytes ~ 2x2 tiles of 256^2 f32 (LZW),
+        # far below the whole asset.
+        total = sum(transferred)
+        assert total < 0.12 * asset_bytes, (total, asset_bytes)

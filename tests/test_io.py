@@ -313,3 +313,190 @@ class TestStreamingWriter:
         writer.write_rows(np.zeros((4, 8), np.float32))
         with pytest.raises(AssertionError):
             writer.close()
+
+
+class TestTiledLayout:
+    def test_tiled_encode_decode_roundtrip(self, rng):
+        arr = rng.normal(300, 20, (100, 130)).astype(np.float32)
+        blob = encode_tiff(arr, tile=(32, 48))
+        out, tags = decode_tiff(blob)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_tiled_lzw_pil_readable(self, rng):
+        arr = (rng.random((64, 80)) * 1000).astype(np.uint16)
+        blob = encode_tiff(arr, tile=(32, 32))
+        pil = np.asarray(Image.open(_io.BytesIO(blob)))
+        np.testing.assert_array_equal(pil, arr)
+
+    def test_bad_tile_dims_raise(self, rng):
+        with pytest.raises(ValueError, match="multiples of 16"):
+            encode_tiff(np.zeros((32, 32), np.float32), tile=(20, 32))
+
+
+class TestWindowReader:
+    def _write(self, tmp_path, rng, **kw):
+        from floodsr_tpu.io.geotiff import _geo_tags_for
+
+        arr = rng.normal(300.0, 25.0, (512, 512)).astype(np.float32)
+        blob = encode_tiff(arr, **kw)
+        fp = tmp_path / "asset.tif"
+        fp.write_bytes(blob)
+        return arr, fp, len(blob)
+
+    def test_window_matches_full_decode_tiled(self, tmp_path, rng):
+        from floodsr_tpu.io.tiff_window import FileByteSource, TiffWindowReader
+
+        arr, fp, total = self._write(tmp_path, rng, tile=(128, 128))
+        reader = TiffWindowReader(FileByteSource(fp))
+        win = reader.read_window(100, 200, 150, 180)
+        np.testing.assert_array_equal(win, arr[100:250, 200:380])
+        # one tile row x two tile cols of data, not the whole asset
+        assert reader.bytes_fetched < 0.6 * total
+
+    def test_window_matches_full_decode_striped(self, tmp_path, rng):
+        from floodsr_tpu.io.tiff_window import FileByteSource, TiffWindowReader
+
+        arr, fp, total = self._write(tmp_path, rng, rows_per_strip=32)
+        reader = TiffWindowReader(FileByteSource(fp))
+        win = reader.read_window(64, 0, 32, 512)
+        np.testing.assert_array_equal(win, arr[64:96])
+        assert reader.bytes_fetched < 0.5 * total
+
+    def test_full_read_equals_decode(self, tmp_path, rng):
+        from floodsr_tpu.io.tiff_window import FileByteSource, TiffWindowReader
+
+        arr, fp, _ = self._write(tmp_path, rng, tile=(128, 128))
+        reader = TiffWindowReader(FileByteSource(fp))
+        np.testing.assert_array_equal(reader.read_full(), arr)
+
+    def test_out_of_bounds_window_raises(self, tmp_path, rng):
+        from floodsr_tpu.io.tiff_window import FileByteSource, TiffWindowReader
+
+        _, fp, _ = self._write(tmp_path, rng, tile=(128, 128))
+        reader = TiffWindowReader(FileByteSource(fp))
+        with pytest.raises(ValueError, match="does not intersect"):
+            reader.read_window(600, 0, 10, 10)
+
+    def test_range_transport_source_handles_full_body(self, tmp_path, rng):
+        """A range-blind (HTTP 200) server still yields correct windows."""
+        from floodsr_tpu.io.tiff_window import (
+            RangeTransportByteSource,
+            TiffWindowReader,
+        )
+
+        arr, fp, _ = self._write(tmp_path, rng, tile=(128, 128))
+        blob = fp.read_bytes()
+
+        def transport(url, data, headers):
+            assert "Range" in headers
+            return blob  # ignores the range — full body
+
+        reader = TiffWindowReader(
+            RangeTransportByteSource("https://x/asset.tif", transport)
+        )
+        win = reader.read_window(0, 0, 64, 64)
+        np.testing.assert_array_equal(win, arr[:64, :64])
+
+
+class TestBigTiff:
+    def test_forced_bigtiff_roundtrip(self, rng):
+        arr = rng.normal(300, 20, (70, 90)).astype(np.float32)
+        blob = encode_tiff(arr, bigtiff=True)
+        assert blob[2:4] == b"\x2b\x00"  # magic 43
+        out, tags = decode_tiff(blob)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_bigtiff_geotiff_roundtrip(self, tmp_path, rng):
+        """Full GeoTIFF profile survives a BigTIFF container."""
+        from floodsr_tpu.io.geotiff import read_raster_header
+
+        arr = rng.normal(300, 20, (40, 50)).astype(np.float32)
+        profile = {
+            "height": 40, "width": 50, "count": 1, "dtype": "float32",
+            "crs": "EPSG:32633", "nodata": -9999.0,
+            "transform": from_origin(500000.0, 4100000.0, 2.0, 2.0),
+            "compress": "LZW",
+        }
+        fp = tmp_path / "big.tif"
+        write_raster(fp, arr, profile, bigtiff=True)
+        back, nodata, prof = read_raster(fp)
+        np.testing.assert_array_equal(back, arr)
+        assert nodata == -9999.0
+        assert prof["crs"].epsg == 32633
+        header = read_raster_header(fp)
+        assert header["height"] == 40 and header["width"] == 50
+
+    def test_stream_writer_bigtiff_roundtrip(self, tmp_path, rng):
+        from floodsr_tpu.io.tiff import StripStreamWriter
+
+        arr = rng.normal(0, 1, (96, 64)).astype(np.float32)
+        fp = tmp_path / "stream_big.tif"
+        with StripStreamWriter(
+            fp, 96, 64, np.float32, rows_per_strip=16, bigtiff=True
+        ) as w:
+            for r in range(0, 96, 24):
+                w.write_rows(arr[r : r + 24])
+        out, _ = decode_tiff(fp.read_bytes())
+        np.testing.assert_array_equal(out, arr)
+
+    def test_stream_writer_auto_switches_on_projected_size(self, tmp_path):
+        from floodsr_tpu.io.tiff import StripStreamWriter
+
+        w = StripStreamWriter(tmp_path / "huge.tif", 40000, 30000, np.float32)
+        try:
+            assert w._bigtiff is True  # 4.8 GB projected > classic limit
+        finally:
+            w._handle.close()
+        s = StripStreamWriter(tmp_path / "small.tif", 100, 100, np.float32)
+        try:
+            assert s._bigtiff is False
+        finally:
+            s._handle.close()
+
+    def test_sparse_over_4gib_offsets_window_read(self, tmp_path, rng):
+        """Chunks relocated past 4 GiB (sparse file) read back correctly —
+        the 8-byte-offset path is exercised with real >2^32 values."""
+        import struct as _struct
+
+        from floodsr_tpu.io.geotiff import open_raster_window_reader
+        from floodsr_tpu.io.tiff import (
+            COMPRESSION_NONE,
+            TAG_STRIP_OFFSETS,
+            _ifd_size,
+            _serialize_ifd,
+            _sample_format_for,
+        )
+        from floodsr_tpu.io import tiff as _t
+
+        arr = rng.normal(5.0, 1.0, (64, 64)).astype(np.float32)
+        far = 5 * 1024**3  # 5 GiB
+        tags = [
+            (_t.TAG_IMAGE_WIDTH, 4, (64,)),
+            (_t.TAG_IMAGE_LENGTH, 4, (64,)),
+            (_t.TAG_BITS_PER_SAMPLE, 3, (32,)),
+            (_t.TAG_COMPRESSION, 3, (COMPRESSION_NONE,)),
+            (_t.TAG_PHOTOMETRIC, 3, (1,)),
+            (TAG_STRIP_OFFSETS, 16, (far,)),
+            (_t.TAG_SAMPLES_PER_PIXEL, 3, (1,)),
+            (_t.TAG_ROWS_PER_STRIP, 4, (64,)),
+            (_t.TAG_STRIP_BYTE_COUNTS, 16, (arr.nbytes,)),
+            (_t.TAG_PLANAR_CONFIG, 3, (1,)),
+            (_t.TAG_SAMPLE_FORMAT, 3, (_sample_format_for(arr.dtype),)),
+        ]
+        tags.sort(key=lambda t: t[0])
+        fp = tmp_path / "sparse_big.tif"
+        with open(fp, "wb") as fh:
+            fh.write(_struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16))
+            ifd, payloads = _serialize_ifd(
+                tags, bigtiff=True, payload_base=16 + _ifd_size(tags, True)
+            )
+            fh.write(ifd)
+            fh.write(payloads)
+            fh.seek(far)
+            fh.write(arr.tobytes())
+        reader, _, profile = open_raster_window_reader(fp)
+        assert profile["height"] == 64
+        win = reader.read_window(10, 10, 20, 20)
+        np.testing.assert_array_equal(win, arr[10:30, 10:30])
+        # window read never touched most of the 5 GiB address space
+        assert reader.bytes_fetched < 1024**2
