@@ -77,3 +77,29 @@ class TestLiveHrdemStac:
         del body
         assert ids and hrefs
         assert all(h.startswith("http") for h in hrefs)
+
+
+class TestRequalification:
+    def test_requalify_reference_online(self, tmp_path):
+        """The one-command real-artifact requalification (reference goldens).
+
+        Runs bin/requalify_reference.py's online workflow: fetch the released
+        ONNX (manifest URL+sha), convert to .fsrz, fetch the three LFS raster
+        cases, and assert the golden metrics at precision 3 — the moment this
+        environment gains egress, this test closes the real-artifact loop.
+        The offline workflow rehearsal is test_requalify_dry_run_workflow in
+        tests/test_tohr_regression.py.
+        """
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "requalify_reference",
+            Path(__file__).parents[1] / "bin" / "requalify_reference.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _require_online("https://github.com/")
+        _require_online("https://media.githubusercontent.com/")
+        verdict = mod.run_requalification(tmp_path)
+        assert verdict["pass"], json.dumps(verdict, indent=1)

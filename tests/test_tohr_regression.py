@@ -83,3 +83,28 @@ def test_tohr_regression_matches_case_spec_metrics(tile_case: dict, tmp_path: Pa
         assert rounded_actual == rounded_expected, (
             f"{tile_case['case_name']}/{run_label}: {rounded_actual} != {rounded_expected}"
         )
+
+
+@pytest.mark.e2e
+def test_requalify_dry_run_workflow(tmp_path):
+    """Offline rehearsal of the real-artifact requalification workflow.
+
+    Exercises every step of bin/requalify_reference.py except the two HTTPS
+    fetches: registry fetch via file:// (.part + sha256 + atomic rename),
+    ONNX→fsrz conversion, converted-vs-direct execution parity, and the
+    CLI + metrics case loop (reference harness shape:
+    ``tests/test_tohr_regression.py:27-75``).
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "requalify_reference",
+        Path(__file__).parents[1] / "bin" / "requalify_reference.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    verdict = mod.run_dry_run(tmp_path)
+    assert verdict["steps"]["fetch_model"]["ok"]
+    assert verdict["steps"]["convert_onnx_to_fsrz"]["ok"]
+    assert verdict["steps"]["conversion_parity_max_abs_norm"] <= 1e-3
+    assert verdict["pass"], json.dumps(verdict, indent=1)
