@@ -1,0 +1,203 @@
+"""Overlap economics: quality vs throughput of the feather tile overlap.
+
+The parity-gated f32 pipeline is MAC-ceiling-bound (docs/perf/
+precision_study.json, structure_study.json), and the reference-default
+overlap of ``lr_tile//4 = 8`` LR px recomputes 2.15× the output area on the
+mersch geometry (121 tiles of 512² for a 3840² scene). Overlap is a
+*parameter* of the pipeline (reference default at
+``floodsr/models/ResUNet_16x_DEM.py:510``), so a smaller overlap is a
+legitimate serving preset IF held-out quality holds — this study measures
+exactly that on the trained flagship:
+
+- for overlap_lr ∈ {8, 4, 2, 0(hard)}: scene wall (fused executor, f32,
+  two-phase trunk) and held-out quality (rmse/rmse_wet/mase/ssim/csi vs
+  synthetic-hydraulic truth over N scenes), plus output divergence vs the
+  overlap-8 reference output.
+
+Run on the TPU host: ``python bin/overlap_study.py``. Writes
+``docs/perf/overlap_study.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+ARTIFACT = REPO / "tests/data/_artifacts/model_infer_flagship.fsrz"
+OUT_JSON = REPO / "docs/perf/overlap_study.json"
+N_SCENES = 5
+CONTENT = 3840
+BUCKET = (4096, 4096)
+MAX_DEPTH = 5.0
+DEM_PCT = 95.0
+SEED0 = 771000  # disjoint from every training/golden seed range
+
+
+def _terrain(shape, seed):
+    """Same statistical family as the golden-case generator (bin/make_test_cases)."""
+    rng = np.random.default_rng(np.random.Philox(seed))
+    yy = np.linspace(0, 30, shape[0], dtype=np.float32)[:, None]
+    xx = np.linspace(0, 20, shape[1], dtype=np.float32)[None, :]
+    rough = np.cumsum(rng.normal(0, 0.3, shape).astype(np.float32), axis=1)
+    rough -= rough.mean(axis=1, keepdims=True)
+    return 250.0 + yy + xx + rough
+
+
+def _truth_depth(dem):
+    wse = dem.mean() + 6.0 + np.linspace(-2, 2, dem.shape[1], dtype=np.float32)[None, :]
+    return np.clip(wse - dem, 0.0, MAX_DEPTH).astype(np.float32)
+
+
+def _box_mean(arr, k):
+    h, w = arr.shape
+    return arr.reshape(h // k, k, w // k, k).mean(axis=(1, 3)).astype(np.float32)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from floodsr_tpu.engine.scene import build_scene_executor, pack_scene_indices
+    from floodsr_tpu.eval import compute_depth_error_metrics
+    from floodsr_tpu.nn.checkpoint import load_artifact
+    from floodsr_tpu.nn.resunet import resunet_tail_apply, resunet_trunk_apply
+    from floodsr_tpu.tiling import build_window_grid
+
+    print(f"backend: {jax.default_backend()} {jax.devices()}", file=sys.stderr)
+    art = load_artifact(ARTIFACT)
+    cfg = art["config"]
+    params = jax.device_put(art["params"])
+    state = jax.device_put(art["state"])
+    tile, scale = cfg.hr_tile, cfg.scale
+
+    def fwd_trunk(p, s, d, m):
+        f, _ = resunet_trunk_apply(p, s, d, m, cfg, train=False, precision="f32")
+        return f
+
+    def fwd_tail(p, s, f, m):
+        o, _ = resunet_tail_apply(p, s, f, m, cfg, train=False, precision="f32")
+        return o
+
+    scenes = []
+    for i in range(N_SCENES):
+        dem = _terrain((CONTENT, CONTENT), SEED0 + i)
+        truth = _truth_depth(dem)
+        depth_lr = _box_mean(truth, scale)
+        scenes.append((dem, truth, depth_lr))
+
+    def force(o):
+        return float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
+
+    results: dict = {
+        "hardware": str(jax.devices()[0]),
+        "date": time.strftime("%Y-%m-%d"),
+        "artifact": ARTIFACT.name,
+        "note": (
+            f"flagship f32 two-phase executor on {N_SCENES} held-out "
+            f"{CONTENT}^2 synthetic-hydraulic scenes (seeds {SEED0}+); "
+            "quality vs truth per overlap + divergence vs the overlap-8 "
+            "output. bilinear row = plain upsampling baseline."
+        ),
+        "configs": {},
+    }
+
+    # Bilinear baseline for context (quality floor).
+    bl_metrics = []
+    for dem, truth, depth_lr in scenes:
+        up = np.asarray(
+            jax.image.resize(jnp.asarray(depth_lr), (CONTENT, CONTENT), "linear")
+        )
+        bl_metrics.append(
+            compute_depth_error_metrics(
+                reference_depth_m=truth, estimate_depth_m=up, max_depth=MAX_DEPTH
+            )
+        )
+    results["bilinear_baseline"] = {
+        k: round(float(np.mean([m[k] for m in bl_metrics])), 5)
+        for k in ("rmse_m", "rmse_wet_m", "mase_m", "ssim")
+    }
+
+    chunk = 8
+    ref_outputs: list[np.ndarray] = []
+    for overlap_lr in (8, 4, 2, 0):
+        overlap = overlap_lr * scale
+        stride = tile - overlap if overlap_lr > 0 else tile
+        grid_full = build_window_grid(BUCKET[0], BUCKET[1], tile, stride)
+        capacity = -(-len(grid_full["y0"]) // chunk) * chunk
+        grid = build_window_grid(CONTENT, CONTENT, tile, stride)
+        idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
+        fn, _ = build_scene_executor(
+            cfg, scene_shape=BUCKET, capacity=capacity, overlap_hr=overlap,
+            chunk=chunk, max_depth=MAX_DEPTH, dem_pct_clip=DEM_PCT,
+            transfer_dtype="float32",
+            split_forward=(fwd_trunk, fwd_tail), trunk_chunk=capacity,
+        )
+        print(f"# compiling overlap={overlap_lr} ({len(grid['y0'])} tiles)...",
+              file=sys.stderr)
+
+        metrics, divergences = [], []
+        wall = float("inf")
+        for si, (dem, truth, depth_lr) in enumerate(scenes):
+            dem_pad = jnp.asarray(np.pad(dem, ((0, BUCKET[0] - CONTENT),) * 2))
+            lr_pad = jnp.asarray(
+                np.pad(depth_lr, ((0, (BUCKET[0] - CONTENT) // scale),) * 2)
+            )
+            out, _ = fn(params, state, lr_pad, dem_pad, idx)
+            force(out)
+            if si == 0:  # time on the first scene only (queued best-of)
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(4):
+                        out, _ = fn(params, state, lr_pad, dem_pad, idx)
+                    force(out)
+                    wall = min(wall, (time.perf_counter() - t0) / 4)
+            pred = np.asarray(out)[:CONTENT, :CONTENT]
+            pred = np.where(pred < 1e-3, 0.0, pred)
+            metrics.append(
+                compute_depth_error_metrics(
+                    reference_depth_m=truth, estimate_depth_m=pred,
+                    max_depth=MAX_DEPTH,
+                )
+            )
+            if overlap_lr == 8:
+                ref_outputs.append(pred)
+            else:
+                d = pred - ref_outputs[si]
+                divergences.append(
+                    (float(np.sqrt(np.mean(d**2))), float(np.max(np.abs(d))))
+                )
+
+        entry = {
+            "tiles": int(len(grid["y0"])),
+            "scene_ms": round(wall * 1e3, 1),
+            "out_mp_per_s": round(CONTENT * CONTENT / 1e6 / wall, 1),
+            "quality_vs_truth": {
+                k: round(float(np.mean([m[k] for m in metrics])), 5)
+                for k in ("rmse_m", "rmse_wet_m", "mase_m", "ssim")
+            },
+        }
+        if divergences:
+            entry["vs_overlap8_rmse_m"] = round(
+                float(np.mean([d[0] for d in divergences])), 6
+            )
+            entry["vs_overlap8_max_abs_m"] = round(
+                float(np.max([d[1] for d in divergences])), 5
+            )
+        results["configs"][f"overlap_{overlap_lr}"] = entry
+        print(f"# overlap={overlap_lr}: {json.dumps(entry)}", file=sys.stderr)
+
+    OUT_JSON.parent.mkdir(parents=True, exist_ok=True)
+    OUT_JSON.write_text(json.dumps(results, indent=1) + "\n")
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

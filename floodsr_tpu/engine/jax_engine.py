@@ -69,7 +69,8 @@ class EngineJAX(EngineBase):
         output_transfer: str = "uint16",
         scene_bucket_tiles: int = 2,
         pallas_tail: bool | None = None,
-        scene_trunk_chunk: int = 32,
+        scene_chunk: int = 128,
+        scene_trunk_chunk: "int | str" = "auto",
     ):
         assert output_transfer in {"uint16", "float32"}, output_transfer
         self._model_fp = Path(model_fp).expanduser().resolve()
@@ -93,10 +94,17 @@ class EngineJAX(EngineBase):
         self.output_transfer = output_transfer
         self.scene_bucket_tiles = int(scene_bucket_tiles)
         self.pallas_tail = pallas_tail
-        # Trunk batch width for the two-phase scene executor (phase 1 runs
-        # the encoder/decoder this many tiles at a time; the HR tail stays
-        # at max_batch). 0/1 disables the split.
-        self.scene_trunk_chunk = int(scene_trunk_chunk)
+        # Scene-executor batch widths (measured on v5e, mersch-shaped scene,
+        # docs/perf/structure_study.json + chunk sweep): the HR tail at
+        # chunk 128 + whole-capacity trunk takes the f32 scene from 114 ms
+        # (round-2 chunk 8) to 86 ms. scene_chunk is clamped to the bucket's
+        # power-of-two grid size so small scenes don't pay dummy tiles;
+        # ~5 GB peak activations at 128 on the flagship geometry.
+        self.scene_chunk = int(scene_chunk)
+        # Trunk batch width for the two-phase executor. "auto" = the full
+        # capacity (the trunk's LR activations are tiny — 75 us/tile at
+        # batch 128 vs 1259 at batch 8); 0/1 disables the split.
+        self.scene_trunk_chunk = scene_trunk_chunk
         self.config: ResUNetConfig | None = None
         self.params = None
         self.state = None
@@ -505,11 +513,20 @@ class EngineJAX(EngineBase):
         cfg = self.config
         tile = cfg.hr_tile
         bucket = self.scene_bucket_for((int(crop_shape[0]), int(crop_shape[1])))
-        chunk = resolve_chunk(self.max_batch, self.mesh, self.batch_axis)
-        # Static tile budget: the bucket's own grid size, chunk-rounded.
         bucket_grid_n = len(
             build_window_grid(bucket[0], bucket[1], tile, int(stride_hr))["y0"]
         )
+        # Tail chunk: the configured width, clamped to the bucket grid's
+        # power-of-two roundup so small buckets never compute dummy-heavy
+        # steps; under a mesh, the sharded path keeps max_batch semantics.
+        if self.mesh is not None:
+            chunk = resolve_chunk(self.max_batch, self.mesh, self.batch_axis)
+        else:
+            pow2 = 1
+            while pow2 < bucket_grid_n:
+                pow2 *= 2
+            chunk = max(1, min(self.scene_chunk, pow2))
+        # Static tile budget: the bucket's own grid size, chunk-rounded.
         capacity = -(-bucket_grid_n // chunk) * chunk
 
         key = (
@@ -539,10 +556,15 @@ class EngineJAX(EngineBase):
                 batch_axis=self.batch_axis,
                 split_forward=(
                     self.split_forward_callables()
-                    if self.scene_trunk_chunk > 1
+                    if self.scene_trunk_chunk == "auto"
+                    or int(self.scene_trunk_chunk) > 1
                     else None
                 ),
-                trunk_chunk=self.scene_trunk_chunk,
+                trunk_chunk=(
+                    capacity
+                    if self.scene_trunk_chunk == "auto"
+                    else int(self.scene_trunk_chunk)
+                ),
             )
             self._jit_cache[key] = fn
             self.log.debug(

