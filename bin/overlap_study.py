@@ -124,12 +124,17 @@ def main() -> int:
         for k in ("rmse_m", "rmse_wet_m", "mase_m", "ssim")
     }
 
-    chunk = 8
     ref_outputs: list[np.ndarray] = []
     for overlap_lr in (8, 4, 2, 0):
         overlap = overlap_lr * scale
         stride = tile - overlap if overlap_lr > 0 else tile
         grid_full = build_window_grid(BUCKET[0], BUCKET[1], tile, stride)
+        # Production chunk policy (EngineJAX.scene_executor): tail chunk 128
+        # clamped to the bucket grid's power-of-two roundup.
+        pow2 = 1
+        while pow2 < len(grid_full["y0"]):
+            pow2 *= 2
+        chunk = min(128, pow2)
         capacity = -(-len(grid_full["y0"]) // chunk) * chunk
         grid = build_window_grid(CONTENT, CONTENT, tile, stride)
         idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))

@@ -71,6 +71,7 @@ class EngineJAX(EngineBase):
         pallas_tail: bool | None = None,
         scene_chunk: int = 128,
         scene_trunk_chunk: "int | str" = "auto",
+        scene_mode: str = "replicated",
     ):
         assert output_transfer in {"uint16", "float32"}, output_transfer
         self._model_fp = Path(model_fp).expanduser().resolve()
@@ -105,6 +106,12 @@ class EngineJAX(EngineBase):
         # capacity (the trunk's LR activations are tiny — 75 us/tile at
         # batch 128 vs 1259 at batch 8); 0/1 disables the split.
         self.scene_trunk_chunk = scene_trunk_chunk
+        # Sharded-scene formulation (mesh only): "replicated" = ADR-0006's
+        # gather-then-local-update default (right while two bucket-sized f32
+        # accumulators fit each chip); "banded" = row-band-sharded scene for
+        # scenes beyond single-chip HBM (engine/scene_banded.py).
+        assert scene_mode in {"replicated", "banded"}, scene_mode
+        self.scene_mode = scene_mode
         self.config: ResUNetConfig | None = None
         self.params = None
         self.state = None
@@ -668,6 +675,14 @@ class EngineJAX(EngineBase):
         cfg = self.config
         tile, scale = cfg.hr_tile, cfg.scale
         crop_h, crop_w = int(crop_shape[0]), int(crop_shape[1])
+        if self.mesh is not None and self.scene_mode == "banded":
+            return self._run_scene_banded(
+                depth_raw, dem_raw,
+                stride_hr=stride_hr, overlap_hr=overlap_hr,
+                max_depth=max_depth, dem_pct_clip=dem_pct_clip,
+                crop_shape=(crop_h, crop_w), post_resample=post_resample,
+                low_depth_mask_m=low_depth_mask_m, row_sink=row_sink,
+            )
         fn, bucket, capacity, chunk = self.scene_executor(
             (crop_h, crop_w),
             stride_hr=stride_hr,
@@ -714,6 +729,104 @@ class EngineJAX(EngineBase):
             "p_clip": stats_np[:, 0],
             "dem_min": stats_np[:, 1],
             "dem_max": stats_np[:, 2],
+        }
+
+    def _run_scene_banded(
+        self,
+        depth_raw,
+        dem_raw,
+        *,
+        stride_hr: int,
+        overlap_hr: int,
+        max_depth: float,
+        dem_pct_clip: float,
+        crop_shape: tuple[int, int],
+        post_resample=None,
+        low_depth_mask_m: float = 1e-3,
+        row_sink=None,
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Row-band-sharded scene execution for scenes beyond one chip's HBM.
+
+        Each device stages only its band (+ one-tile halo) of every input
+        and accumulator; the only collective is the seam halo ppermute
+        (see :mod:`floodsr_tpu.engine.scene_banded` / ADR-0006).
+        """
+        from floodsr_tpu.engine.scene_banded import (
+            banded_in_shardings,
+            build_banded_scene_executor,
+            pack_banded_scene,
+        )
+        from floodsr_tpu.tiling import build_window_grid
+
+        cfg = self.config
+        tile, scale = cfg.hr_tile, cfg.scale
+        crop_h, crop_w = crop_shape
+        n_bands = int(self.mesh.shape[self.batch_axis])
+        bucket = self.scene_bucket_for((crop_h, crop_w))
+        # Bands must divide the bucket rows and hold ≥ 1 tile each.
+        quantum = n_bands * tile
+        bucket = (-(-bucket[0] // quantum) * quantum, bucket[1])
+        chunk = max(1, int(self.max_batch))
+
+        key = ("scene-banded", bucket, int(stride_hr), int(overlap_hr),
+               float(max_depth), float(dem_pct_clip), self.output_transfer,
+               chunk)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn, _ = build_banded_scene_executor(
+                cfg, scene_shape=bucket, overlap_hr=int(overlap_hr),
+                chunk=chunk, max_depth=float(max_depth),
+                dem_pct_clip=float(dem_pct_clip), mesh=self.mesh,
+                batch_axis=self.batch_axis, compute_dtype=self.compute_dtype,
+                forward_fn=self.forward_callable(),
+                transfer_dtype=self.output_transfer,
+            )
+            self._jit_cache[key] = fn
+
+        content_h = min(bucket[0], -(-crop_h // tile) * tile)
+        content_w = min(bucket[1], -(-crop_w // tile) * tile)
+        grid = build_window_grid(content_h, content_w, tile, int(stride_hr))
+        n = len(grid["y0"])
+
+        depth_np = np.zeros((bucket[0] // scale, bucket[1] // scale), np.float32)
+        dem_np = np.zeros(bucket, np.float32)
+        depth_host = np.asarray(depth_raw, np.float32)
+        dem_host = np.asarray(dem_raw, np.float32)
+        depth_np[: depth_host.shape[0], : depth_host.shape[1]] = depth_host
+        dem_np[: dem_host.shape[0], : dem_host.shape[1]] = dem_host
+
+        banded_np = pack_banded_scene(
+            depth_np, dem_np, grid, n_bands=n_bands, tile=tile, scale=scale,
+            chunk=chunk,
+        )
+        grid_slot = banded_np.pop("grid_slot")
+        shardings = banded_in_shardings(self.mesh, self.batch_axis)
+        banded = {
+            k: jax.device_put(v, shardings[k]) for k, v in banded_np.items()
+        }
+        bands, stats = fn(self.params, self.state, banded)
+        out = np.asarray(bands).reshape(bucket)
+        stats_np = np.asarray(stats)  # [dp, cap, 3] band-grouped
+
+        # Reassemble per-tile stats into grid order via the slot map.
+        grid_stats = np.zeros((n, 3), np.float32)
+        for d in range(n_bands):
+            sel = grid_slot[d]
+            live = sel >= 0
+            grid_stats[sel[live]] = stats_np[d][live]
+
+        out_np = self._finish_scene(
+            jax.device_put(out),
+            crop_shape=(crop_h, crop_w),
+            max_depth=float(max_depth),
+            post_resample=post_resample,
+            low_depth_mask_m=float(low_depth_mask_m),
+            row_sink=row_sink,
+        )
+        return out_np, {
+            "p_clip": grid_stats[:, 0],
+            "dem_min": grid_stats[:, 1],
+            "dem_max": grid_stats[:, 2],
         }
 
     def _finish_scene(

@@ -1,0 +1,146 @@
+"""Banded (row-sharded) scene executor: dp=N ≡ dp=1 ≡ unsharded.
+
+Runs on the virtual 8-device CPU mesh (conftest pins
+``--xla_force_host_platform_device_count=8``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from floodsr_tpu.engine.scene import build_scene_executor, pack_scene_indices
+from floodsr_tpu.engine.scene_banded import (
+    band_plan,
+    banded_in_shardings,
+    build_banded_scene_executor,
+    pack_banded_scene,
+)
+from floodsr_tpu.nn import ResUNetConfig, init_resunet
+from floodsr_tpu.parallel import make_mesh
+from floodsr_tpu.tiling import build_window_grid
+
+pytestmark = pytest.mark.unit
+
+CFG = ResUNetConfig(
+    base_filters=8, levels=2, enc_blocks=1, dec_blocks=1,
+    fuse_filters=8, fuse_blocks=1, scale=4, lr_tile=8,
+)
+BUCKET = (256, 256)
+OVERLAP = 8
+STRIDE = CFG.hr_tile - OVERLAP  # 24
+CHUNK = 4
+MAX_DEPTH = 5.0
+PCT = 95.0
+
+
+@pytest.fixture(scope="module")
+def scene_inputs():
+    rng = np.random.default_rng(5)
+    dem = rng.uniform(300, 800, BUCKET).astype(np.float32)
+    depth = rng.uniform(0, 3, (BUCKET[0] // CFG.scale, BUCKET[1] // CFG.scale)).astype(
+        np.float32
+    )
+    params, state = init_resunet(77, CFG)
+    return dem, depth, params, state
+
+
+def _reference_output(scene_inputs):
+    dem, depth, params, state = scene_inputs
+    grid = build_window_grid(BUCKET[0], BUCKET[1], CFG.hr_tile, STRIDE)
+    capacity = -(-len(grid["y0"]) // CHUNK) * CHUNK
+    fn, _ = build_scene_executor(
+        CFG, scene_shape=BUCKET, capacity=capacity, overlap_hr=OVERLAP,
+        chunk=CHUNK, max_depth=MAX_DEPTH, dem_pct_clip=PCT,
+        transfer_dtype="float32",
+    )
+    idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, CHUNK))
+    out, _ = fn(params, state, jnp.asarray(depth), jnp.asarray(dem), idx)
+    return np.asarray(out)
+
+
+def _banded_output(scene_inputs, dp: int):
+    dem, depth, params, state = scene_inputs
+    mesh = make_mesh(dp, tp=1)
+    grid = build_window_grid(BUCKET[0], BUCKET[1], CFG.hr_tile, STRIDE)
+    banded_np = pack_banded_scene(
+        depth, dem, grid, n_bands=dp, tile=CFG.hr_tile, scale=CFG.scale,
+        chunk=CHUNK,
+    )
+    shardings = banded_in_shardings(mesh)
+    banded = {
+        k: jax.device_put(v, shardings[k])
+        for k, v in banded_np.items()
+        if k in shardings
+    }
+    fn, _ = build_banded_scene_executor(
+        CFG, scene_shape=BUCKET, overlap_hr=OVERLAP, chunk=CHUNK,
+        max_depth=MAX_DEPTH, dem_pct_clip=PCT, mesh=mesh,
+        transfer_dtype="float32",
+    )
+    bands, stats = fn(params, state, banded)
+    out = np.asarray(bands).reshape(BUCKET)
+    return out, np.asarray(stats)
+
+
+class TestBandedScene:
+    def test_band_plan_rejects_uneven(self):
+        with pytest.raises(AssertionError, match="bands"):
+            band_plan((250, 256), 8, 32)
+
+    def test_dp8_matches_unsharded(self, scene_inputs):
+        want = _reference_output(scene_inputs)
+        got, stats = _banded_output(scene_inputs, dp=8)
+        # Same math modulo batch-size-dependent conv reduction order on the
+        # CPU backend (same bound as the two-phase equality test).
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+        assert np.isfinite(stats).all()
+
+    def test_dp1_matches_unsharded(self, scene_inputs):
+        want = _reference_output(scene_inputs)
+        got, _ = _banded_output(scene_inputs, dp=1)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+
+    def test_per_device_memory_is_banded(self, scene_inputs):
+        """The banded inputs stage ~1/dp of the scene (+halo) per device."""
+        dem, depth, params, state = scene_inputs
+        grid = build_window_grid(BUCKET[0], BUCKET[1], CFG.hr_tile, STRIDE)
+        banded = pack_banded_scene(
+            depth, dem, grid, n_bands=8, tile=CFG.hr_tile, scale=CFG.scale,
+            chunk=CHUNK,
+        )
+        band_rows = BUCKET[0] // 8 + CFG.hr_tile
+        assert banded["dem"].shape == (8, band_rows, BUCKET[1])
+        # total staged DEM = scene + 8 halos, nowhere near 8x replication
+        assert banded["dem"].nbytes < 2.5 * dem.nbytes
+
+
+class TestEngineBandedMode:
+    def test_run_scene_banded_matches_replicated(self, scene_inputs, tmp_path):
+        from floodsr_tpu.engine import EngineJAX
+        from floodsr_tpu.nn.checkpoint import save_artifact
+
+        dem, depth, params, state = scene_inputs
+        fp = tmp_path / "tiny.fsrz"
+        save_artifact(fp, CFG, params, state, {"seed": 77})
+        mesh = make_mesh(8, tp=1)
+        outs = {}
+        for mode in ("replicated", "banded"):
+            eng = EngineJAX(
+                fp, mesh=mesh, scene_mode=mode, max_batch=4,
+                output_transfer="float32",
+            )
+            out, stats = eng.run_scene(
+                depth, dem, stride_hr=STRIDE, overlap_hr=OVERLAP,
+                max_depth=MAX_DEPTH, dem_pct_clip=PCT, crop_shape=BUCKET,
+            )
+            outs[mode] = (out, stats)
+            eng.close()
+        np.testing.assert_allclose(
+            outs["banded"][0], outs["replicated"][0], atol=1e-4, rtol=0
+        )
+        for k in outs["replicated"][1]:
+            np.testing.assert_allclose(
+                outs["banded"][1][k], outs["replicated"][1][k], atol=1e-4
+            )
