@@ -190,6 +190,12 @@ def main() -> int:
                     bf16_worker.engine, scene, out_mp, "bfloat16"
                 )
 
+        # Parity artifact: run the TPU-vs-CPU gate over the committed golden
+        # cases and write PARITY_r{N}.json next to the bench result, so the
+        # round's parity evidence is machine-readable and cannot be skipped
+        # silently (a skip writes the artifact WITH the reason).
+        parity = _run_parity_gate(t_start)
+
         payload = {
             "metric": (
                 "SR megapixels/sec/chip on 16x tohr (rss_mersch_A-shaped "
@@ -203,11 +209,60 @@ def main() -> int:
             "e2e_mps": round(e2e_mps, 3),
             "e2e_vs_baseline": round(e2e_mps / BASELINE_E2E_MPS, 2),
         }
+        if parity is not None:
+            payload["parity_gate"] = parity
         if pipe_bf16 is not None:
             payload["bf16_mps"] = round(pipe_bf16, 2)
             payload["bf16_vs_baseline"] = round(pipe_bf16 / BASELINE_COMPUTE_MPS, 2)
         print(json.dumps(payload))
     return 0
+
+
+PARITY_OUT = REPO / "PARITY_r03.json"
+
+
+def _run_parity_gate(t_start: float) -> dict | None:
+    """Run bin/parity_gate.py; on skip/failure, write the reason instead.
+
+    The gate pays fresh compiles on both backends (many minutes on this
+    host), so it honors a wall budget — but never disappears silently: a
+    budget skip is recorded IN the artifact.
+    """
+    import subprocess
+
+    budget_s = float(os.environ.get("FLOODSR_BENCH_PARITY_BUDGET_S", "3600"))
+    if os.environ.get("FLOODSR_BENCH_PARITY", "1") != "1":
+        reason = "disabled via FLOODSR_BENCH_PARITY=0"
+    elif time.perf_counter() - t_start > budget_s:
+        reason = f"bench wall already past {budget_s:.0f}s budget"
+    else:
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(REPO / "bin" / "parity_gate.py"),
+                 "--out", str(PARITY_OUT)],
+                timeout=budget_s, capture_output=True, text=True,
+            )
+            print(proc.stderr[-2000:], file=sys.stderr)
+            if PARITY_OUT.exists():
+                parity = json.loads(PARITY_OUT.read_text())
+                return {
+                    "pass": parity.get("pass"),
+                    "worst_rmse_m": max(
+                        (c["rmse_m"] for c in parity.get("cases", {}).values()),
+                        default=None,
+                    ),
+                    "artifact": PARITY_OUT.name,
+                }
+            reason = f"parity_gate wrote no artifact (rc={proc.returncode})"
+        except subprocess.TimeoutExpired:
+            reason = f"parity_gate exceeded {budget_s:.0f}s"
+        except Exception as err:  # noqa: BLE001 - record, don't kill the bench
+            reason = f"parity_gate error: {err}"
+    print(f"# parity gate skipped: {reason}", file=sys.stderr)
+    PARITY_OUT.write_text(
+        json.dumps({"skipped": reason, "pass": None}, indent=1) + "\n"
+    )
+    return {"pass": None, "skipped": reason, "artifact": PARITY_OUT.name}
 
 
 def _measure_pipeline(engine, scene, out_mp: float, label: str, reps: int = 5) -> float:

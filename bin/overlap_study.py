@@ -91,6 +91,7 @@ def main() -> int:
         truth = _truth_depth(dem)
         depth_lr = _box_mean(truth, scale)
         scenes.append((dem, truth, depth_lr))
+        print(f"# scene {i} generated", file=sys.stderr)
 
     def force(o):
         return float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
@@ -108,11 +109,20 @@ def main() -> int:
         "configs": {},
     }
 
-    # Bilinear baseline for context (quality floor).
+    # Bilinear baseline for context (quality floor) — torch CPU so the
+    # accelerator only ever runs the production executors.
+    import torch
+
     bl_metrics = []
     for dem, truth, depth_lr in scenes:
-        up = np.asarray(
-            jax.image.resize(jnp.asarray(depth_lr), (CONTENT, CONTENT), "linear")
+        up = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(depth_lr)[None, None],
+                size=(CONTENT, CONTENT),
+                mode="bilinear",
+                align_corners=False,
+            )[0, 0]
+            .numpy()
         )
         bl_metrics.append(
             compute_depth_error_metrics(
@@ -129,14 +139,15 @@ def main() -> int:
         overlap = overlap_lr * scale
         stride = tile - overlap if overlap_lr > 0 else tile
         grid_full = build_window_grid(BUCKET[0], BUCKET[1], tile, stride)
-        # Production chunk policy (EngineJAX.scene_executor): tail chunk 128
-        # clamped to the bucket grid's power-of-two roundup.
-        pow2 = 1
-        while pow2 < len(grid_full["y0"]):
-            pow2 *= 2
-        chunk = min(128, pow2)
+        # Production chunk policy (EngineJAX.scene_executor).
+        from floodsr_tpu.engine.scene import choose_scene_chunk
+
+        chunk = choose_scene_chunk(len(grid_full["y0"]), 128)
         capacity = -(-len(grid_full["y0"]) // chunk) * chunk
-        grid = build_window_grid(CONTENT, CONTENT, tile, stride)
+        # The pipeline windows over tile-multiple-padded content (= the
+        # bucket here), exactly as EngineJAX.run_scene does.
+        content_pad = -(-CONTENT // tile) * tile
+        grid = build_window_grid(content_pad, content_pad, tile, stride)
         idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
         fn, _ = build_scene_executor(
             cfg, scene_shape=BUCKET, capacity=capacity, overlap_hr=overlap,

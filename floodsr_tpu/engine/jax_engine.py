@@ -523,16 +523,16 @@ class EngineJAX(EngineBase):
         bucket_grid_n = len(
             build_window_grid(bucket[0], bucket[1], tile, int(stride_hr))["y0"]
         )
-        # Tail chunk: the configured width, clamped to the bucket grid's
-        # power-of-two roundup so small buckets never compute dummy-heavy
-        # steps; under a mesh, the sharded path keeps max_batch semantics.
+        # Tail chunk: minimize computed tiles × per-tile cost (wide steps
+        # are faster per tile but pad the capacity with computed dummies —
+        # scene.choose_scene_chunk holds the measured curve). Under a mesh,
+        # the sharded path keeps max_batch semantics.
         if self.mesh is not None:
             chunk = resolve_chunk(self.max_batch, self.mesh, self.batch_axis)
         else:
-            pow2 = 1
-            while pow2 < bucket_grid_n:
-                pow2 *= 2
-            chunk = max(1, min(self.scene_chunk, pow2))
+            from floodsr_tpu.engine.scene import choose_scene_chunk
+
+            chunk = choose_scene_chunk(bucket_grid_n, self.scene_chunk)
         # Static tile budget: the bucket's own grid size, chunk-rounded.
         capacity = -(-bucket_grid_n // chunk) * chunk
 

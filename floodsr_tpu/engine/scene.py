@@ -82,6 +82,36 @@ def _feather_weights_chunk(
     return (w * valid[:, None, None]).astype(jnp.float32)
 
 
+#: Measured per-tile forward cost vs tail-chunk width (ms/tile on v5e,
+#: mersch-shaped scene, f32/HIGH two-phase executor — round-3 chunk sweep,
+#: docs/perf/structure_study.json). Wider steps amortize per-step overhead;
+#: the curve is what :func:`choose_scene_chunk` trades against dummy-tile
+#: padding.
+_CHUNK_COST_MS_PER_TILE = {8: 0.894, 16: 0.839, 32: 0.766, 64: 0.728, 128: 0.674}
+
+
+def choose_scene_chunk(grid_n: int, max_chunk: int = 128) -> int:
+    """Tail-chunk width minimizing ``capacity × per-tile cost``.
+
+    ``capacity = ceil(grid_n / chunk) · chunk`` pads the tile budget with
+    computed dummies, so a wide chunk on a small grid can cost more than it
+    saves (an 81-tile grid at chunk 128 computes 47 dummies — 58% waste).
+    Ties prefer the wider chunk.
+    """
+    grid_n = max(1, int(grid_n))
+    best = None
+    for c, wt in _CHUNK_COST_MS_PER_TILE.items():
+        if c > max_chunk and best is not None:
+            continue
+        cap = -(-grid_n // c) * c
+        cost = cap * wt
+        if best is None or cost < best[0] - 1e-9 or (
+            abs(cost - best[0]) < 1e-9 and c > best[1]
+        ):
+            best = (cost, c)
+    return best[1]
+
+
 def resolve_chunk(chunk: int, mesh=None, batch_axis: str = "dp") -> int:
     """The executor's actual per-step tile chunk (mesh-divisible when sharded)."""
     chunk = int(chunk)
