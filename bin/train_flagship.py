@@ -395,11 +395,123 @@ def build_golden_case(case_name: str = "synth_flagship") -> None:
     assert metrics["rmse_m"] < bl["rmse_m"], "flagship golden must beat bilinear"
 
 
+def run_full(steps: int, out_fp: Path) -> None:
+    """Full-budget flagship training (VERDICT r2 item 10).
+
+    Device-resident data pipeline (``stage_dataset_to_device`` /
+    ``make_resident_train_step``): the whole normalized patch set lives in
+    HBM and every step samples + augments + trains on device — on this
+    tunnel-fed host that is the difference between 0.56 s/step (host feed)
+    and compute-bound stepping, which is what makes a 50k-step budget
+    tractable at all. Publishes the full reference metric set
+    (psnr/ssim/rmse/rmse_wet/mase/csi — reference ``misc/eval.py:6-72``)
+    vs bilinear on a held-out split into ``flagship_study.json:
+    configs.s2d4_full``, and exports the artifact as the committed flagship
+    golden (regenerate the case with ``--golden-case`` afterwards).
+    """
+    from floodsr_tpu.eval.metrics import compute_depth_error_metrics
+    from floodsr_tpu.nn import ResUNetConfig
+    from floodsr_tpu.train import TrainConfig, init_train_state, split_indices
+    from floodsr_tpu.train.trainer import (
+        export_inference_artifact,
+        make_resident_train_step,
+        stage_dataset_to_device,
+    )
+
+    scale = 16
+    dataset = _cropped_patch_dataset(
+        n_scenes=160, hr=1024, patch=512, scale=scale, seed0=31000
+    )
+    train_idx, val_idx = split_indices(len(dataset), val_fraction=0.08, seed=SEED)
+    print(f"dataset: {len(train_idx)} train / {len(val_idx)} val patches of 512^2")
+
+    cfg = ResUNetConfig()  # flagship s2d4
+    tcfg = TrainConfig(total_steps=steps, base_lr=4e-4, second_lr=1e-4)
+    state = init_train_state(SEED, cfg, tcfg)
+    data_dev = stage_dataset_to_device(dataset, train_idx)
+    staged_gb = sum(v.nbytes for v in data_dev.values()) / 1e9
+    print(f"staged {staged_gb:.2f} GB of normalized patches to device")
+    step_fn = make_resident_train_step(cfg, tcfg, batch_size=8)
+
+    root_key = jax.random.key(SEED)
+    curve = []
+    t0 = time.perf_counter()
+    metrics = None
+    for bi in range(steps):
+        key = jax.random.fold_in(root_key, bi)
+        state, metrics = step_fn(state, data_dev, key)
+        if bi % 500 == 0 or bi == steps - 1:
+            loss = float(metrics["loss"])  # host sync only at log points
+            curve.append({"step": bi, "loss": loss})
+            rate = (bi + 1) / (time.perf_counter() - t0)
+            print(f"full step {bi}: loss {loss:.5f} ({rate:.1f} steps/s)", flush=True)
+    train_s = time.perf_counter() - t0
+    print(f"trained s2d4_full {steps} steps in {train_s:.0f}s")
+
+    # Held-out eval: full reference metric set, bilinear baseline alongside.
+    m_f32, pred = eval_model(cfg, state.params, state.model_state, dataset, val_idx, jnp.float32)
+    take = val_idx[: (len(val_idx) // 8) * 8]
+    truth = dataset.target_hr[take]
+    full = compute_depth_error_metrics(
+        reference_depth_m=truth.reshape(-1, truth.shape[-1]),
+        estimate_depth_m=pred.reshape(-1, pred.shape[-1]),
+        max_depth=5.0,
+    )
+    bl_pred = np.stack([bilinear_up(dataset.depth_lr[i], scale) for i in take])
+    bl = compute_depth_error_metrics(
+        reference_depth_m=truth.reshape(-1, truth.shape[-1]),
+        estimate_depth_m=np.clip(bl_pred, 0, 5).reshape(-1, bl_pred.shape[-1]),
+        max_depth=5.0,
+    )
+
+    def csi(ref, est, thresh=1e-3):
+        wet_r = ref >= thresh
+        wet_e = est >= thresh
+        hits = np.sum(wet_r & wet_e)
+        den = hits + np.sum(wet_r & ~wet_e) + np.sum(~wet_r & wet_e)
+        return float(hits / den) if den else float("nan")
+
+    keys = ("psnr", "ssim", "rmse_m", "rmse_wet_m", "mase_m", "bias_m")
+    model_metrics = {k: float(full[k]) for k in keys}
+    model_metrics["csi"] = csi(truth, pred)
+    bl_metrics = {k: float(bl[k]) for k in keys}
+    bl_metrics["csi"] = csi(truth, np.clip(bl_pred, 0, 5))
+    print("s2d4_full:", {k: round(v, 4) for k, v in model_metrics.items()})
+    print("bilinear :", {k: round(v, 4) for k, v in bl_metrics.items()})
+
+    payload = json.loads(out_fp.read_text()) if out_fp.exists() else {"configs": {}}
+    payload["configs"]["s2d4_full"] = {
+        "steps": steps,
+        "train_seconds": round(train_s, 1),
+        "loss_curve": curve[:: max(1, len(curve) // 40)],
+        "eval_heldout": model_metrics,
+        "baseline_bilinear_heldout": bl_metrics,
+        "note": (
+            "device-resident pipeline (data staged to HBM, on-device "
+            "sample+augment); 160-scene cropped-patch distribution"
+        ),
+    }
+    out_fp.write_text(json.dumps(payload, indent=2))
+    print(f"wrote {out_fp}")
+
+    art_dir = REPO / "tests" / "data" / "_artifacts"
+    fp = export_inference_artifact(
+        art_dir / "model_infer_flagship.fsrz",
+        state,
+        cfg,
+        {"seed": SEED, "purpose": "flagship full-budget golden",
+         "train_steps": steps},
+        store_dtype="float16",
+    )
+    print(f"wrote {fp} ({fp.stat().st_size / 1e6:.1f} MB)")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--study", action="store_true")
     ap.add_argument("--golden", action="store_true")
     ap.add_argument("--golden-case", action="store_true")
+    ap.add_argument("--full", action="store_true")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--out", type=Path, default=REPO / "docs" / "perf" / "flagship_study.json")
     args = ap.parse_args()
@@ -412,6 +524,9 @@ def main() -> int:
         return 0
     if args.golden_case:
         build_golden_case()
+        return 0
+    if args.full:
+        run_full(args.steps, args.out)
         return 0
     ap.print_help()
     return 1

@@ -169,6 +169,88 @@ def make_train_step(
     )
 
 
+def stage_dataset_to_device(dataset, indices) -> dict[str, jnp.ndarray]:
+    """Pre-normalize a patch set and upload it ONCE (HBM-resident data).
+
+    On hosts where the device link is slow (this harness's axon tunnel moves
+    4–35 MB/s, so a 16 MB batch costs ~0.5–4 s — 25× the train-step
+    compute), per-step host feeding caps training throughput. Staging the
+    normalized dataset device-side turns the feed into an on-device gather:
+    measured 0.56 s/step → compute-bound. Per-patch DEM normalization (the
+    tile-local stats the inference pipeline applies) commutes with the
+    flip/rot augmentation, so normalizing once up front is exact.
+    """
+    d, m, t = [], [], []
+    for i in np.asarray(indices):
+        depth, dem, target = dataset._normalized_example(int(i))
+        d.append(depth)
+        m.append(dem)
+        t.append(target)
+    return {
+        "depth_lr": jnp.asarray(np.stack(d)),
+        "dem_hr": jnp.asarray(np.stack(m)),
+        "target_hr": jnp.asarray(np.stack(t)),
+    }
+
+
+def make_resident_train_step(
+    model_cfg: ResUNetConfig,
+    train_cfg: TrainConfig,
+    *,
+    batch_size: int,
+    compute_dtype=jnp.float32,
+):
+    """Train step over a device-resident dataset: ``(state, data, key)``.
+
+    Samples the batch, applies rot90/flip augmentation, and runs the
+    standard step — all inside one jit region, no host↔device traffic per
+    step beyond the PRNG key. ``data`` is :func:`stage_dataset_to_device`'s
+    dict (passed as an argument, not a baked-in constant, so one executable
+    serves any staged set of the same shape).
+    """
+    optimizer = make_optimizer(train_cfg)
+
+    def rot_k(a, k):
+        return jax.lax.switch(
+            k,
+            [lambda x, kk=kk: jnp.rot90(x, kk, axes=(1, 2)) for kk in range(4)],
+            a,
+        )
+
+    def step_fn(state: TrainState, data: dict[str, jnp.ndarray], key):
+        ki, kr, kf = jax.random.split(key, 3)
+        n = data["depth_lr"].shape[0]
+        idx = jax.random.randint(ki, (batch_size,), 0, n)
+        k_rot = jax.random.randint(kr, (), 0, 4)
+        flip = jax.random.bernoulli(kf)
+
+        def tf(a):
+            a = rot_k(a, k_rot)
+            return jax.lax.cond(flip, lambda x: x[:, :, ::-1], lambda x: x, a)
+
+        batch = {k: tf(v[idx]) for k, v in data.items()}
+        (loss, new_model_state), grads = jax.value_and_grad(mae_loss, has_aux=True)(
+            state.params,
+            state.model_state,
+            batch["depth_lr"],
+            batch["dem_hr"],
+            batch["target_hr"],
+            model_cfg,
+            compute_dtype,
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            model_state=new_model_state,
+            opt_state=new_opt_state,
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 def make_eval_step(model_cfg: ResUNetConfig, train_cfg: TrainConfig, *, mesh=None):
     """Jitted eval step returning meter-domain quality metrics per batch."""
 

@@ -201,6 +201,40 @@ class TestTrainStep:
         assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
         assert int(state.step) == 6
 
+    def test_resident_step_trains_on_device_data(self):
+        """HBM-resident pipeline: stage once, sample+augment+train on device."""
+        import jax
+
+        from floodsr_tpu.train import PatchDataset
+        from floodsr_tpu.train.trainer import (
+            make_resident_train_step,
+            stage_dataset_to_device,
+        )
+
+        rng = np.random.default_rng(3)
+        n, s = 12, TINY.scale
+        dataset = PatchDataset(
+            depth_lr=rng.uniform(0, 3, (n, TINY.lr_tile, TINY.lr_tile)).astype(np.float32),
+            dem_hr=rng.uniform(300, 800, (n, TINY.hr_tile, TINY.hr_tile)).astype(np.float32),
+            target_hr=rng.uniform(0, 3, (n, TINY.hr_tile, TINY.hr_tile)).astype(np.float32),
+        )
+        data = stage_dataset_to_device(dataset, np.arange(n))
+        # staged arrays are normalized to [0, 1]
+        for v in data.values():
+            arr = np.asarray(v)
+            assert arr.min() >= 0.0 and arr.max() <= 1.0
+        cfg = TrainConfig(total_steps=20, base_lr=1e-2)
+        state = init_train_state(0, TINY, cfg)
+        step = make_resident_train_step(TINY, cfg, batch_size=4)
+        key = jax.random.key(0)
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, data, jax.random.fold_in(key, i))
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+        assert int(state.step) == 8
+
     def test_lr_schedule_piecewise(self):
         cfg = TrainConfig(total_steps=100, base_lr=1e-4, second_lr=5e-5)
         opt = make_optimizer(cfg)
