@@ -573,6 +573,7 @@ class EngineJAX(EngineBase):
                     else int(self.scene_trunk_chunk)
                 ),
             )
+            fn = self._maybe_aot_cache(fn, key, bucket, capacity, chunk)
             self._jit_cache[key] = fn
             self.log.debug(
                 f"built scene executable for bucket={bucket} capacity={capacity}"
@@ -580,6 +581,64 @@ class EngineJAX(EngineBase):
         else:
             self.log.debug(f"scene executable cache hit for bucket={bucket}")
         return fn, bucket, capacity, chunk
+
+    def _maybe_aot_cache(self, fn, key: tuple, bucket, capacity: int, chunk: int):
+        """Swap the jitted scene fn for a disk-cached compiled executable.
+
+        The one-shot CLI otherwise pays the full scene compile every process
+        (the XLA persistent cache is bypassed by this TPU backend). Opt-out
+        with ``FLOODSR_AOT_CACHE=0``; silently degrades to the plain jit
+        path when the runtime cannot serialize executables or the model was
+        loaded from a non-file source.
+        """
+        import os
+
+        from floodsr_tpu.engine import aot_cache
+
+        # Single-device runtimes only (the one-chip CLI case this targets):
+        # a deserialized executable binds the compile-time device assignment,
+        # which breaks under the multi-device test runtime.
+        if (
+            os.environ.get("FLOODSR_AOT_CACHE", "1") != "1"
+            or self.mesh is not None
+            or len(jax.devices()) != 1
+        ):
+            return fn
+        try:
+            digest = self._artifact_digest
+        except AttributeError:
+            from floodsr_tpu.checksums import compute_sha256
+
+            digest = self._artifact_digest = compute_sha256(self._model_fp)
+        cfg = self.config
+        scale = cfg.scale
+        idx_shapes = {
+            "y0": jax.ShapeDtypeStruct((capacity // chunk, chunk), np.int32),
+            "x0": jax.ShapeDtypeStruct((capacity // chunk, chunk), np.int32),
+            "yf": jax.ShapeDtypeStruct((capacity // chunk, chunk), np.bool_),
+            "yl": jax.ShapeDtypeStruct((capacity // chunk, chunk), np.bool_),
+            "xf": jax.ShapeDtypeStruct((capacity // chunk, chunk), np.bool_),
+            "xl": jax.ShapeDtypeStruct((capacity // chunk, chunk), np.bool_),
+            "valid": jax.ShapeDtypeStruct((capacity // chunk, chunk), np.float32),
+        }
+        example = (
+            self.params,
+            self.state,
+            jax.ShapeDtypeStruct((bucket[0] // scale, bucket[1] // scale), np.float32),
+            jax.ShapeDtypeStruct(tuple(bucket), np.float32),
+            idx_shapes,
+        )
+        try:
+            return aot_cache.load_or_compile(
+                fn,
+                example,
+                artifact_digest=digest,
+                config_repr=repr(key) + repr(self.precision_policy)
+                + repr(self.scene_trunk_chunk),
+            )
+        except Exception as err:  # noqa: BLE001 - cache must never break runs
+            self.log.info(f"AOT executable cache unavailable: {err}")
+            return fn
 
     def warmup(
         self,
