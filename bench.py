@@ -163,6 +163,30 @@ def main() -> int:
             # tunnel/chip is shared, so interference only ever ADDS time.
             pipe_f32 = _measure_pipeline(worker.engine, scene, out_mp, compute_dtype)
 
+            # Secondary: the hard-window preset (--window-method hard, a
+            # first-class reference mode) at the same gate-passing numerics —
+            # no overlap recompute, measured held-out quality parity with
+            # feather (docs/perf/overlap_study.json). Budget-guarded: it
+            # costs one more scene-executable compile.
+            pipe_hard = None
+            hard_budget = float(os.environ.get("FLOODSR_BENCH_HARD_BUDGET_S", "1500"))
+            if (
+                os.environ.get("FLOODSR_BENCH_HARD", "1") == "1"
+                and time.perf_counter() - t_start < hard_budget
+            ):
+                worker.run(
+                    depth_lr_fp=scene["lr"],
+                    dem_hr_fp=scene["dem"],
+                    output_fp=root / "pred_hard.tif",
+                    window_method="hard",
+                )
+                pipe_hard = _measure_pipeline(
+                    worker.engine, scene, out_mp, f"{compute_dtype}-hard",
+                    scene_key_index=-1,
+                )
+            else:
+                print("# skipping hard-window secondary (budget/env)", file=sys.stderr)
+
         # Secondary: the documented bfloat16 fast path on the same scene
         # (body bf16, head f32). Quality evidence: docs/perf/flagship_study
         # pins bf16 held-out eval metrics ≈ f32 on the trained s2d4 flagship
@@ -211,6 +235,14 @@ def main() -> int:
         }
         if parity is not None:
             payload["parity_gate"] = parity
+        if pipe_hard is not None:
+            # Same gate-passing f32 numerics; hard windows (a reference
+            # mode) skip the 2.15x overlap recompute — quality evidence in
+            # docs/perf/overlap_study.json.
+            payload["hard_window_mps"] = round(pipe_hard, 2)
+            payload["hard_window_vs_baseline"] = round(
+                pipe_hard / BASELINE_COMPUTE_MPS, 2
+            )
         if pipe_bf16 is not None:
             payload["bf16_mps"] = round(pipe_bf16, 2)
             payload["bf16_vs_baseline"] = round(pipe_bf16 / BASELINE_COMPUTE_MPS, 2)
@@ -230,7 +262,7 @@ def _run_parity_gate(t_start: float) -> dict | None:
     """
     import subprocess
 
-    budget_s = float(os.environ.get("FLOODSR_BENCH_PARITY_BUDGET_S", "3600"))
+    budget_s = float(os.environ.get("FLOODSR_BENCH_PARITY_BUDGET_S", "1200"))
     if os.environ.get("FLOODSR_BENCH_PARITY", "1") != "1":
         reason = "disabled via FLOODSR_BENCH_PARITY=0"
     elif time.perf_counter() - t_start > budget_s:
@@ -265,26 +297,38 @@ def _run_parity_gate(t_start: float) -> dict | None:
     return {"pass": None, "skipped": reason, "artifact": PARITY_OUT.name}
 
 
-def _measure_pipeline(engine, scene, out_mp: float, label: str, reps: int = 5) -> float:
+def _measure_pipeline(
+    engine, scene, out_mp: float, label: str, reps: int = 5,
+    scene_key_index: int = 0,
+) -> float:
     """Best-of-N wall time of the compiled scene executable (scalar readback)."""
     import jax
     import jax.numpy as jnp
 
-    from floodsr_tpu.engine.scene import pack_scene_indices, resolve_chunk
+    from floodsr_tpu.engine.scene import choose_scene_chunk, pack_scene_indices
     from floodsr_tpu.io.geotiff import read_raster
     from floodsr_tpu.tiling import build_window_grid
 
     scene_keys = [k for k in engine._jit_cache if k[0] == "scene"]
     assert scene_keys, "no compiled scene executable to benchmark"
-    key = scene_keys[0]
+    key = scene_keys[scene_key_index]
     fn = engine._jit_cache[key]
     _, bucket, capacity, stride_hr = key[0], key[1], key[2], key[3]
 
     lr_arr, _, _ = read_raster(scene["lr"])
     cfg = engine.config
     crop = (lr_arr.shape[0] * cfg.scale, lr_arr.shape[1] * cfg.scale)
-    chunk = resolve_chunk(engine.max_batch, engine.mesh, engine.batch_axis)
-    grid = build_window_grid(crop[0], crop[1], cfg.hr_tile, stride_hr)
+    bucket_grid_n = len(
+        build_window_grid(bucket[0], bucket[1], cfg.hr_tile, stride_hr)["y0"]
+    )
+    chunk = choose_scene_chunk(bucket_grid_n, engine.scene_chunk)
+    # content windows over tile-padded crop, as run_scene does
+    content = (-(-crop[0] // cfg.hr_tile) * cfg.hr_tile,
+               -(-crop[1] // cfg.hr_tile) * cfg.hr_tile)
+    grid = build_window_grid(
+        min(bucket[0], content[0]), min(bucket[1], content[1]),
+        cfg.hr_tile, stride_hr,
+    )
     idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
     depth_dev = engine._put_padded(lr_arr, (bucket[0] // cfg.scale, bucket[1] // cfg.scale))
     dem_dev = engine._put_padded(
