@@ -414,7 +414,7 @@ def run_full(steps: int, out_fp: Path) -> None:
     from floodsr_tpu.train import TrainConfig, init_train_state, split_indices
     from floodsr_tpu.train.trainer import (
         export_inference_artifact,
-        make_resident_train_step,
+        make_resident_train_loop,
         stage_dataset_to_device,
     )
 
@@ -431,22 +431,28 @@ def run_full(steps: int, out_fp: Path) -> None:
     data_dev = stage_dataset_to_device(dataset, train_idx)
     staged_gb = sum(v.nbytes for v in data_dev.values()) / 1e9
     print(f"staged {staged_gb:.2f} GB of normalized patches to device")
-    step_fn = make_resident_train_step(cfg, tcfg, batch_size=8)
+    # 100 steps per dispatch: the tunnel's ~25 ms RTT otherwise caps
+    # training at ~4 steps/s (measured) against ~15 ms of step compute.
+    steps_per_call = 100
+    loop_fn = make_resident_train_loop(
+        cfg, tcfg, batch_size=8, steps_per_call=steps_per_call
+    )
 
     root_key = jax.random.key(SEED)
     curve = []
     t0 = time.perf_counter()
-    metrics = None
-    for bi in range(steps):
-        key = jax.random.fold_in(root_key, bi)
-        state, metrics = step_fn(state, data_dev, key)
-        if bi % 500 == 0 or bi == steps - 1:
-            loss = float(metrics["loss"])  # host sync only at log points
-            curve.append({"step": bi, "loss": loss})
-            rate = (bi + 1) / (time.perf_counter() - t0)
-            print(f"full step {bi}: loss {loss:.5f} ({rate:.1f} steps/s)", flush=True)
+    done = 0
+    while done < steps:
+        key = jax.random.fold_in(root_key, done)
+        state, losses = loop_fn(state, data_dev, key)
+        done += steps_per_call
+        if done % 2000 == 0 or done >= steps:
+            loss = float(losses[-1])  # host sync only at log points
+            curve.append({"step": done, "loss": loss})
+            rate = done / (time.perf_counter() - t0)
+            print(f"full step {done}: loss {loss:.5f} ({rate:.1f} steps/s)", flush=True)
     train_s = time.perf_counter() - t0
-    print(f"trained s2d4_full {steps} steps in {train_s:.0f}s")
+    print(f"trained s2d4_full {done} steps in {train_s:.0f}s")
 
     # Held-out eval: full reference metric set, bilinear baseline alongside.
     m_f32, pred = eval_model(cfg, state.params, state.model_state, dataset, val_idx, jnp.float32)

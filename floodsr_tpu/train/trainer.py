@@ -193,21 +193,9 @@ def stage_dataset_to_device(dataset, indices) -> dict[str, jnp.ndarray]:
     }
 
 
-def make_resident_train_step(
-    model_cfg: ResUNetConfig,
-    train_cfg: TrainConfig,
-    *,
-    batch_size: int,
-    compute_dtype=jnp.float32,
-):
-    """Train step over a device-resident dataset: ``(state, data, key)``.
-
-    Samples the batch, applies rot90/flip augmentation, and runs the
-    standard step — all inside one jit region, no host↔device traffic per
-    step beyond the PRNG key. ``data`` is :func:`stage_dataset_to_device`'s
-    dict (passed as an argument, not a baked-in constant, so one executable
-    serves any staged set of the same shape).
-    """
+def _resident_step_body(model_cfg: ResUNetConfig, train_cfg: TrainConfig,
+                        batch_size: int, compute_dtype):
+    """Un-jitted resident step: sample + augment + train, all on device."""
     optimizer = make_optimizer(train_cfg)
 
     def rot_k(a, k):
@@ -248,7 +236,56 @@ def make_resident_train_step(
         )
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
+    return step_fn
+
+
+def make_resident_train_step(
+    model_cfg: ResUNetConfig,
+    train_cfg: TrainConfig,
+    *,
+    batch_size: int,
+    compute_dtype=jnp.float32,
+):
+    """Train step over a device-resident dataset: ``(state, data, key)``.
+
+    Samples the batch, applies rot90/flip augmentation, and runs the
+    standard step — all inside one jit region, no host↔device traffic per
+    step beyond the PRNG key. ``data`` is :func:`stage_dataset_to_device`'s
+    dict (passed as an argument, not a baked-in constant, so one executable
+    serves any staged set of the same shape).
+    """
+    step_fn = _resident_step_body(model_cfg, train_cfg, batch_size, compute_dtype)
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_resident_train_loop(
+    model_cfg: ResUNetConfig,
+    train_cfg: TrainConfig,
+    *,
+    batch_size: int,
+    steps_per_call: int,
+    compute_dtype=jnp.float32,
+):
+    """``steps_per_call`` resident steps per dispatch: ``(state, data, key)``.
+
+    On remote-tunnel hosts each dispatch costs a ~25 ms round trip, which
+    caps single-step training at ~4 steps/s regardless of compute; scanning
+    N steps inside one jit call amortizes the RTT to 1/N per step. Returns
+    ``(new_state, losses[steps_per_call])``.
+    """
+    step_fn = _resident_step_body(model_cfg, train_cfg, batch_size, compute_dtype)
+
+    def loop(state: TrainState, data: dict[str, jnp.ndarray], key):
+        keys = jax.random.split(key, steps_per_call)
+
+        def body(st, k):
+            st, metrics = step_fn(st, data, k)
+            return st, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, keys)
+        return state, losses
+
+    return jax.jit(loop, donate_argnums=(0,))
 
 
 def make_eval_step(model_cfg: ResUNetConfig, train_cfg: TrainConfig, *, mesh=None):
