@@ -117,7 +117,30 @@ def load_or_compile(
     key = cache_key(artifact_digest, config_repr)
     cached = load(key, cache_dir)
     if cached is not None:
-        return cached
+        # A deserialized executable can still fail at CALL time (runtime
+        # buffer-table mismatches surface only on execution); guard the
+        # first calls so a bad cache entry costs one recompile, never a
+        # crashed run.
+        state = {"impl": cached, "validated": False}
+
+        def guarded(*args):
+            if state["validated"]:
+                return state["impl"](*args)
+            try:
+                out = state["impl"](*args)
+                state["validated"] = True
+                return out
+            except Exception as err:  # noqa: BLE001 - fall back to fresh jit
+                log.warning(
+                    f"cached executable failed at call time; evicting and "
+                    f"recompiling: {err}"
+                )
+                _entry_path(key, cache_dir).unlink(missing_ok=True)
+                state["impl"] = fn
+                state["validated"] = True
+                return fn(*args)
+
+        return guarded
     shapes = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
         if hasattr(a, "shape")

@@ -42,6 +42,7 @@ def test_aot_cache_roundtrip_single_device(tmp_path):
     """Store + reload in a 1-device CPU child process; gracefully degrades
     when the runtime cannot serialize executables (still computes)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="")
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)  # cache-loaded executables may not re-serialize
     code = _CHILD.format(repo=str(REPO), cache=str(tmp_path))
     proc = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
