@@ -1,0 +1,173 @@
+"""A/B the hard-window (overlap 0) mosaic fast path on hardware.
+
+At overlap 0 the scene executor can drop the weight-sum accumulator and the
+normalize division (bitwise-identical output — pinned by
+``tests/test_scene_hard.py``). This study measures what those milliseconds
+are worth on the flagship hard-window scene (3840² content in a 4096²
+bucket, 64 tiles, capacity 64), interleaving the two variants within one
+contention window:
+
+- ``hard_general``: the general weighted formulation
+  (``FLOODSR_SCENE_GENERAL_MOSAIC=1``) — round-3's shipped 302.1 MP/s path
+- ``hard_fast``: the wsum-free fast path (new default)
+- ``feather_ref``: the feather/chunk-128 executor, as a window calibration
+  against the recorded 86.3 ms
+
+Run on the TPU host: ``python bin/hard_mosaic_study.py``. Appends a
+``hard_mosaic`` entry to ``docs/perf/structure_study.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+ARTIFACT = REPO / "tests/data/_artifacts/model_infer_flagship.fsrz"
+OUT_JSON = REPO / "docs/perf/structure_study.json"
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from floodsr_tpu.engine.scene import (
+        build_scene_executor,
+        choose_scene_chunk,
+        pack_scene_indices,
+    )
+    from floodsr_tpu.nn.checkpoint import load_artifact
+    from floodsr_tpu.nn.resunet import resunet_tail_apply, resunet_trunk_apply
+    from floodsr_tpu.tiling import build_window_grid
+
+    print(f"backend: {jax.default_backend()} {jax.devices()}", file=sys.stderr)
+    artifact = load_artifact(ARTIFACT)
+    cfg = artifact["config"]
+    params = jax.device_put(artifact["params"])
+    state = jax.device_put(artifact["state"])
+
+    tile = cfg.hr_tile
+    bucket = (4096, 4096)
+    content = 3840
+    out_mp = content * content / 1e6
+
+    rng = np.random.default_rng(0)
+    dem = jnp.asarray(rng.normal(300, 20, bucket).astype(np.float32))
+    depth = jnp.asarray(
+        rng.uniform(0, 3, (bucket[0] // cfg.scale, bucket[1] // cfg.scale)).astype(
+            np.float32
+        )
+    )
+
+    def fwd_trunk(p, s, d, m):
+        feat, _ = resunet_trunk_apply(p, s, d, m, cfg, train=False, precision="f32")
+        return feat
+
+    def fwd_tail(p, s, f, m):
+        out, _ = resunet_tail_apply(p, s, f, m, cfg, train=False, precision="f32")
+        return out
+
+    def build(overlap: int, general: bool):
+        if general:
+            os.environ["FLOODSR_SCENE_GENERAL_MOSAIC"] = "1"
+        else:
+            os.environ.pop("FLOODSR_SCENE_GENERAL_MOSAIC", None)
+        stride = tile - overlap
+        grid_full = build_window_grid(bucket[0], bucket[1], tile, stride)
+        chunk = choose_scene_chunk(len(grid_full["y0"]), 128)
+        capacity = -(-len(grid_full["y0"]) // chunk) * chunk
+        grid = build_window_grid(content, content, tile, stride)
+        idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
+        fn, _ = build_scene_executor(
+            cfg, scene_shape=bucket, capacity=capacity, overlap_hr=overlap,
+            chunk=chunk, max_depth=5.0, dem_pct_clip=95.0,
+            transfer_dtype="uint16",
+            split_forward=(fwd_trunk, fwd_tail), trunk_chunk=capacity,
+        )
+        return fn, idx
+
+    overlap_feather = (cfg.lr_tile // 4) * cfg.scale
+    variant_spec = {
+        "hard_general": (0, True),
+        "hard_fast": (0, False),
+        "feather_ref": (overlap_feather, False),
+    }
+    if os.environ.get("FLOODSR_STUDY_FEATHER_SEP"):
+        # Separable-feather A/B round: the default build is now the
+        # separable 1-D-profile weight sum; general forces the 2-D one.
+        variant_spec = {
+            "feather_general": (overlap_feather, True),
+            "feather_sep": (overlap_feather, False),
+            "hard_fast": (0, False),
+        }
+    variants = {}
+    for label, (ov, general) in variant_spec.items():
+        print(f"# compiling {label}...", file=sys.stderr)
+        t0 = time.perf_counter()
+        fn, idx = build(ov, general)
+        out, _ = fn(params, state, depth, dem, idx)
+        float(jnp.sum(out.astype(jnp.float32)))  # warm-up + force
+        print(
+            f"# {label} compiled+warm in {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+        )
+        variants[label] = (fn, idx)
+
+    # Interleaved best-of: each round times every variant back to back so a
+    # contention shift hits all arms alike; queued dispatch (4 per readback)
+    # amortizes the ~25 ms tunnel RTT out of the per-scene number.
+    reps, iters = 6, 4
+    best: dict[str, float] = {k: float("inf") for k in variants}
+    for _ in range(reps):
+        for label, (fn, idx) in variants.items():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out, _ = fn(params, state, depth, dem, idx)
+            float(jnp.sum(out.astype(jnp.float32)))
+            best[label] = min(best[label], (time.perf_counter() - t0) / iters)
+
+    if os.environ.get("FLOODSR_STUDY_FEATHER_SEP"):
+        note = (
+            "separable feather weight-sum (two 1-D profiles instead of the "
+            "2-D wsum accumulator; equal up to f32 summation order, "
+            "tests/test_scene_hard.py) vs the general formulation, "
+            "interleaved in one window; hard_fast calibrates the window"
+        )
+    else:
+        note = (
+            "overlap-0 mosaic fast path (no wsum accumulator / no divide; "
+            "bitwise-equal output, tests/test_scene_hard.py) vs the general "
+            "weighted formulation, interleaved in one window; feather_ref "
+            "calibrates the window vs the recorded 86.3 ms"
+        )
+    entry = {
+        "date": time.strftime("%Y-%m-%d"),
+        "hardware": str(jax.devices()[0]),
+        "note": note,
+        "scene_ms": {k: round(v * 1e3, 2) for k, v in best.items()},
+        "mp_per_s": {k: round(out_mp / v, 1) for k, v in best.items()},
+    }
+    print(json.dumps(entry, indent=1))
+
+    data = json.loads(OUT_JSON.read_text()) if OUT_JSON.exists() else {}
+    key = (
+        "separable_mosaic"
+        if os.environ.get("FLOODSR_STUDY_FEATHER_SEP")
+        else "hard_mosaic"
+    )
+    data[key] = entry
+    OUT_JSON.write_text(json.dumps(data, indent=1) + "\n")
+    print(f"# wrote {OUT_JSON}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -49,6 +49,25 @@ def _gather_tiles(scene: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray, tile: in
     return jax.vmap(one)(y0, x0)
 
 
+def _axis_feather_weights(
+    tile: int, overlap: int, first: jnp.ndarray, last: jnp.ndarray
+) -> jnp.ndarray:
+    """Edge-flattened 1-D feather ramps for one chunk's tiles, ``[chunk, tile]``.
+
+    Scene-edge tiles keep weight 1.0 over their outward overlap (edge
+    flattening); membership arrives as per-tile boolean flags (dynamic
+    inputs), so the compiled executor is independent of the scene's
+    tile-grid dimensions — a requirement for scene-geometry bucketing.
+    """
+    ramp = jnp.asarray(build_feather_ramp(tile, overlap))
+    w = jnp.broadcast_to(ramp, (first.shape[0], tile))
+    if overlap > 0:
+        pos = jnp.arange(tile)
+        w = jnp.where(first[:, None] & (pos < overlap)[None, :], 1.0, w)
+        w = jnp.where(last[:, None] & (pos >= tile - overlap)[None, :], 1.0, w)
+    return w
+
+
 def _feather_weights_chunk(
     tile: int,
     overlap: int,
@@ -58,26 +77,9 @@ def _feather_weights_chunk(
     x_last: jnp.ndarray,
     valid: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Edge-flattened separable feather weights for one tile chunk.
-
-    Edge membership arrives as per-tile boolean flags (dynamic inputs), so
-    the compiled executor is independent of the scene's tile-grid dimensions
-    — a requirement for scene-geometry bucketing.
-    """
-    ramp = jnp.asarray(build_feather_ramp(tile, overlap))
-    pos = jnp.arange(tile)
-    in_head = pos < overlap
-    in_tail = pos >= tile - overlap
-
-    def axis_w(first, last):
-        w = jnp.broadcast_to(ramp, (first.shape[0], tile))
-        if overlap > 0:
-            w = jnp.where(first[:, None] & in_head[None, :], 1.0, w)
-            w = jnp.where(last[:, None] & in_tail[None, :], 1.0, w)
-        return w
-
-    wy = axis_w(y_first, y_last)
-    wx = axis_w(x_first, x_last)
+    """Edge-flattened separable feather weights for one tile chunk."""
+    wy = _axis_feather_weights(tile, overlap, y_first, y_last)
+    wx = _axis_feather_weights(tile, overlap, x_first, x_last)
     w = wy[:, :, None] * wx[:, None, :]
     return (w * valid[:, None, None]).astype(jnp.float32)
 
@@ -215,17 +217,79 @@ def build_scene_executor(
         while capacity % trunk_chunk:
             trunk_chunk -= 1
 
+    # Mosaic accumulator formulation (fastest applicable wins; A/B in
+    # docs/perf/structure_study.json "hard_mosaic"/"separable_mosaic"):
+    #
+    # - ``hard`` (overlap 0): every weight is exactly ``1.0 * valid`` and
+    #   tiles never overlap, so the weight-sum under any covered pixel is
+    #   exactly 1.0 — ``accum / wsum`` is bitwise ``accum``. Skip the second
+    #   accumulator entirely (tests/test_scene_hard.py pins bitwise equality).
+    # - ``separable`` (feathered): the content grid is a full cross product
+    #   of row-starts × col-starts and each tile's weight is a separable
+    #   outer product ``wy_i ⊗ wx_j``, so the scene weight-sum factors:
+    #   ``wsum(y,x) = (Σ_i wy_i(y)) · (Σ_j wx_j(x))``. Accumulate two 1-D
+    #   profiles (fed once per grid row/col by the x-first/y-first tiles)
+    #   instead of a second scene-sized buffer — this halves the mosaic's
+    #   dynamic-slice HBM traffic. Equal to the general form up to f32
+    #   summation order (~1e-7 relative; pipeline gates are at 1e-3 m).
+    # - ``general``: the direct 2-D weight-sum accumulation.
+    #   FLOODSR_SCENE_GENERAL_MOSAIC=1 forces it (A/B studies + the
+    #   equality tests rely on the override).
+    import os as _os
+
+    if _os.environ.get("FLOODSR_SCENE_GENERAL_MOSAIC"):
+        mosaic_mode = "general"
+    elif int(overlap_hr) == 0:
+        mosaic_mode = "hard"
+    else:
+        mosaic_mode = "separable"
+
     def _mosaic_accumulate(carry, chunk_idx, pred_m):
-        accum, wsum = carry
         y0c = chunk_idx["y0"]
         x0c = chunk_idx["x0"]
+        valid = chunk_idx["valid"]
+        if mosaic_mode == "hard":
+            pw = pred_m * valid[:, None, None]
+
+            def body_hard(i, acc):
+                start = (y0c[i], x0c[i])
+                cur = jax.lax.dynamic_slice(acc, start, (tile, tile))
+                return jax.lax.dynamic_update_slice(acc, cur + pw[i], start)
+
+            return jax.lax.fori_loop(0, chunk, body_hard, carry)
+
         weights = _feather_weights_chunk(
             tile, overlap_hr,
             chunk_idx["yf"], chunk_idx["yl"],
             chunk_idx["xf"], chunk_idx["xl"],
-            chunk_idx["valid"],
+            valid,
         )
         pw = pred_m * weights
+
+        if mosaic_mode == "separable":
+            wy = _axis_feather_weights(
+                tile, overlap_hr, chunk_idx["yf"], chunk_idx["yl"]
+            )
+            wx = _axis_feather_weights(
+                tile, overlap_hr, chunk_idx["xf"], chunk_idx["xl"]
+            )
+            # One representative tile per grid row (x-first) / col (y-first)
+            # feeds the 1-D profiles; dummies have all flags False.
+            row_contrib = wy * (valid * chunk_idx["xf"])[:, None]
+            col_contrib = wx * (valid * chunk_idx["yf"])[:, None]
+
+            def body_sep(i, acc_py_px):
+                acc, py, px = acc_py_px
+                start = (y0c[i], x0c[i])
+                cur = jax.lax.dynamic_slice(acc, start, (tile, tile))
+                acc = jax.lax.dynamic_update_slice(acc, cur + pw[i], start)
+                cy = jax.lax.dynamic_slice(py, (y0c[i],), (tile,))
+                py = jax.lax.dynamic_update_slice(py, cy + row_contrib[i], (y0c[i],))
+                cx = jax.lax.dynamic_slice(px, (x0c[i],), (tile,))
+                px = jax.lax.dynamic_update_slice(px, cx + col_contrib[i], (x0c[i],))
+                return acc, py, px
+
+            return jax.lax.fori_loop(0, chunk, body_sep, carry)
 
         def body(i, acc_ws):
             acc, ws = acc_ws
@@ -236,10 +300,30 @@ def build_scene_executor(
             ws = jax.lax.dynamic_update_slice(ws, curw + weights[i], start)
             return acc, ws
 
-        return jax.lax.fori_loop(0, chunk, body, (accum, wsum))
+        return jax.lax.fori_loop(0, chunk, body, carry)
 
-    def _finish(accum, wsum, stats_flat):
-        scene = jnp.where(wsum > 0, accum / jnp.maximum(wsum, 1e-6), 0.0)
+    def _mosaic_init():
+        accum = jnp.zeros(scene_shape, jnp.float32)
+        if mosaic_mode == "hard":
+            return accum
+        if mosaic_mode == "separable":
+            return (
+                accum,
+                jnp.zeros(scene_shape[0], jnp.float32),
+                jnp.zeros(scene_shape[1], jnp.float32),
+            )
+        return accum, jnp.zeros(scene_shape, jnp.float32)
+
+    def _finish(carry, stats_flat):
+        if mosaic_mode == "hard":
+            scene = carry
+        elif mosaic_mode == "separable":
+            accum, wy_sum, wx_sum = carry
+            wsum = wy_sum[:, None] * wx_sum[None, :]
+            scene = jnp.where(wsum > 0, accum / jnp.maximum(wsum, 1e-6), 0.0)
+        else:
+            accum, wsum = carry
+            scene = jnp.where(wsum > 0, accum / jnp.maximum(wsum, 1e-6), 0.0)
         out = jnp.clip(scene, 0.0, max_depth)
         if transfer_dtype == "uint16":
             # Fixed-point transfer encoding: halves device→host bytes on
@@ -297,14 +381,10 @@ def build_scene_executor(
             pred_m = invert_depth_log1p(pred_norm[..., 0], max_depth)
             return _mosaic_accumulate(carry, chunk_idx, pred_m), None
 
-        init = (
-            jnp.zeros(scene_shape, jnp.float32),
-            jnp.zeros(scene_shape, jnp.float32),
+        carry, _ = jax.lax.scan(
+            tail_step, _mosaic_init(), (idx, feat_chunks, stat_chunks)
         )
-        (accum, wsum), _ = jax.lax.scan(
-            tail_step, init, (idx, feat_chunks, stat_chunks)
-        )
-        return _finish(accum, wsum, stats_flat)
+        return _finish(carry, stats_flat)
 
     def scene_fn(params, state, depth_pad, dem_pad, idx):
         assert dem_pad.shape == tuple(scene_shape), (
@@ -341,12 +421,8 @@ def build_scene_executor(
             )
             return carry, stats_arr
 
-        init = (
-            jnp.zeros(scene_shape, jnp.float32),
-            jnp.zeros(scene_shape, jnp.float32),
-        )
-        (accum, wsum), stats = jax.lax.scan(chunk_step, init, idx)
-        return _finish(accum, wsum, stats.reshape(-1, 3))
+        carry, stats = jax.lax.scan(chunk_step, _mosaic_init(), idx)
+        return _finish(carry, stats.reshape(-1, 3))
 
     if two_phase:
         scene_fn = scene_fn_two_phase
