@@ -16,6 +16,15 @@ exactly that on the trained flagship:
 
 Run on the TPU host: ``python bin/overlap_study.py``. Writes
 ``docs/perf/overlap_study.json``.
+
+``--matched`` re-runs the quality sweep with held-out scenes drawn from the
+SAME hydraulic generator family the flagship was trained on
+(``bin/train_flagship.py::make_terrain/make_truth``, training seeds 31000+;
+this study uses 771000+), merging a ``matched_generator`` entry into the
+JSON — so the overlap-vs-quality comparison is on-distribution, not just
+relative. Both modes also record a seam-discontinuity ratio (mean absolute
+step across tile seam columns/rows over the interior gradient magnitude):
+the quantitative form of "feather buys seam smoothness".
 """
 
 from __future__ import annotations
@@ -29,6 +38,7 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "bin"))
 
 ARTIFACT = REPO / "tests/data/_artifacts/model_infer_flagship.fsrz"
 OUT_JSON = REPO / "docs/perf/overlap_study.json"
@@ -60,6 +70,29 @@ def _box_mean(arr, k):
     return arr.reshape(h // k, k, w // k, k).mean(axis=(1, 3)).astype(np.float32)
 
 
+def _seam_ratio(pred: np.ndarray, tile: int, stride: int) -> float:
+    """Mean |step| across tile seam columns+rows / interior |gradient|.
+
+    1.0 ≈ seams indistinguishable from ordinary pixel-to-pixel variation;
+    larger values mean visible tiling artifacts.
+    """
+    h, w = pred.shape
+    seams_x = [x for x in range(stride, w, stride) if 0 < x < w]
+    seams_y = [y for y in range(stride, h, stride) if 0 < y < h]
+    if not seams_x and not seams_y:
+        return float("nan")
+    steps = []
+    for x in seams_x:
+        steps.append(np.abs(pred[:, x] - pred[:, x - 1]))
+    for y in seams_y:
+        steps.append(np.abs(pred[y, :] - pred[y - 1, :]))
+    seam_step = float(np.mean(np.concatenate(steps)))
+    gx = np.abs(np.diff(pred, axis=1))
+    gy = np.abs(np.diff(pred, axis=0))
+    interior = float((gx.sum() + gy.sum()) / (gx.size + gy.size))
+    return seam_step / max(interior, 1e-9)
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -85,10 +118,22 @@ def main() -> int:
         o, _ = resunet_tail_apply(p, s, f, m, cfg, train=False, precision="f32")
         return o
 
+    matched = "--matched" in sys.argv
+    if matched:
+        from train_flagship import make_terrain, make_truth
+
+        def gen(i):
+            dem = make_terrain((CONTENT, CONTENT), SEED0 + i)
+            return dem, make_truth(dem, SEED0 + i)
+    else:
+
+        def gen(i):
+            dem = _terrain((CONTENT, CONTENT), SEED0 + i)
+            return dem, _truth_depth(dem)
+
     scenes = []
     for i in range(N_SCENES):
-        dem = _terrain((CONTENT, CONTENT), SEED0 + i)
-        truth = _truth_depth(dem)
+        dem, truth = gen(i)
         depth_lr = _box_mean(truth, scale)
         scenes.append((dem, truth, depth_lr))
         print(f"# scene {i} generated", file=sys.stderr)
@@ -105,6 +150,13 @@ def main() -> int:
             f"{CONTENT}^2 synthetic-hydraulic scenes (seeds {SEED0}+); "
             "quality vs truth per overlap + divergence vs the overlap-8 "
             "output. bilinear row = plain upsampling baseline."
+            + (
+                " MATCHED-GENERATOR run: scenes from the flagship's own "
+                "training family (train_flagship.make_terrain/make_truth, "
+                "held-out seeds), so absolute quality is on-distribution."
+                if matched
+                else ""
+            )
         ),
         "configs": {},
     }
@@ -158,7 +210,7 @@ def main() -> int:
         print(f"# compiling overlap={overlap_lr} ({len(grid['y0'])} tiles)...",
               file=sys.stderr)
 
-        metrics, divergences = [], []
+        metrics, divergences, seam_ratios = [], [], []
         wall = float("inf")
         for si, (dem, truth, depth_lr) in enumerate(scenes):
             dem_pad = jnp.asarray(np.pad(dem, ((0, BUCKET[0] - CONTENT),) * 2))
@@ -182,6 +234,7 @@ def main() -> int:
                     max_depth=MAX_DEPTH,
                 )
             )
+            seam_ratios.append(_seam_ratio(pred, tile, stride))
             if overlap_lr == 8:
                 ref_outputs.append(pred)
             else:
@@ -198,6 +251,9 @@ def main() -> int:
                 k: round(float(np.mean([m[k] for m in metrics])), 5)
                 for k in ("rmse_m", "rmse_wet_m", "mase_m", "ssim")
             },
+            # Mean |step| across tile-stride columns/rows over interior
+            # |gradient|; ~1.0 = seams invisible, >1 = tiling artifacts.
+            "seam_grad_ratio": round(float(np.nanmean(seam_ratios)), 3),
         }
         if divergences:
             entry["vs_overlap8_rmse_m"] = round(
@@ -210,7 +266,12 @@ def main() -> int:
         print(f"# overlap={overlap_lr}: {json.dumps(entry)}", file=sys.stderr)
 
     OUT_JSON.parent.mkdir(parents=True, exist_ok=True)
-    OUT_JSON.write_text(json.dumps(results, indent=1) + "\n")
+    if matched:
+        existing = json.loads(OUT_JSON.read_text()) if OUT_JSON.exists() else {}
+        existing["matched_generator"] = results
+        OUT_JSON.write_text(json.dumps(existing, indent=1) + "\n")
+    else:
+        OUT_JSON.write_text(json.dumps(results, indent=1) + "\n")
     print(json.dumps(results))
     return 0
 
