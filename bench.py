@@ -301,7 +301,17 @@ def _measure_pipeline(
     engine, scene, out_mp: float, label: str, reps: int = 5,
     scene_key_index: int = 0,
 ) -> float:
-    """Best-of-N wall time of the compiled scene executable (scalar readback)."""
+    """Best-of-N wall time of the compiled scene executable (scalar readback).
+
+    Timing model (measured, ``docs/perf/structure_study.json:
+    barrier_sweep``): each timing group pays ONE scalar-readback barrier of
+    ~27 ms (the tunnel RTT — a harness artifact; steady-state serving
+    streams scenes with no per-scene barrier), so the per-scene reading is
+    ``T_dev + RTT/iters``. The iters sweep {2..32} fits T_dev within 2% and
+    an RTT matching the independently measured tunnel round trip on BOTH
+    scene executables. iters=16 keeps the reported number a direct
+    measurement (not a fit) while holding the barrier share under 2 ms.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -340,10 +350,10 @@ def _measure_pipeline(
     out, _ = fn(engine.params, engine.state, depth_dev, dem_dev, idx)
     float(jnp.sum(out.astype(jnp.float32)))  # warm-up + force
     # Queue several scene executions per scalar readback: the readback's
-    # ~25 ms tunnel round trip is a harness artifact (measured in
-    # bin/profile_scene.py), not part of the pipeline; queued dispatch
+    # ~27 ms tunnel round trip is a harness artifact (measured in
+    # bin/barrier_sweep.py), not part of the pipeline; queued dispatch
     # mirrors steady-state serving where scenes stream back to back.
-    iters = 4
+    iters = 16
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
