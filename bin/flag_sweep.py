@@ -51,7 +51,8 @@ def child() -> int:
     bucket, content = (4096, 4096), 3840
     grid_full = build_window_grid(bucket[0], bucket[1], tile, tile)
     capacity = len(grid_full["y0"])
-    grid = build_window_grid(content, content, tile, tile)
+    pad = -(-content // tile) * tile  # disjoint grid: pad like run_scene
+    grid = build_window_grid(min(bucket[0], pad), min(bucket[1], pad), tile, tile)
     idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, capacity))
     rng = np.random.default_rng(0)
     dem = jnp.asarray(rng.normal(300, 20, bucket).astype(np.float32))

@@ -83,7 +83,11 @@ def main() -> int:
         grid_full = build_window_grid(bucket[0], bucket[1], tile, stride)
         chunk = choose_scene_chunk(len(grid_full["y0"]), 128)
         capacity = -(-len(grid_full["y0"]) // chunk) * chunk
-        grid = build_window_grid(content, content, tile, stride)
+        # Pad content to tile multiples (as run_scene does): the hard
+        # mosaic requires a DISJOINT grid — an unpadded 3840 extent at
+        # stride 512 gets a clamped trailing start overlapping by 256 px.
+        pad = -(-content // tile) * tile
+        grid = build_window_grid(min(bucket[0], pad), min(bucket[1], pad), tile, stride)
         idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
         fn, _ = build_scene_executor(
             cfg, scene_shape=bucket, capacity=capacity, overlap_hr=overlap,

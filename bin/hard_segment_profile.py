@@ -54,7 +54,8 @@ def main() -> int:
     grid_full = build_window_grid(bucket[0], bucket[1], tile, stride)
     capacity = len(grid_full["y0"])  # 64 — chunk == capacity, zero dummies
     chunk = capacity
-    grid = build_window_grid(content, content, tile, stride)
+    pad = -(-content // tile) * tile  # disjoint grid: pad like run_scene
+    grid = build_window_grid(min(bucket[0], pad), min(bucket[1], pad), tile, stride)
     idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
 
     rng = np.random.default_rng(0)
@@ -107,7 +108,7 @@ def main() -> int:
 
     def full(chunk_w: int):
         cap = -(-capacity // chunk_w) * chunk_w
-        g = build_window_grid(content, content, tile, stride)
+        g = build_window_grid(min(bucket[0], pad), min(bucket[1], pad), tile, stride)
         ix = jax.tree.map(jnp.asarray, pack_scene_indices(g, cap, chunk_w))
         fn, _ = build_scene_executor(
             cfg, scene_shape=bucket, capacity=cap, overlap_hr=0,

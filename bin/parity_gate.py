@@ -124,7 +124,14 @@ def main() -> int:
             print(f"# {name}: rmse={rmse:.2e} max={max_abs:.2e} "
                   f"pass={rmse <= GATE_RMSE_M}", file=sys.stderr)
 
-    result["pass"] = all(c["pass"] for c in result["cases"].values())
+    # Zero discovered cases must FAIL (all() over an empty dict is True):
+    # a stripped checkout or a data-dir rename would otherwise produce a
+    # vacuous passing artifact with no evidence behind it.
+    if not result["cases"]:
+        result["pass"] = False
+        result["error"] = "no golden cases discovered under tests/data"
+    else:
+        result["pass"] = all(c["pass"] for c in result["cases"].values())
     args.out.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     return 0 if result["pass"] else 1

@@ -167,6 +167,7 @@ def _open_asset_window(
     href: str,
     bounds: tuple[float, float, float, float] | None,
     logger: logging.Logger | None = None,
+    expect_crs: str | None = None,
 ) -> tuple[np.ndarray, float | None, dict] | None:
     """Read the part of an asset intersecting ``bounds`` (asset-CRS coords).
 
@@ -181,6 +182,18 @@ def _open_asset_window(
     from floodsr_tpu.io.geotiff import open_raster_window_reader
 
     reader, nodata, profile = open_raster_window_reader(href, transport=_TRANSPORT)
+    if expect_crs is not None:
+        # CRS must be checked BEFORE the bounds intersection: the window
+        # math below compares asset-CRS pixel coordinates against depth-CRS
+        # bounds, so a cross-CRS asset could "miss" the bounds numerically
+        # and be silently skipped instead of rejected loudly.
+        crs = profile.get("crs")
+        assert crs is not None, f"asset CRS is required: {href}"
+        if crs != expect_crs:
+            raise AssertionError(
+                f"asset CRS {crs} != depth CRS {expect_crs}: cross-CRS asset "
+                f"reprojection is not supported by the offline warp: {href}"
+            )
     if bounds is None:
         return reader.read_full(), nodata, profile
     t = profile["transform"]
@@ -235,18 +248,11 @@ def write_dem_from_asset_hrefs(
     out_path = Path(output_fp).expanduser().resolve()
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
-    lead = _open_asset_window(asset_hrefs[0], fp.bounds, log)
+    lead = _open_asset_window(asset_hrefs[0], fp.bounds, log, expect_crs=fp.crs)
     assert lead is not None, (
         f"lead asset does not overlap depth bounds {fp.bounds}: {asset_hrefs[0]}"
     )
     lead_arr, lead_nodata, lead_profile = lead
-    lead_crs = lead_profile["crs"]
-    assert lead_crs is not None, f"asset CRS is required: {asset_hrefs[0]}"
-    if lead_crs != fp.crs:
-        raise AssertionError(
-            f"asset CRS {lead_crs} != depth CRS {fp.crs}: cross-CRS asset "
-            "reprojection is not supported by the offline warp"
-        )
     lead_t = lead_profile["transform"]
     res_x, res_y = abs(float(lead_t.a)), abs(float(lead_t.e))
     assert res_x > 0 and res_y > 0
@@ -263,13 +269,13 @@ def write_dem_from_asset_hrefs(
     covered = np.zeros((height, width), dtype=bool)
     pending = [(lead_arr, lead_nodata, lead_profile)] + [None] * (len(asset_hrefs) - 1)
     for i, href in enumerate(asset_hrefs):
-        opened = pending[i] or _open_asset_window(href, fp.bounds, log)
+        opened = pending[i] or _open_asset_window(
+            href, fp.bounds, log, expect_crs=fp.crs
+        )
         if opened is None:
             log.debug("asset outside depth bounds, skipped: %s", href)
             continue
         arr, src_nodata, src_profile = opened
-        if i > 0:
-            assert src_profile["crs"] == fp.crs, f"asset CRS mismatch: {href}"
         warped = reproject_bilinear(
             arr,
             src_profile["transform"],

@@ -536,6 +536,8 @@ class EngineJAX(EngineBase):
         # Static tile budget: the bucket's own grid size, chunk-rounded.
         capacity = -(-bucket_grid_n // chunk) * chunk
 
+        from floodsr_tpu.engine.scene import select_mosaic_mode
+
         key = (
             "scene",
             bucket,
@@ -545,6 +547,11 @@ class EngineJAX(EngineBase):
             float(max_depth),
             float(dem_pct_clip),
             self.output_transfer,
+            # Trace-time inputs that change the compiled program but not the
+            # geometry: the mosaic formulation (env-overridable for A/B
+            # studies) must key the cache or a toggled override would keep
+            # executing the stale formulation.
+            select_mosaic_mode(int(overlap_hr)),
         )
         fn = self._jit_cache.get(key)
         if fn is None:
@@ -633,8 +640,12 @@ class EngineJAX(EngineBase):
                 fn,
                 example,
                 artifact_digest=digest,
+                # chunk is NOT in `key` (equal capacities can come from
+                # different chunk widths, giving different idx avals) — it
+                # must key the serialized executable or two scene_chunk
+                # configs would thrash each other's cache entries.
                 config_repr=repr(key) + repr(self.precision_policy)
-                + repr(self.scene_trunk_chunk),
+                + repr(self.scene_trunk_chunk) + f"|chunk={chunk}",
             )
         except Exception as err:  # noqa: BLE001 - cache must never break runs
             self.log.info(f"AOT executable cache unavailable: {err}")
@@ -756,6 +767,10 @@ class EngineJAX(EngineBase):
         content_h = min(bucket[0], -(-crop_h // tile) * tile)
         content_w = min(bucket[1], -(-crop_w // tile) * tile)
         grid = build_window_grid(content_h, content_w, tile, int(stride_hr))
+        if int(overlap_hr) == 0:
+            from floodsr_tpu.engine.scene import validate_hard_grid
+
+            validate_hard_grid(grid, tile)
         n = len(grid["y0"])
         idx = jax.tree.map(jnp.asarray, pack_scene_indices(grid, capacity, chunk))
 
@@ -864,7 +879,11 @@ class EngineJAX(EngineBase):
             k: jax.device_put(v, shardings[k]) for k, v in banded_np.items()
         }
         bands, stats = fn(self.params, self.state, banded)
-        out = np.asarray(bands).reshape(bucket)
+        # Merge [dp, band, W] → [H, W] ON DEVICE (row-sharded layout is
+        # preserved, no cross-shard movement); pulling to host here would
+        # round-trip the full bucket through the tunnel just for
+        # _finish_scene to pull it down a second time.
+        out = bands.reshape(bucket)
         stats_np = np.asarray(stats)  # [dp, cap, 3] band-grouped
 
         # Reassemble per-tile stats into grid order via the slot map.
@@ -875,7 +894,7 @@ class EngineJAX(EngineBase):
             grid_stats[sel[live]] = stats_np[d][live]
 
         out_np = self._finish_scene(
-            jax.device_put(out),
+            out,
             crop_shape=(crop_h, crop_w),
             max_depth=float(max_depth),
             post_resample=post_resample,

@@ -114,6 +114,40 @@ def choose_scene_chunk(grid_n: int, max_chunk: int = 128) -> int:
     return best[1]
 
 
+def select_mosaic_mode(overlap_hr: int) -> str:
+    """Mosaic accumulator formulation for ``overlap_hr`` (env-overridable).
+
+    Part of the executor's compile identity: callers that cache compiled
+    scene functions (``EngineJAX._jit_cache``, the AOT executable cache)
+    must include this in their cache key, since
+    ``FLOODSR_SCENE_GENERAL_MOSAIC`` is read at trace time.
+    """
+    import os
+
+    if os.environ.get("FLOODSR_SCENE_GENERAL_MOSAIC"):
+        return "general"
+    return "hard" if int(overlap_hr) == 0 else "separable"
+
+
+def validate_hard_grid(grid: dict[str, np.ndarray | int], tile: int) -> None:
+    """Require a disjoint tile grid (the ``hard`` mosaic's invariant).
+
+    The hard fast path skips the weight-sum normalization because disjoint
+    full-weight tiles always sum to weight 1.0 under covered pixels. A grid
+    with a clamped trailing start (content not a stride multiple) overlaps
+    its last two tiles, which would silently DOUBLE depths in the seam band
+    — callers must pad content to tile multiples first (``run_scene`` does).
+    """
+    for axis in ("y0", "x0"):
+        starts = np.unique(np.asarray(grid[axis], np.int64))
+        if starts.size > 1 and np.min(np.diff(starts)) < tile:
+            raise ValueError(
+                f"hard (overlap-0) mosaic requires disjoint tiles; {axis} "
+                f"starts {starts.tolist()} overlap at tile={tile}. Pad the "
+                f"content extent to a tile multiple before building the grid."
+            )
+
+
 def resolve_chunk(chunk: int, mesh=None, batch_axis: str = "dp") -> int:
     """The executor's actual per-step tile chunk (mesh-divisible when sharded)."""
     chunk = int(chunk)
@@ -235,14 +269,10 @@ def build_scene_executor(
     # - ``general``: the direct 2-D weight-sum accumulation.
     #   FLOODSR_SCENE_GENERAL_MOSAIC=1 forces it (A/B studies + the
     #   equality tests rely on the override).
-    import os as _os
-
-    if _os.environ.get("FLOODSR_SCENE_GENERAL_MOSAIC"):
-        mosaic_mode = "general"
-    elif int(overlap_hr) == 0:
-        mosaic_mode = "hard"
-    else:
-        mosaic_mode = "separable"
+    #
+    # The hard path additionally requires a DISJOINT tile grid — callers
+    # validate their content grids with :func:`validate_hard_grid`.
+    mosaic_mode = select_mosaic_mode(overlap_hr)
 
     def _mosaic_accumulate(carry, chunk_idx, pred_m):
         y0c = chunk_idx["y0"]

@@ -73,6 +73,9 @@ _FIELD_TYPES = {
 
 #: classic-TIFF offsets overflow past this; auto-switch to BigTIFF above it.
 _CLASSIC_TIFF_LIMIT = (1 << 32) - (1 << 16)
+# Hard ceiling for any 32-bit file offset in a classic container (close()
+# checks real offsets against it; module-level so tests can shrink it).
+_MAX_CLASSIC_OFFSET = (1 << 32) - 1
 
 _LZW_CLEAR = 256
 _LZW_EOI = 257
@@ -667,8 +670,13 @@ class StripStreamWriter:
             # Compressed strips can't be sized up front; the uncompressed
             # bound decides (conservative — a BigTIFF container is always
             # readable back, a classic one that overflows is not writable).
+            # LZW can EXPAND incompressible data (9-12-bit codes for 8-bit
+            # bytes, ≤1.5×), so the bound carries that factor — mirroring
+            # GDAL's BIGTIFF=IF_SAFER. close() still hard-checks the real
+            # offsets.
+            expansion = 1.5 if compression != COMPRESSION_NONE else 1.0
             bigtiff = (
-                self._height * self._width * itemsize + (1 << 20)
+                self._height * self._width * itemsize * expansion + (1 << 20)
                 > _CLASSIC_TIFF_LIMIT
             )
         self._bigtiff = bool(bigtiff)
@@ -715,11 +723,6 @@ class StripStreamWriter:
         endian = "<"
         bigtiff = self._bigtiff
         off_ftype = 16 if bigtiff else 4
-        if not bigtiff and self._offsets and self._offsets[-1] > (1 << 32) - 1:
-            self._handle.close()
-            raise ValueError(
-                "strip offsets overflow classic TIFF; construct with bigtiff=True"
-            )
         tags: list[tuple[int, int, tuple | str]] = [
             (TAG_IMAGE_WIDTH, 4, (self._width,)),
             (TAG_IMAGE_LENGTH, 4, (self._height,)),
@@ -742,9 +745,33 @@ class StripStreamWriter:
             self._handle.write(b"\0")
         ifd_offset = self._handle.tell()
         payload_base = ifd_offset + _ifd_size(tags, bigtiff)
-        ifd, payloads = _serialize_ifd(
-            tags, bigtiff=bigtiff, payload_base=payload_base
-        )
+        # Classic-TIFF overflow must cover EVERY 32-bit offset the file will
+        # contain — strip offsets, the IFD pointer, and the IFD's
+        # out-of-line payload offsets (which sit past payload_base, i.e.
+        # after all strip data) — not just the last strip; and it must fail
+        # as a clean exception BEFORE any IFD byte lands, never a corrupt
+        # file. struct.error surfaces any offset _ifd_size's estimate
+        # missed.
+        try:
+            if not bigtiff and payload_base > _MAX_CLASSIC_OFFSET:
+                raise ValueError(
+                    "file offsets overflow classic TIFF (4 GiB); construct "
+                    "with bigtiff=True"
+                )
+            ifd, payloads = _serialize_ifd(
+                tags, bigtiff=bigtiff, payload_base=payload_base
+            )
+            if not bigtiff and payload_base + len(payloads) > _MAX_CLASSIC_OFFSET:
+                raise ValueError(
+                    "file offsets overflow classic TIFF (4 GiB); construct "
+                    "with bigtiff=True"
+                )
+        except (ValueError, struct.error) as err:
+            self._handle.close()
+            raise ValueError(
+                f"cannot finalize classic TIFF past the 4 GiB offset limit "
+                f"(use bigtiff=True): {err}"
+            ) from None
         self._handle.write(ifd)
         self._handle.write(payloads)
         # Backpatch the header's IFD pointer.

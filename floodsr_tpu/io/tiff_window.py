@@ -31,11 +31,6 @@ from floodsr_tpu.io import tiff as _tiff
 _COALESCE_GAP = 64 * 1024
 _HEAD_BYTES = 64 * 1024
 
-# BigTIFF field types (in addition to _tiff._FIELD_TYPES)
-_BIG_FIELD_TYPES = dict(_tiff._FIELD_TYPES)
-_BIG_FIELD_TYPES.update({16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)})
-
-
 class FileByteSource:
     """Random-access reads from a local file."""
 
@@ -167,7 +162,8 @@ class TiffWindowReader:
             entry_size, table_off = 12, ifd_offset + 2
         table = self._get(table_off, int(num_entries) * entry_size)
 
-        field_types = _BIG_FIELD_TYPES if self.bigtiff else _tiff._FIELD_TYPES
+        # _tiff._FIELD_TYPES already carries the BigTIFF types (16/17/18).
+        field_types = _tiff._FIELD_TYPES
         inline_cap = 8 if self.bigtiff else 4
         tags: dict[int, object] = {}
         for i in range(int(num_entries)):
@@ -254,7 +250,7 @@ class TiffWindowReader:
         fetched; out-of-bounds parts of the request are clipped. Returns
         ``[h, w]`` for single-sample rasters, ``[h, w, s]`` otherwise.
         """
-        page = self._source_page = self.page
+        page = self.page
         row0 = max(0, int(row_off))
         col0 = max(0, int(col_off))
         row1 = min(page.height, int(row_off) + int(height))

@@ -175,6 +175,39 @@ class TestHrdemFetch:
         assert valid.mean() > 0.95
         assert profile["crs"].epsg == 3979
 
+    def test_cross_crs_asset_rejected_even_outside_bounds(
+        self, lowres_and_asset, tmp_path
+    ):
+        """CRS mismatch must raise BEFORE the bounds-intersection skip.
+
+        The window math compares asset-CRS pixel coordinates against
+        depth-CRS bounds, so a cross-CRS asset whose numeric coordinates
+        miss the bounds would otherwise be skipped silently ("outside
+        depth bounds") and real DEM data would drop out of the mosaic.
+        """
+        lr_fp, asset_fp = lowres_and_asset
+        # Far-away UTM asset: numerically disjoint from the EPSG:3979 bounds.
+        wrong = (400 + np.zeros((50, 50))).astype(np.float32)
+        wrong_fp = tmp_path / "wrong_crs_dtm.tif"
+        write_raster(
+            wrong_fp, wrong,
+            {
+                "height": 50, "width": 50, "count": 1, "dtype": "float32",
+                "crs": "EPSG:32633", "nodata": -32767.0,
+                "transform": from_origin(500000.0, 4000000.0, 1.0, 1.0),
+                "compress": "LZW",
+            },
+        )
+        with pytest.raises(AssertionError, match="CRS"):
+            hrdem_stac.write_dem_from_asset_hrefs(
+                lr_fp, [str(asset_fp), str(wrong_fp)], tmp_path / "out.tif"
+            )
+        # Cross-CRS lead asset also names the real problem.
+        with pytest.raises(AssertionError, match="CRS"):
+            hrdem_stac.write_dem_from_asset_hrefs(
+                lr_fp, [str(wrong_fp)], tmp_path / "out2.tif"
+            )
+
     def test_fetch_via_injected_stac_transport(self, lowres_and_asset, tmp_path):
         lr_fp, asset_fp = lowres_and_asset
         requests = []

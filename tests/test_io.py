@@ -453,6 +453,54 @@ class TestBigTiff:
         finally:
             s._handle.close()
 
+    def test_stream_writer_classic_overflow_raises_cleanly(
+        self, tmp_path, rng, monkeypatch
+    ):
+        """Offsets past the classic 32-bit limit fail as a clean ValueError.
+
+        The check covers the IFD and its out-of-line payload offsets (which
+        land AFTER the strip data), not just the last strip — shrunk limit
+        stands in for a real 4 GiB file. The failure must be an exception,
+        never a half-written IFD or struct.error.
+        """
+        from floodsr_tpu.io import tiff as tiff_mod
+        from floodsr_tpu.io.tiff import StripStreamWriter
+
+        arr = rng.normal(0, 1, (64, 64)).astype(np.float32)
+        fp = tmp_path / "overflow.tif"
+        # Strip data fits under the shrunk limit; the trailing IFD does not.
+        w = StripStreamWriter(fp, 64, 64, np.float32, bigtiff=False)
+        w.write_rows(arr)
+        monkeypatch.setattr(
+            tiff_mod, "_MAX_CLASSIC_OFFSET", w._handle.tell() + 8
+        )
+        with pytest.raises(ValueError, match="classic TIFF"):
+            w.close()
+        assert w._handle.closed
+
+    def test_stream_writer_auto_heuristic_carries_lzw_expansion(self, tmp_path):
+        """LZW can EXPAND incompressible data; the auto-BigTIFF bound must
+        carry that factor (GDAL BIGTIFF=IF_SAFER behavior) so a ~3.5 GB
+        uncompressed scene of incompressible data cannot overflow classic."""
+        from floodsr_tpu.io.tiff import COMPRESSION_NONE, StripStreamWriter
+
+        # ~3.44 GiB uncompressed: under the classic limit alone, over it
+        # with the 1.5x LZW expansion bound.
+        h, w_ = 34000, 27160
+        w = StripStreamWriter(tmp_path / "mid.tif", h, w_, np.float32)
+        try:
+            assert w._bigtiff is True
+        finally:
+            w._handle.close()
+        u = StripStreamWriter(
+            tmp_path / "mid_u.tif", h, w_, np.float32,
+            compression=COMPRESSION_NONE,
+        )
+        try:
+            assert u._bigtiff is False  # uncompressed size is exact
+        finally:
+            u._handle.close()
+
     def test_sparse_over_4gib_offsets_window_read(self, tmp_path, rng):
         """Chunks relocated past 4 GiB (sparse file) read back correctly —
         the 8-byte-offset path is exercised with real >2^32 values."""

@@ -93,3 +93,38 @@ def test_separable_feather_uncovered_region_is_zero(monkeypatch):
     out, _ = _run((96, 64), 2, "float32", False, monkeypatch, overlap=8)
     assert np.all(out[-CFG.hr_tile:, :] == 0.0)
     assert np.any(out[: -CFG.hr_tile, :] != 0.0)
+
+
+def test_validate_hard_grid_rejects_clamped_overlap():
+    """An unpadded extent gets a clamped trailing start — hard must reject it.
+
+    The hard fast path would silently double depths in the overlap band
+    (no weight-sum normalization); ``run_scene`` pads content to tile
+    multiples before building the grid, and validates.
+    """
+    from floodsr_tpu.engine.scene import validate_hard_grid
+
+    tile = CFG.hr_tile
+    ok = build_window_grid(4 * tile, 4 * tile, tile, tile)
+    validate_hard_grid(ok, tile)  # disjoint: no raise
+
+    clamped = build_window_grid(3 * tile + tile // 2, 4 * tile, tile, tile)
+    with pytest.raises(ValueError, match="disjoint"):
+        validate_hard_grid(clamped, tile)
+
+
+def test_mosaic_mode_keys_engine_scene_cache(monkeypatch):
+    """Toggling FLOODSR_SCENE_GENERAL_MOSAIC must not reuse a stale executable.
+
+    The env var is read at trace time, so it is part of the executor's
+    compile identity; ``EngineJAX.scene_executor``'s cache key carries
+    ``select_mosaic_mode`` for exactly this reason.
+    """
+    from floodsr_tpu.engine.scene import select_mosaic_mode
+
+    monkeypatch.delenv("FLOODSR_SCENE_GENERAL_MOSAIC", raising=False)
+    assert select_mosaic_mode(0) == "hard"
+    assert select_mosaic_mode(32) == "separable"
+    monkeypatch.setenv("FLOODSR_SCENE_GENERAL_MOSAIC", "1")
+    assert select_mosaic_mode(0) == "general"
+    assert select_mosaic_mode(32) == "general"
