@@ -515,7 +515,13 @@ def _build_tohr_parser(subparsers) -> None:
     )
     p.add_argument(
         "--tile-size", type=int, default=None,
-        help="LR tile size; must equal the model's LR input size.",
+        help=(
+            "LR inference window size. Defaults to the model's trained LR "
+            "tile. Native JAX artifacts are fully convolutional: any "
+            "multiple of 2^levels runs the same weights at a different "
+            "window size (larger windows cut feather overlap recompute; "
+            "quality vs window size: docs/perf/tile_size_study)."
+        ),
     )
 
 

@@ -476,7 +476,51 @@ class EngineJAX(EngineBase):
             "runtime_s": float(runtime_s),
         }
 
-    def scene_bucket_for(self, crop_shape: tuple[int, int]) -> tuple[int, int]:
+    def supports_tile_override(self) -> bool:
+        """Whether inference-time window-size override is available.
+
+        The native ResUNet forward is fully convolutional — the same trained
+        weights apply at any LR window size whose spatial dims divide by
+        ``2^levels`` (something the reference's fixed-shape tf2onnx graph
+        structurally cannot do). ONNX graph-executor paths replay a
+        fixed-shape IR, so they keep the contract tile.
+        """
+        return (
+            self.config is not None
+            and getattr(self, "_forward_override", None) is None
+        )
+
+    def scene_config(self, tile_lr: "int | None" = None) -> ResUNetConfig:
+        """The config driving scene windowing — contract tile or an override.
+
+        ``tile_lr`` (LR px) != the artifact's trained tile runs the SAME
+        weights convolutionally at a different window size. Larger windows
+        shrink the feather overlap-recompute factor and improve MXU shapes;
+        per-window DEM percentile normalization follows the window, so
+        quality at non-trained sizes is an empirical question —
+        ``docs/perf/tile_size_study`` measures it.
+        """
+        assert self.config is not None
+        cfg = self.config
+        if tile_lr is None or int(tile_lr) == cfg.lr_tile:
+            return cfg
+        tile_lr = int(tile_lr)
+        assert self.supports_tile_override(), (
+            "tile-size override requires the fully-convolutional native "
+            "ResUNet path; ONNX graph executors have fixed-shape graphs"
+        )
+        divisor = 2 ** cfg.levels
+        assert tile_lr >= divisor and tile_lr % divisor == 0, (
+            f"tile_size override {tile_lr} must be a positive multiple of "
+            f"2^levels={divisor} (UNet skip shapes)"
+        )
+        import dataclasses as _dc
+
+        return _dc.replace(cfg, lr_tile=tile_lr)
+
+    def scene_bucket_for(
+        self, crop_shape: tuple[int, int], tile_lr: "int | None" = None
+    ) -> tuple[int, int]:
         """The bucket extent (HR px) whose executable serves ``crop_shape``.
 
         Scenes are padded up to a quantum of ``scene_bucket_tiles`` model
@@ -486,8 +530,7 @@ class EngineJAX(EngineBase):
         the padding overhead is bounded compute at worst
         ``(quantum-1)`` extra HR rows/cols per axis.
         """
-        assert self.config is not None
-        tile = self.config.hr_tile
+        tile = self.scene_config(tile_lr).hr_tile
         quantum = max(1, int(self.scene_bucket_tiles)) * tile
 
         def up(v: int) -> int:
@@ -504,6 +547,7 @@ class EngineJAX(EngineBase):
         overlap_hr: int,
         max_depth: float,
         dem_pct_clip: float,
+        tile_lr: "int | None" = None,
     ):
         """Get-or-build the compiled scene executable serving ``crop_shape``.
 
@@ -517,9 +561,11 @@ class EngineJAX(EngineBase):
         assert self.params is not None and self.config is not None, (
             "engine must be loaded before inference"
         )
-        cfg = self.config
+        cfg = self.scene_config(tile_lr)
         tile = cfg.hr_tile
-        bucket = self.scene_bucket_for((int(crop_shape[0]), int(crop_shape[1])))
+        bucket = self.scene_bucket_for(
+            (int(crop_shape[0]), int(crop_shape[1])), tile_lr
+        )
         bucket_grid_n = len(
             build_window_grid(bucket[0], bucket[1], tile, int(stride_hr))["y0"]
         )
@@ -532,7 +578,7 @@ class EngineJAX(EngineBase):
         else:
             from floodsr_tpu.engine.scene import choose_scene_chunk
 
-            chunk = choose_scene_chunk(bucket_grid_n, self.scene_chunk)
+            chunk = choose_scene_chunk(bucket_grid_n, self.scene_chunk, tile_hr=tile)
         # Static tile budget: the bucket's own grid size, chunk-rounded.
         capacity = -(-bucket_grid_n // chunk) * chunk
 
@@ -550,13 +596,16 @@ class EngineJAX(EngineBase):
             # Trace-time inputs that change the compiled program but not the
             # geometry: the mosaic formulation (env-overridable for A/B
             # studies) must key the cache or a toggled override would keep
-            # executing the stale formulation.
+            # executing the stale formulation. The window tile also keys the
+            # cache (a tile-size override changes the gather/forward shapes
+            # even when bucket/capacity/stride coincide).
             select_mosaic_mode(int(overlap_hr)),
+            tile,
         )
         fn = self._jit_cache.get(key)
         if fn is None:
             fn, chunk = build_scene_executor(
-                cfg,
+                cfg,  # the scene_config — carries a tile override when given
                 scene_shape=bucket,
                 capacity=capacity,
                 overlap_hr=int(overlap_hr),
@@ -660,6 +709,7 @@ class EngineJAX(EngineBase):
         max_depth: float,
         dem_pct_clip: float,
         execute: bool = True,
+        tile_lr: "int | None" = None,
     ) -> int:
         """Precompile (and optionally pre-execute) scene buckets at boot.
 
@@ -673,7 +723,7 @@ class EngineJAX(EngineBase):
         from floodsr_tpu.tiling import build_window_grid
 
         assert self.config is not None
-        cfg = self.config
+        cfg = self.scene_config(tile_lr)
         warmed = set()
         for shape in crop_shapes:
             fn, bucket, capacity, chunk = self.scene_executor(
@@ -682,6 +732,7 @@ class EngineJAX(EngineBase):
                 overlap_hr=overlap_hr,
                 max_depth=max_depth,
                 dem_pct_clip=dem_pct_clip,
+                tile_lr=tile_lr,
             )
             if bucket in warmed:
                 continue
@@ -716,6 +767,7 @@ class EngineJAX(EngineBase):
         post_resample=None,
         low_depth_mask_m: float = 1e-3,
         row_sink=None,
+        tile_lr: "int | None" = None,
     ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
         """Fused whole-scene execution: one H2D, one jit region, banded D2H.
 
@@ -742,7 +794,7 @@ class EngineJAX(EngineBase):
         assert self.params is not None and self.config is not None, (
             "engine must be loaded before inference"
         )
-        cfg = self.config
+        cfg = self.scene_config(tile_lr)
         tile, scale = cfg.hr_tile, cfg.scale
         crop_h, crop_w = int(crop_shape[0]), int(crop_shape[1])
         if self.mesh is not None and self.scene_mode == "banded":
@@ -752,6 +804,7 @@ class EngineJAX(EngineBase):
                 max_depth=max_depth, dem_pct_clip=dem_pct_clip,
                 crop_shape=(crop_h, crop_w), post_resample=post_resample,
                 low_depth_mask_m=low_depth_mask_m, row_sink=row_sink,
+                tile_lr=tile_lr,
             )
         fn, bucket, capacity, chunk = self.scene_executor(
             (crop_h, crop_w),
@@ -759,6 +812,7 @@ class EngineJAX(EngineBase):
             overlap_hr=overlap_hr,
             max_depth=max_depth,
             dem_pct_clip=dem_pct_clip,
+            tile_lr=tile_lr,
         )
 
         # Content grid: tile windows over the crop extent padded to tile
@@ -818,6 +872,7 @@ class EngineJAX(EngineBase):
         post_resample=None,
         low_depth_mask_m: float = 1e-3,
         row_sink=None,
+        tile_lr: "int | None" = None,
     ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
         """Row-band-sharded scene execution for scenes beyond one chip's HBM.
 
@@ -832,11 +887,11 @@ class EngineJAX(EngineBase):
         )
         from floodsr_tpu.tiling import build_window_grid
 
-        cfg = self.config
+        cfg = self.scene_config(tile_lr)
         tile, scale = cfg.hr_tile, cfg.scale
         crop_h, crop_w = crop_shape
         n_bands = int(self.mesh.shape[self.batch_axis])
-        bucket = self.scene_bucket_for((crop_h, crop_w))
+        bucket = self.scene_bucket_for((crop_h, crop_w), tile_lr)
         # Bands must divide the bucket rows and hold ≥ 1 tile each.
         quantum = n_bands * tile
         bucket = (-(-bucket[0] // quantum) * quantum, bucket[1])
@@ -844,7 +899,7 @@ class EngineJAX(EngineBase):
 
         key = ("scene-banded", bucket, int(stride_hr), int(overlap_hr),
                float(max_depth), float(dem_pct_clip), self.output_transfer,
-               chunk)
+               chunk, tile)
         fn = self._jit_cache.get(key)
         if fn is None:
             fn, _ = build_banded_scene_executor(

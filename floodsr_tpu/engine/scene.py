@@ -92,25 +92,33 @@ def _feather_weights_chunk(
 _CHUNK_COST_MS_PER_TILE = {8: 0.894, 16: 0.839, 32: 0.766, 64: 0.728, 128: 0.674}
 
 
-def choose_scene_chunk(grid_n: int, max_chunk: int = 128) -> int:
+def choose_scene_chunk(grid_n: int, max_chunk: int = 128, tile_hr: int = 512) -> int:
     """Tail-chunk width minimizing ``capacity × per-tile cost``.
 
     ``capacity = ceil(grid_n / chunk) · chunk`` pads the tile budget with
     computed dummies, so a wide chunk on a small grid can cost more than it
     saves (an 81-tile grid at chunk 128 computes 47 dummies — 58% waste).
     Ties prefer the wider chunk.
+
+    The measured cost curve is for 512²-HR tiles; with a LARGER inference
+    window (tile-size override) each candidate chunk width shrinks by the
+    area ratio so a scan step covers roughly the same output area (and the
+    same activation footprint). Tiles at or below 512 keep the table as-is
+    (existing behavior; small-tile grids are small anyway).
     """
     grid_n = max(1, int(grid_n))
+    area_ratio = max(1.0, (int(tile_hr) / 512.0) ** 2)
     best = None
     for c, wt in _CHUNK_COST_MS_PER_TILE.items():
         if c > max_chunk and best is not None:
             continue
-        cap = -(-grid_n // c) * c
-        cost = cap * wt
+        cw = max(1, int(round(c / area_ratio)))
+        cap = -(-grid_n // cw) * cw
+        cost = cap * wt * area_ratio
         if best is None or cost < best[0] - 1e-9 or (
-            abs(cost - best[0]) < 1e-9 and c > best[1]
+            abs(cost - best[0]) < 1e-9 and cw > best[1]
         ):
-            best = (cost, c)
+            best = (cost, cw)
     return best[1]
 
 

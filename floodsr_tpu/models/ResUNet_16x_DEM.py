@@ -196,6 +196,7 @@ class ModelWorker(Model):
         tile_overlap: int | None = None,
         max_depth: float | None = None,
         dem_pct_clip: float | None = None,
+        tile_size: int | None = None,
     ) -> int:
         """Precompile the scene executables for expected HR scene extents.
 
@@ -213,8 +214,11 @@ class ModelWorker(Model):
         contract = self.engine.contract
         assert contract is not None
         scale = int(contract.scale)
-        hr_tile = int(contract.dem_hr_hwc[0])
-        lr_tile = int(contract.depth_lr_hwc[0])
+        lr_tile = (
+            int(tile_size) if tile_size is not None
+            else int(contract.depth_lr_hwc[0])
+        )
+        hr_tile = lr_tile * scale
         overlap_lr = int(tile_overlap) if tile_overlap is not None else lr_tile // 4
         if window_method == "hard":
             stride_hr, weight_overlap = hr_tile, 0
@@ -227,6 +231,7 @@ class ModelWorker(Model):
             overlap_hr=weight_overlap,
             max_depth=float(preprocess_cfg["max_depth"]),
             dem_pct_clip=float(preprocess_cfg["dem_pct_clip"]),
+            tile_lr=lr_tile if tile_size is not None else None,
         )
 
     def run_many(self, jobs, **shared_kwargs) -> list[dict]:
@@ -319,7 +324,7 @@ class ModelWorker(Model):
 
         # Tile grid + bucket padding are owned by the engine (one compiled
         # scene executable per bucket geometry, not per raw scene shape).
-        bucket = self.engine.scene_bucket_for((crop_h, crop_w))
+        bucket = self.engine.scene_bucket_for((crop_h, crop_w), model_lr_tile)
         n_tiles = len(
             build_window_grid(bucket[0], bucket[1], contract_hr_tile, stride_hr)["y0"]
         )
@@ -340,6 +345,7 @@ class ModelWorker(Model):
             post_resample=post_resample,
             low_depth_mask_m=float(self.low_depth_mask_m),
             row_sink=row_sink,
+            tile_lr=model_lr_tile,
         )
 
         # Diagnostics reflect content tiles (the engine drops pure-padding
@@ -474,21 +480,32 @@ class ModelWorker(Model):
             )
             model_lr_tile = contract_lr_tile
 
+        tile_override = False
         if tile_size is not None:
             tile_size = int(tile_size)
             if tile_size != contract_lr_tile:
-                raise AssertionError(
-                    f"tile_size override {tile_size} does not match model LR tile {contract_lr_tile}"
-                )
+                # Fully-convolutional window override: the native JAX
+                # ResUNet applies the SAME trained weights at any LR window
+                # divisible by 2^levels (the reference's fixed-shape tf2onnx
+                # graph cannot). Larger windows cut the feather
+                # overlap-recompute factor and improve MXU shapes; per-window
+                # DEM normalization follows the window — quality vs window
+                # size is measured in docs/perf/tile_size_study.json.
+                # scene_config raises a clear error for graph-executor
+                # models or non-divisible sizes.
+                self.engine.scene_config(tile_size)
+                tile_override = True
             model_lr_tile = tile_size
 
-        if model_lr_tile * model_scale != contract_hr_tile:
+        if not tile_override and model_lr_tile * model_scale != contract_hr_tile:
             raise AssertionError(
                 f"model tile mismatch: LR tile {model_lr_tile} x scale {model_scale} "
                 f"!= contract HR tile {contract_hr_tile}"
             )
 
-        overlap_lr = int(tile_overlap) if tile_overlap is not None else contract_lr_tile // 4
+        # Reference default overlap = LR tile // 4 (follows the RUN tile so a
+        # window-size override keeps the reference's overlap proportion).
+        overlap_lr = int(tile_overlap) if tile_overlap is not None else model_lr_tile // 4
         if overlap_lr < 0:
             raise AssertionError(f"tile_overlap must be >= 0; got {overlap_lr}")
 
@@ -558,7 +575,8 @@ class ModelWorker(Model):
                         preprocess_cfg=preprocess_cfg,
                         model_lr_tile=model_lr_tile,
                         model_scale=model_scale,
-                        contract_hr_tile=contract_hr_tile,
+                        # The RUN tile (== contract tile unless overridden).
+                        contract_hr_tile=model_lr_tile * model_scale,
                         window_method=window_method,
                         overlap_lr=overlap_lr,
                         post_resample=post_spec,
@@ -631,7 +649,7 @@ class ModelWorker(Model):
                 "window_method": window_method,
                 "tile_overlap_lr": overlap_lr,
                 "tile_size_lr": model_lr_tile,
-                "tile_size_hr": contract_hr_tile,
+                "tile_size_hr": model_lr_tile * model_scale,
                 "model_scale": model_scale,
                 "tile_cache_size": tile_cache_size,
                 "tile_dem_stats": tile_dem_stats,

@@ -344,6 +344,89 @@ class TestEngineRunTiles:
             eng.run_tiles(np.zeros((1, 8, 8), np.float32), np.zeros((1, 32, 32), np.float32))
 
 
+class TestTileSizeOverride:
+    """Fully-convolutional window override (tile_lr != trained tile).
+
+    The native ResUNet applies the same weights at any LR window divisible
+    by 2^levels — the reference's fixed-shape tf2onnx graph cannot. Parity
+    anchor: a scene that is EXACTLY ONE override window must equal the
+    direct normalize → forward → invert → clip composition.
+    """
+
+    def test_single_window_scene_matches_direct_forward(self, tiny_artifact):
+        import jax.numpy as jnp
+
+        from floodsr_tpu.ops.normalize import (
+            invert_depth_log1p,
+            normalize_dem_batch,
+            scale_depth_log1p,
+        )
+
+        tile_lr, scale = 16, TINY_CFG.scale  # one 64x64 HR window
+        crop = (tile_lr * scale, tile_lr * scale)
+        rng = np.random.default_rng(7)
+        depth = rng.uniform(0, 3, (tile_lr, tile_lr)).astype(np.float32)
+        dem = rng.uniform(300, 800, crop).astype(np.float32)
+
+        eng = EngineJAX(tiny_artifact, max_batch=4, output_transfer="float32")
+        out, stats = eng.run_scene(
+            depth, dem, stride_hr=crop[0], overlap_hr=0,
+            max_depth=5.0, dem_pct_clip=95.0, crop_shape=crop,
+            tile_lr=tile_lr, low_depth_mask_m=0.0,
+        )
+        assert len(stats["p_clip"]) == 1  # exactly one window
+
+        depth_n = scale_depth_log1p(jnp.asarray(depth)[None], 5.0)
+        dem_n, _ = normalize_dem_batch(jnp.asarray(dem)[None], 95.0)
+        pred, _ = resunet_apply(
+            *_load_pytrees(tiny_artifact), depth_n[..., None],
+            dem_n[..., None], TINY_CFG, train=False,
+            precision="f32",  # the engine's default policy
+        )
+        expected = np.clip(
+            np.asarray(invert_depth_log1p(pred[0, ..., 0], 5.0)), 0.0, 5.0
+        )
+        # atol 1e-4: the two-phase executor's trunk/tail split reassociates
+        # f32 ops vs the fused apply (measured ~3e-5); far under the 1e-3 m
+        # pipeline gate.
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4, rtol=0)
+        eng.close()
+
+    def test_override_changes_window_count(self, tiny_artifact):
+        rng = np.random.default_rng(8)
+        depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
+        dem = rng.uniform(300, 800, (64, 64)).astype(np.float32)
+        eng = EngineJAX(tiny_artifact, max_batch=4)
+        _, stats8 = eng.run_scene(
+            depth, dem, stride_hr=32, overlap_hr=0,
+            max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
+        )
+        _, stats16 = eng.run_scene(
+            depth, dem, stride_hr=64, overlap_hr=0,
+            max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
+            tile_lr=16,
+        )
+        assert len(stats8["p_clip"]) == 4 and len(stats16["p_clip"]) == 1
+        eng.close()
+
+    def test_non_divisible_override_raises(self, tiny_engine):
+        with pytest.raises(AssertionError, match="2\\^levels"):
+            tiny_engine.scene_config(10)  # divisor is 2^2=4
+
+    def test_graph_executor_rejects_override(self, tiny_engine, monkeypatch):
+        monkeypatch.setattr(
+            tiny_engine, "_forward_override", lambda *a: None, raising=False
+        )
+        assert not tiny_engine.supports_tile_override()
+        with pytest.raises(AssertionError, match="fully-convolutional"):
+            tiny_engine.scene_config(16)
+
+
+def _load_pytrees(artifact_fp):
+    art = load_artifact(artifact_fp)
+    return art["params"], art["state"]
+
+
 class TestRunTilesRefStatsValidation:
     def test_zero_range_ref_stats_raise(self, tiny_engine):
         depth = np.zeros((1, 8, 8), np.float32)

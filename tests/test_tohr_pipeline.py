@@ -58,6 +58,49 @@ class TestTohrNativeScale:
         assert diag["prepared_inputs"]["post_sr_was_resampled"] is False
         assert result["runtime_s"] > 0
 
+    def test_tile_size_override_runs_convolutionally(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        """tile_size != trained tile: same weights, larger windows.
+
+        The fully-convolutional override (impossible on the reference's
+        fixed-shape ONNX graph) must window at the requested size, carry it
+        into the diagnostics, and produce a valid masked/clipped scene.
+        """
+        out_fp = tmp_path / "pred_ts16.tif"
+        result = tohr(
+            model_version="ResUNet_16x_DEM",
+            model_fp=tiny_model_fp,
+            depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+            dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+            output_fp=out_fp,
+            tile_size=16,
+            logger=logger,
+        )
+        pred, _, _ = read_raster(result["output_fp"])
+        assert pred.shape == synthetic_tohr_tiles["hr_shape"]
+        assert np.isfinite(pred).all()
+        assert pred.min() >= 0.0 and pred.max() <= 5.0
+        diag = result["preprocess"]
+        assert diag["tile_size_lr"] == 16
+        assert diag["tile_size_hr"] == 64
+        # 16-LR windows cover the scene with fewer tiles than the trained 8.
+        assert diag["tile_cache_size"] < 25
+
+    def test_tile_size_override_rejects_non_divisible(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        with pytest.raises(AssertionError, match="2\\^levels"):
+            tohr(
+                model_version="ResUNet_16x_DEM",
+                model_fp=tiny_model_fp,
+                depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                output_fp=tmp_path / "bad.tif",
+                tile_size=10,
+                logger=logger,
+            )
+
     def test_dem_device_cache_hit_is_identical_and_invalidates(
         self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
     ):
@@ -203,16 +246,19 @@ class TestTohrNonNativeScale:
 
 
 class TestWorkerValidation:
-    def test_tile_size_mismatch_raises(
+    def test_tile_size_non_divisible_raises(
         self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
     ):
+        # A divisible tile_size != the trained tile is now a supported
+        # convolutional override (TestTohrNativeScale); only sizes that
+        # break the UNet's 2^levels divisibility are rejected.
         with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
-            with pytest.raises(AssertionError):
+            with pytest.raises(AssertionError, match="2\\^levels"):
                 worker.run(
                     depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
                     dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
                     output_fp=tmp_path / "x.tif",
-                    tile_size=16,
+                    tile_size=6,
                 )
 
     def test_bad_window_method_raises(
