@@ -487,14 +487,19 @@ class ModelWorker(Model):
                 # Fully-convolutional window override: the native JAX
                 # ResUNet applies the SAME trained weights at any LR window
                 # divisible by 2^levels (the reference's fixed-shape tf2onnx
-                # graph cannot). Larger windows cut the feather
-                # overlap-recompute factor and improve MXU shapes; per-window
-                # DEM normalization follows the window — quality vs window
-                # size is measured in docs/perf/tile_size_study.json.
-                # scene_config raises a clear error for graph-executor
-                # models or non-divisible sizes.
+                # graph cannot). scene_config raises a clear error for
+                # graph-executor models or non-divisible sizes.
                 self.engine.scene_config(tile_size)
                 tile_override = True
+                log.warning(
+                    f"tile_size={tile_size} differs from the trained LR tile "
+                    f"({contract_lr_tile}): per-window DEM normalization "
+                    "follows the window, which is OFF the training "
+                    "distribution — measured quality degrades sharply at "
+                    "non-trained window sizes and larger windows are not "
+                    "faster (docs/perf/tile_size_study.json). Use the "
+                    "trained tile unless you have re-validated quality."
+                )
             model_lr_tile = tile_size
 
         if not tile_override and model_lr_tile * model_scale != contract_hr_tile:
