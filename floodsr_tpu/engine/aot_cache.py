@@ -32,18 +32,43 @@ log = logging.getLogger(__name__)
 NAMESPACE = "executables"
 
 
+def _cpu_features_digest() -> str:
+    """Hash of the host CPU feature flags (x86 ISA extensions).
+
+    XLA:CPU AOT executables bind the compile host's machine features; a
+    binary from a wider-ISA machine dies at call time on a narrower one
+    ("Buffer Definition Event ... not found" / SIGILL). device_kind for the
+    CPU backend is generic, so the features must key the cache themselves.
+    """
+    import platform
+
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+        return hashlib.sha256(
+            (platform.machine() + "|" + flags).encode()
+        ).hexdigest()[:16]
+    except OSError:  # non-Linux: machine arch only
+        return platform.machine()
+
+
 def _runtime_fingerprint() -> str:
     import jaxlib
 
     dev = jax.devices()[0]
-    return "|".join(
-        [
-            jax.default_backend(),
-            getattr(dev, "device_kind", "unknown"),
-            jax.__version__,
-            getattr(jaxlib, "__version__", "unknown"),
-        ]
-    )
+    parts = [
+        jax.default_backend(),
+        getattr(dev, "device_kind", "unknown"),
+        jax.__version__,
+        getattr(jaxlib, "__version__", "unknown"),
+    ]
+    if jax.default_backend() == "cpu":
+        parts.append(_cpu_features_digest())
+    return "|".join(parts)
 
 
 def cache_key(artifact_digest: str, config_repr: str) -> str:
@@ -128,6 +153,11 @@ def load_or_compile(
                 return state["impl"](*args)
             try:
                 out = state["impl"](*args)
+                # Execution is async: a bad binary (e.g. cross-host machine
+                # features) often surfaces only at materialization, which
+                # would happen OUTSIDE this try. Block once at validation so
+                # the failure is catchable; later calls skip the sync.
+                jax.block_until_ready(out)
                 state["validated"] = True
                 return out
             except Exception as err:  # noqa: BLE001 - fall back to fresh jit

@@ -724,6 +724,54 @@ class EngineJAX(EngineBase):
 
         assert self.config is not None
         cfg = self.scene_config(tile_lr)
+        if self.mesh is not None and self.scene_mode == "banded":
+            # run_scene routes to the banded executor in this mode — warm
+            # THAT executable (different cache key and program than the
+            # replicated one; warming the replicated executor would burn the
+            # compile and still leave the first real request cold).
+            from floodsr_tpu.engine.scene_banded import (
+                banded_in_shardings,
+                pack_banded_scene,
+            )
+            from floodsr_tpu.tiling import build_window_grid
+
+            scale = cfg.scale
+            n_bands = int(self.mesh.shape[self.batch_axis])
+            warmed = set()
+            for shape in crop_shapes:
+                fn, bucket, chunk = self.banded_scene_executor(
+                    (int(shape[0]), int(shape[1])),
+                    stride_hr=stride_hr, overlap_hr=overlap_hr,
+                    max_depth=max_depth, dem_pct_clip=dem_pct_clip,
+                    tile_lr=tile_lr,
+                )
+                if bucket in warmed:
+                    continue
+                warmed.add(bucket)
+                if execute:
+                    # jit is lazy: run once on zeros so the first real
+                    # request pays neither compile nor first dispatch.
+                    grid = build_window_grid(
+                        bucket[0], bucket[1], cfg.hr_tile, int(stride_hr)
+                    )
+                    banded_np = pack_banded_scene(
+                        np.zeros((bucket[0] // scale, bucket[1] // scale), np.float32),
+                        np.zeros(bucket, np.float32),
+                        grid, n_bands=n_bands, tile=cfg.hr_tile, scale=scale,
+                        chunk=chunk,
+                    )
+                    banded_np.pop("grid_slot")
+                    shardings = banded_in_shardings(self.mesh, self.batch_axis)
+                    banded = {
+                        k: jax.device_put(v, shardings[k])
+                        for k, v in banded_np.items()
+                    }
+                    out, _ = fn(self.params, self.state, banded)
+                    jax.block_until_ready(out)
+            self.log.info(
+                f"warmed {len(warmed)} banded scene bucket executable(s)"
+            )
+            return len(warmed)
         warmed = set()
         for shape in crop_shapes:
             fn, bucket, capacity, chunk = self.scene_executor(
@@ -859,6 +907,52 @@ class EngineJAX(EngineBase):
             "dem_max": stats_np[:, 2],
         }
 
+    def banded_scene_executor(
+        self,
+        crop_shape: tuple[int, int],
+        *,
+        stride_hr: int,
+        overlap_hr: int,
+        max_depth: float,
+        dem_pct_clip: float,
+        tile_lr: "int | None" = None,
+    ):
+        """Get-or-build the banded executor for ``crop_shape``; ``(fn, bucket, chunk)``.
+
+        Shared by :meth:`_run_scene_banded` and :meth:`warmup` so a
+        ``scene_mode="banded"`` server warms the executable real requests
+        actually hit (the replicated executor uses a different cache key).
+        """
+        from floodsr_tpu.engine.scene_banded import build_banded_scene_executor
+
+        assert self.mesh is not None, "banded scenes require a mesh"
+        cfg = self.scene_config(tile_lr)
+        tile = cfg.hr_tile
+        n_bands = int(self.mesh.shape[self.batch_axis])
+        bucket = self.scene_bucket_for(
+            (int(crop_shape[0]), int(crop_shape[1])), tile_lr
+        )
+        # Bands must divide the bucket rows and hold >= 1 tile each.
+        quantum = n_bands * tile
+        bucket = (-(-bucket[0] // quantum) * quantum, bucket[1])
+        chunk = max(1, int(self.max_batch))
+
+        key = ("scene-banded", bucket, int(stride_hr), int(overlap_hr),
+               float(max_depth), float(dem_pct_clip), self.output_transfer,
+               chunk, tile)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn, _ = build_banded_scene_executor(
+                cfg, scene_shape=bucket, overlap_hr=int(overlap_hr),
+                chunk=chunk, max_depth=float(max_depth),
+                dem_pct_clip=float(dem_pct_clip), mesh=self.mesh,
+                batch_axis=self.batch_axis, compute_dtype=self.compute_dtype,
+                forward_fn=self.forward_callable(),
+                transfer_dtype=self.output_transfer,
+            )
+            self._jit_cache[key] = fn
+        return fn, bucket, chunk
+
     def _run_scene_banded(
         self,
         depth_raw,
@@ -882,7 +976,6 @@ class EngineJAX(EngineBase):
         """
         from floodsr_tpu.engine.scene_banded import (
             banded_in_shardings,
-            build_banded_scene_executor,
             pack_banded_scene,
         )
         from floodsr_tpu.tiling import build_window_grid
@@ -891,26 +984,11 @@ class EngineJAX(EngineBase):
         tile, scale = cfg.hr_tile, cfg.scale
         crop_h, crop_w = crop_shape
         n_bands = int(self.mesh.shape[self.batch_axis])
-        bucket = self.scene_bucket_for((crop_h, crop_w), tile_lr)
-        # Bands must divide the bucket rows and hold ≥ 1 tile each.
-        quantum = n_bands * tile
-        bucket = (-(-bucket[0] // quantum) * quantum, bucket[1])
-        chunk = max(1, int(self.max_batch))
-
-        key = ("scene-banded", bucket, int(stride_hr), int(overlap_hr),
-               float(max_depth), float(dem_pct_clip), self.output_transfer,
-               chunk, tile)
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            fn, _ = build_banded_scene_executor(
-                cfg, scene_shape=bucket, overlap_hr=int(overlap_hr),
-                chunk=chunk, max_depth=float(max_depth),
-                dem_pct_clip=float(dem_pct_clip), mesh=self.mesh,
-                batch_axis=self.batch_axis, compute_dtype=self.compute_dtype,
-                forward_fn=self.forward_callable(),
-                transfer_dtype=self.output_transfer,
-            )
-            self._jit_cache[key] = fn
+        fn, bucket, chunk = self.banded_scene_executor(
+            (crop_h, crop_w),
+            stride_hr=stride_hr, overlap_hr=overlap_hr,
+            max_depth=max_depth, dem_pct_clip=dem_pct_clip, tile_lr=tile_lr,
+        )
 
         content_h = min(bucket[0], -(-crop_h // tile) * tile)
         content_w = min(bucket[1], -(-crop_w // tile) * tile)

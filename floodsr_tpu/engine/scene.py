@@ -107,12 +107,14 @@ def choose_scene_chunk(grid_n: int, max_chunk: int = 128, tile_hr: int = 512) ->
     (existing behavior; small-tile grids are small anyway).
     """
     grid_n = max(1, int(grid_n))
+    max_chunk = max(1, int(max_chunk))
     area_ratio = max(1.0, (int(tile_hr) / 512.0) ** 2)
     best = None
     for c, wt in _CHUNK_COST_MS_PER_TILE.items():
-        if c > max_chunk and best is not None:
-            continue
-        cw = max(1, int(round(c / area_ratio)))
+        # The caller's cap is a hard budget (peak tail activations scale
+        # with chunk width) — clamp EVERY candidate, including the first
+        # table entry, instead of admitting 8 when e.g. max_chunk=4.
+        cw = max(1, min(int(round(c / area_ratio)), max_chunk))
         cap = -(-grid_n // cw) * cw
         cost = cap * wt * area_ratio
         if best is None or cost < best[0] - 1e-9 or (

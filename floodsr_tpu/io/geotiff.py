@@ -154,7 +154,12 @@ def _geo_tags_for(
         extra.append((TAG_GEO_KEY_DIRECTORY, 3, tuple(directory)))
     if nodata is not None:
         nodata_f = float(nodata)
-        text = str(int(nodata_f)) if nodata_f == int(nodata_f) else repr(nodata_f)
+        if np.isnan(nodata_f):  # GDAL writes GDAL_NODATA="nan" for floats
+            text = "nan"
+        elif np.isfinite(nodata_f) and nodata_f == int(nodata_f):
+            text = str(int(nodata_f))
+        else:
+            text = repr(nodata_f)
         extra.append((TAG_GDAL_NODATA, 2, text))
     return extra
 

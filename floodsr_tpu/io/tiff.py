@@ -115,6 +115,10 @@ def lzw_decode(data: bytes) -> bytes:
             prev = None
             continue
         if prev is None:
+            if code >= len(table):
+                raise ValueError(
+                    f"corrupt LZW stream: code {code} beyond table {len(table)}"
+                )
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -564,12 +568,29 @@ def encode_tiff(
 
 
 def _tag_raw(tag: int, ftype: int, value, endian: str = "<") -> tuple[bytes, int]:
-    """Serialized tag value bytes + logical count."""
+    """Serialized tag value bytes + logical count.
+
+    RATIONAL (type 5) values are ``(numerator, denominator)`` pairs — each
+    logical value packs TWO longs, so the struct format repeats per logical
+    value (``'II'`` already encodes both) and the count stays the number of
+    rationals, not of longs.
+    """
     ch, _size = _FIELD_TYPES[ftype]
     if ftype == 2:
         raw = str(value).encode("ascii") + b"\0"
         return raw, len(raw)
     vals = tuple(value)
+    if ftype == 5:
+        pairs = (
+            tuple(vals)
+            if vals and isinstance(vals[0], (tuple, list))
+            else tuple(zip(vals[0::2], vals[1::2]))
+        )
+        assert pairs and all(len(p) == 2 for p in pairs), (
+            f"RATIONAL tag {tag} needs (numerator, denominator) pairs; got {value!r}"
+        )
+        flat = [int(x) for p in pairs for x in p]
+        return struct.pack(endian + "II" * len(pairs), *flat), len(pairs)
     return struct.pack(endian + ch * len(vals), *vals), len(vals)
 
 

@@ -86,6 +86,14 @@ class ModelWorker(Model):
         return self
 
     def __exit__(self, exc_type, exc, tb):
+        # Join in-flight DEM prefetch threads BEFORE clearing: a late
+        # _dem_cache_put would otherwise repopulate the "cleared" cache of a
+        # closed worker (retaining a multi-GB device buffer) and race
+        # interpreter teardown with a mid-flight device_put.
+        with self._dem_cache_lock:
+            inflight = list(self._dem_prefetch.values())
+        for t in inflight:
+            t.join(timeout=60.0)
         if self.engine is not None:
             self.engine.close()
         self.engine = None
@@ -115,13 +123,11 @@ class ModelWorker(Model):
         """GeoTIFF decode + async quantized H2D for one DEM; returns cache value."""
         from floodsr_tpu.ops.transfer import device_put_dem_quantized
 
+        from floodsr_tpu.ops.normalize import nodata_mask
+
         dem_raw, nodata, profile = _read_single_band_raster(dem_hr_path)
         assert np.isfinite(
-            np.where(
-                np.isclose(dem_raw, nodata) if nodata is not None else False,
-                0.0,
-                dem_raw,
-            )
+            np.where(nodata_mask(dem_raw, nodata), 0.0, dem_raw)
         ).all(), "DEM contains non-finite values"
         dem_dev = device_put_dem_quantized(
             dem_raw, nodata, enabled=self.input_transfer == "uint16"
@@ -298,7 +304,7 @@ class ModelWorker(Model):
         assert depth_lr_raw.shape == expected_lr, (
             f"depth shape {depth_lr_raw.shape} does not match crop/scale target {expected_lr}"
         )
-        if float(depth_lr_raw.min()) > max_depth:
+        if float(depth_lr_raw.max()) > max_depth:
             log.warning("low-res depth values exceed max_depth; model preprocessing will clip them.")
 
         log.info(
@@ -588,52 +594,64 @@ class ModelWorker(Model):
                         row_sink=stream_writer.write_rows,
                     )
                 )
+                log.debug(
+                    f"stage timings: tiled_run={time.perf_counter() - t_tiled0:.3f}s"
+                )
+                assert prediction_out_m.shape == tuple(prepped["dem_raw_shape"]), (
+                    f"prediction shape {prediction_out_m.shape} must match "
+                    f"raw DEM shape {prepped['dem_raw_shape']}"
+                )
+
+                # The pipeline already clipped to [0, max_depth] and applied the
+                # low-depth mask; a cheap range guard replaces host re-work.
+                assert prediction_out_m.dtype == np.float32
+                assert float(prediction_out_m.max(initial=0.0)) <= float(
+                    preprocess_cfg["max_depth"]
+                ) + 1e-6, "postprocess failed to clip to max_depth"
+
+                prepared_dem_bounds = raster_bounds(prepped["dem_raw_profile"])
+                assert all(
+                    np.isclose(a, b, atol=1e-6, rtol=0.0)
+                    for a, b in zip(prepared_dem_bounds, depth_lr_bounds)
+                ), (
+                    f"output profile bounds {prepared_dem_bounds} do not match "
+                    f"incoming low-res bounds {depth_lr_bounds}"
+                )
+
+                t_write0 = time.perf_counter()
+                stream_writer.close()
+                out_written_fp = Path(out_path)
+                log.debug(
+                    f"stage timings: write_tail={time.perf_counter() - t_write0:.3f}s"
+                )
+                from floodsr_tpu.io.geotiff import read_raster_header
+
+                written_profile = read_raster_header(out_written_fp)
+                written_shape = (
+                    int(written_profile["height"]), int(written_profile["width"])
+                )
+                assert written_shape == tuple(prepped["dem_raw_shape"]), (
+                    f"written output shape {written_shape} must match raw DEM "
+                    f"shape {prepped['dem_raw_shape']}"
+                )
+                written_bounds = raster_bounds(written_profile)
+                assert all(
+                    np.isclose(a, b, atol=1e-6, rtol=0.0)
+                    for a, b in zip(written_bounds, depth_lr_bounds)
+                ), (
+                    f"written output bounds {written_bounds} must match incoming "
+                    f"low-res bounds {depth_lr_bounds}"
+                )
             except BaseException:
-                stream_writer._handle.close()
-                Path(out_path).unlink(missing_ok=True)
+                # Cover the WHOLE produce-and-verify span (inference, range/
+                # bounds asserts, stream close, written-file checks): any
+                # failure must not leave a corrupt partial GeoTIFF at the
+                # requested output path or leak the handle.
+                try:
+                    stream_writer._handle.close()
+                finally:
+                    Path(out_path).unlink(missing_ok=True)
                 raise
-            log.debug(f"stage timings: tiled_run={time.perf_counter() - t_tiled0:.3f}s")
-            assert prediction_out_m.shape == tuple(prepped["dem_raw_shape"]), (
-                f"prediction shape {prediction_out_m.shape} must match "
-                f"raw DEM shape {prepped['dem_raw_shape']}"
-            )
-
-            # The pipeline already clipped to [0, max_depth] and applied the
-            # low-depth mask; a cheap range guard replaces host re-work.
-            assert prediction_out_m.dtype == np.float32
-            assert float(prediction_out_m.max(initial=0.0)) <= float(
-                preprocess_cfg["max_depth"]
-            ) + 1e-6, "postprocess failed to clip to max_depth"
-
-            prepared_dem_bounds = raster_bounds(prepped["dem_raw_profile"])
-            assert all(
-                np.isclose(a, b, atol=1e-6, rtol=0.0)
-                for a, b in zip(prepared_dem_bounds, depth_lr_bounds)
-            ), (
-                f"output profile bounds {prepared_dem_bounds} do not match "
-                f"incoming low-res bounds {depth_lr_bounds}"
-            )
-
-            t_write0 = time.perf_counter()
-            stream_writer.close()
-            out_written_fp = Path(out_path)
-            log.debug(f"stage timings: write_tail={time.perf_counter() - t_write0:.3f}s")
-            from floodsr_tpu.io.geotiff import read_raster_header
-
-            written_profile = read_raster_header(out_written_fp)
-            written_shape = (int(written_profile["height"]), int(written_profile["width"]))
-            assert written_shape == tuple(prepped["dem_raw_shape"]), (
-                f"written output shape {written_shape} must match raw DEM shape "
-                f"{prepped['dem_raw_shape']}"
-            )
-            written_bounds = raster_bounds(written_profile)
-            assert all(
-                np.isclose(a, b, atol=1e-6, rtol=0.0)
-                for a, b in zip(written_bounds, depth_lr_bounds)
-            ), (
-                f"written output bounds {written_bounds} must match incoming "
-                f"low-res bounds {depth_lr_bounds}"
-            )
 
         runtime_s = time.perf_counter() - start
         out_file_size = int(out_written_fp.stat().st_size)

@@ -162,12 +162,29 @@ def normalize_dem(
     return arr_norm, {"p_clip": p_clip, "dem_min": dem_min, "dem_max": dem_max}
 
 
+def nodata_mask(arr: np.ndarray, nodata: float | None) -> np.ndarray:
+    """Boolean mask of nodata cells; handles ``nodata=NaN``.
+
+    GDAL writes ``GDAL_NODATA="nan"`` for float rasters routinely, and
+    ``np.isclose(x, nan)`` is all-False — a NaN sentinel needs ``isnan``.
+    """
+    arr_np = np.asarray(arr)
+    if nodata is None:
+        return np.zeros(arr_np.shape, bool)
+    if np.isnan(nodata):
+        return np.isnan(arr_np)
+    return np.isclose(arr_np, nodata)
+
+
 def replace_nodata_with_zero(arr: np.ndarray, nodata: float | None) -> np.ndarray:
-    """Replace nodata values with zero (``np.isclose`` tolerance semantics)."""
+    """Replace nodata values with zero (``np.isclose`` tolerance semantics;
+    NaN sentinels handled via ``isnan``)."""
     arr_np = np.asarray(arr, dtype=np.float32)
     if nodata is None:
         return arr_np
-    return np.where(np.isclose(arr_np, nodata), 0.0, arr_np).astype(np.float32, copy=False)
+    return np.where(nodata_mask(arr_np, nodata), 0.0, arr_np).astype(
+        np.float32, copy=False
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,9 @@ def device_put_dem_quantized(
         return jax.device_put(arr32)
 
     if nodata is not None:
-        valid = ~np.isclose(arr32, np.float32(nodata))
+        from floodsr_tpu.ops.normalize import nodata_mask
+
+        valid = ~nodata_mask(arr32, float(nodata))
         if not valid.any():
             return jax.device_put(arr32)
         vals = arr32[valid]

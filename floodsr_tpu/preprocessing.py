@@ -148,6 +148,21 @@ def _write_single_band_raster(
     return write_raster(fp, arr.astype(np.float32, copy=False), out_profile)
 
 
+def _valid_mask_any(arr, nodata):
+    """Float validity mask (1=data, 0=nodata) or ``None``; device-friendly."""
+    if nodata is None:
+        return None
+    if isinstance(arr, np.ndarray):
+        from floodsr_tpu.ops.normalize import nodata_mask
+
+        return (~nodata_mask(arr, nodata)).astype(np.float32)
+    import jax.numpy as jnp
+
+    if np.isnan(nodata):
+        return (~jnp.isnan(arr)).astype(jnp.float32)
+    return (~jnp.isclose(arr, nodata)).astype(jnp.float32)
+
+
 def _replace_nodata_any(arr, nodata):
     """Nodata→0 that stays on device for jax arrays."""
     if isinstance(arr, np.ndarray):
@@ -157,6 +172,8 @@ def _replace_nodata_any(arr, nodata):
     arr = arr.astype(jnp.float32)
     if nodata is None:
         return arr
+    if np.isnan(nodata):  # GDAL_NODATA="nan" — isclose(x, nan) is all-False
+        return jnp.where(jnp.isnan(arr), 0.0, arr)
     return jnp.where(jnp.isclose(arr, nodata), 0.0, arr)
 
 
@@ -241,6 +258,11 @@ def _align_depth_and_dem_inputs(
     row0, col0 = max(0, row_off), max(0, col_off)
     dem_crop = dem_raw[row0 : row_off + win_h, col0 : col_off + win_w]
     assert dem_crop.size > 0, f"clipped DEM is empty for bounds {lr_bounds}"
+    # Validity mask BEFORE zeroing: the device warp below renormalizes by
+    # the warped mask so cells bilinearly adjacent to nodata holes are not
+    # depressed toward the zero fill (host path: reproject_bilinear's
+    # weight renormalization).
+    dem_crop_valid = _valid_mask_any(dem_crop, dem_nodata)
     dem_crop = _replace_nodata_any(dem_crop, dem_nodata)
     dem_crop_transform = window_transform(row0, col0, dem_t)
 
@@ -280,32 +302,64 @@ def _align_depth_and_dem_inputs(
                 (target_hr_h, target_hr_w),
                 dem_model_transform,
             )
+            if dem_crop_valid is not None:
+                # Mask-renormalized warp (separable approximation of the
+                # host path's per-tap weight renormalization): without it,
+                # cells bilinearly adjacent to nodata holes blend in the
+                # zero fill and read as depressed elevations.
+                wmask = warp_bucketed_device(
+                    dem_crop_valid,
+                    dem_crop_transform,
+                    (target_hr_h, target_hr_w),
+                    dem_model_transform,
+                )
+                dem_model = jnp.where(
+                    wmask > 1e-6, dem_model / jnp.maximum(wmask, 1e-6), 0.0
+                )
         else:
             from floodsr_tpu.ops.resample import _jitted_warp
 
+            # dem_crop was nodata->zeroed above, so nodata-matching inside
+            # the warp can never fire — renormalize by the warped validity
+            # mask instead (identical 4-tap semantics: the warp is linear).
             warp = _jitted_warp(
                 dem_crop_transform,
                 (target_hr_h, target_hr_w),
                 dem_model_transform,
-                None if dem_nodata is None else float(dem_nodata),
-                None if dem_nodata is None else float(dem_nodata),
+                None,
+                None,
                 src_shape=tuple(int(v) for v in dem_crop.shape),
             )
-            dem_model = _replace_nodata_any(warp(jnp.asarray(dem_crop)), dem_nodata)
+            dem_model = warp(jnp.asarray(dem_crop))
+            if dem_crop_valid is not None:
+                wmask = warp(jnp.asarray(dem_crop_valid))
+                dem_model = jnp.where(
+                    wmask > 1e-6, dem_model / jnp.maximum(wmask, 1e-6), 0.0
+                )
         # No host-blocking finite check here: the inputs are finite (validated
         # above) and the nodata-renormalized bilinear warp of finite values is
         # finite by construction; a scalar pull would stall the pipeline on a
         # device sync.
     else:
+        # Same mask renormalization as the device paths: dem_crop is already
+        # nodata->zeroed, so src_nodata matching could never fire here — a
+        # latent zero-blend at hole boundaries found in the round-3 review.
         dem_model = reproject_bilinear(
             dem_crop,
             dem_crop_transform,
             (target_hr_h, target_hr_w),
             dem_model_transform,
-            src_nodata=dem_nodata,
-            dst_nodata=dem_nodata,
         )
-        dem_model = replace_nodata_with_zero(dem_model, dem_nodata)
+        if dem_crop_valid is not None:
+            wmask = reproject_bilinear(
+                np.asarray(dem_crop_valid, np.float32),
+                dem_crop_transform,
+                (target_hr_h, target_hr_w),
+                dem_model_transform,
+            )
+            dem_model = np.where(
+                wmask > 1e-6, dem_model / np.maximum(wmask, 1e-6), 0.0
+            ).astype(np.float32)
         if not np.isfinite(dem_model).all():
             raise AssertionError("resampled DEM contains non-finite values")
     was_resampled = bool(

@@ -548,3 +548,31 @@ class TestBigTiff:
         np.testing.assert_array_equal(win, arr[10:30, 10:30])
         # window read never touched most of the 5 GiB address space
         assert reader.bytes_fetched < 1024**2
+
+
+class TestTagAndCodecEdgeCases:
+    def test_rational_extra_tag_roundtrips(self, tmp_path, rng):
+        """RATIONAL (type 5) values are (num, den) pairs — one logical value
+        packs TWO longs (count = number of rationals, not of longs)."""
+        from floodsr_tpu.io.tiff import decode_tiff, encode_tiff
+
+        arr = rng.normal(0, 1, (8, 8)).astype(np.float32)
+        # XResolution / YResolution, standard TIFF rationals.
+        blob = encode_tiff(arr, extra_tags=[(282, 5, ((72, 1),)), (283, 5, (300, 100))])
+        out, tags = decode_tiff(blob)
+        np.testing.assert_array_equal(out, arr)
+        # The reader materializes rationals as computed floats.
+        assert np.asarray(tags[282]).reshape(-1).tolist() == [72.0]
+        assert np.asarray(tags[283]).reshape(-1).tolist() == [3.0]
+
+    def test_corrupt_lzw_first_code_raises_valueerror(self):
+        """A first code after CLEAR beyond the table must raise the codec's
+        own ValueError, not an IndexError from deep inside."""
+        from floodsr_tpu.io.tiff import lzw_decode
+
+        # 9-bit codes, MSB-first: CLEAR(256) then 400 (> 257, undefined).
+        bits = "100000000" + format(400, "09b")
+        bits += "0" * (-len(bits) % 8)
+        data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+        with pytest.raises(ValueError, match="corrupt LZW"):
+            lzw_decode(data)

@@ -246,3 +246,55 @@ class TestAlignment:
         assert depth_out[0, 0] == 0.0
         assert np.isfinite(dem_out).all()
         assert (dem_out > -1000).all()
+
+
+class TestNodataHandling:
+    """NaN nodata sentinels + nodata-aware device warp (round-3 review fixes)."""
+
+    def test_nan_nodata_dem_aligns_without_crash(self, tmp_path, rng):
+        """GDAL_NODATA="nan" is standard for float rasters; isclose(x, nan)
+        is all-False, so every nodata branch needs the isnan path."""
+        lr = rng.uniform(0, 2, (8, 8)).astype(np.float32)
+        dem = rng.uniform(100, 200, (32, 32)).astype(np.float32)
+        dem[:3, :3] = np.nan
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        _write(lr_fp, lr, from_origin(0, 240, 30.0, 30.0), nodata=float("nan"))
+        _write(dem_fp, dem, from_origin(0, 240, 7.5, 7.5), nodata=float("nan"))
+        # Round-trip of the NaN sentinel through the GeoTIFF tags.
+        _, nodata_back, _ = read_raster(dem_fp)
+        assert nodata_back is not None and np.isnan(nodata_back)
+
+        prepped = write_prepared_rasters(
+            lr_fp, dem_fp, scale=4, out_dir=tmp_path / "prep"
+        )
+        out, _, _ = read_raster(prepped["dem_hr_prepared_fp"])
+        assert np.isfinite(out).all()
+
+    def test_device_warp_renormalizes_at_nodata_holes(self, tmp_path, rng):
+        """The device (rectilinear fast-path) warp must not blend the zero
+        fill into cells adjacent to nodata holes — it renormalizes by the
+        warped validity mask like the host reproject_bilinear path."""
+        lr = rng.uniform(0, 2, (8, 8)).astype(np.float32)
+        dem = np.full((48, 48), 150.0, np.float32)
+        dem[20:28, 20:28] = -9999.0  # interior nodata hole
+        lr_fp, dem_fp = tmp_path / "lr.tif", tmp_path / "dem.tif"
+        _write(lr_fp, lr, from_origin(0, 240, 30.0, 30.0))
+        _write(dem_fp, dem, from_origin(0, 240, 5.0, 5.0))
+
+        host = write_prepared_rasters(
+            lr_fp, dem_fp, scale=4, out_dir=tmp_path / "h"
+        )
+        host_dem, _, _ = read_raster(host["dem_hr_prepared_fp"])
+        dev = write_prepared_rasters(
+            lr_fp, dem_fp, scale=4, out_dir=tmp_path / "d",
+            write_files=False, device_dem=True,
+        )
+        dev_dem = np.asarray(dev["dem_hr"])
+        assert dev_dem.shape == host_dem.shape
+        # Valid cells stay at the plateau elevation in BOTH paths — no
+        # zero-fill depression bleeding in from the hole.
+        for out in (host_dem, dev_dem):
+            valid = out > 0
+            assert valid.any()
+            np.testing.assert_allclose(out[valid], 150.0, atol=1e-3)
+        np.testing.assert_allclose(dev_dem, host_dem, atol=1e-3)

@@ -144,3 +144,36 @@ class TestEngineBandedMode:
             np.testing.assert_allclose(
                 outs["banded"][1][k], outs["replicated"][1][k], atol=1e-4
             )
+
+
+class TestBandedWarmup:
+    def test_warmup_warms_the_banded_executor(self, scene_inputs, tmp_path):
+        """scene_mode="banded": warmup must compile the executable run_scene
+        will hit (the banded cache key), not the replicated one."""
+        from floodsr_tpu.engine import EngineJAX
+        from floodsr_tpu.nn.checkpoint import save_artifact
+
+        dem, depth, params, state = scene_inputs
+        fp = tmp_path / "tiny.fsrz"
+        save_artifact(fp, CFG, params, state, {"seed": 77})
+        mesh = make_mesh(8, tp=1)
+        eng = EngineJAX(
+            fp, mesh=mesh, scene_mode="banded", max_batch=4,
+            output_transfer="float32",
+        )
+        n = eng.warmup(
+            [BUCKET], stride_hr=STRIDE, overlap_hr=OVERLAP,
+            max_depth=MAX_DEPTH, dem_pct_clip=PCT,
+        )
+        assert n == 1
+        banded_keys = [k for k in eng._jit_cache if k[0] == "scene-banded"]
+        replicated_keys = [k for k in eng._jit_cache if k[0] == "scene"]
+        assert len(banded_keys) == 1 and not replicated_keys
+        # A real request reuses the warmed executable (no new cache entry).
+        out, _ = eng.run_scene(
+            depth, dem, stride_hr=STRIDE, overlap_hr=OVERLAP,
+            max_depth=MAX_DEPTH, dem_pct_clip=PCT, crop_shape=BUCKET,
+        )
+        assert out.shape == BUCKET
+        assert len(eng._jit_cache) == 1
+        eng.close()

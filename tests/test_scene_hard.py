@@ -128,3 +128,15 @@ def test_mosaic_mode_keys_engine_scene_cache(monkeypatch):
     monkeypatch.setenv("FLOODSR_SCENE_GENERAL_MOSAIC", "1")
     assert select_mosaic_mode(0) == "general"
     assert select_mosaic_mode(32) == "general"
+
+
+def test_choose_scene_chunk_honors_small_cap():
+    """max_chunk is a hard activation budget: a cap below the smallest
+    table entry must clamp the first candidate too (was returning 8 for
+    max_chunk=4)."""
+    from floodsr_tpu.engine.scene import choose_scene_chunk
+
+    assert choose_scene_chunk(121, 4) <= 4
+    assert choose_scene_chunk(121, 128) == 128
+    # Larger windows shrink candidate widths by the area ratio.
+    assert choose_scene_chunk(25, 128, tile_hr=1024) <= 32
