@@ -407,6 +407,9 @@ def main_cli(args: argparse.Namespace) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     """Run the floodsr CLI and return an exit code."""
+    from floodsr_tpu import hostmem
+
+    hostmem.tune_malloc()
     args = _parse_arguments(argv)
     _configure_logging(args)
     try:

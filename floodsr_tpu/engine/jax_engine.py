@@ -32,6 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from floodsr_tpu import hostmem
 from floodsr_tpu.engine.base import EngineBase, ModelIOContract
 from floodsr_tpu.nn.checkpoint import load_artifact
 from floodsr_tpu.nn.resunet import ResUNetConfig, resunet_apply
@@ -74,6 +75,10 @@ class EngineJAX(EngineBase):
         scene_mode: str = "replicated",
     ):
         assert output_transfer in {"uint16", "float32"}, output_transfer
+        # Library entry point: apply the once-per-process host allocator
+        # tuning for large raster buffers (no-op when already applied or
+        # disabled — see floodsr_tpu/hostmem.py).
+        hostmem.tune_malloc()
         self._model_fp = Path(model_fp).expanduser().resolve()
         assert self._model_fp.exists(), f"model file does not exist: {self._model_fp}"
         self.log = logger or logging.getLogger(__name__)
