@@ -23,50 +23,39 @@ extern "C" {
 
 // Decode `src` into `dst` (capacity `dst_cap`). Returns bytes written or <0
 // on error (-1 corrupt stream, -2 output overflow).
+//
+// Table entries reference ALREADY-DECODED output (libtiff-style): every LZW
+// table string equals a previously-emitted string plus one byte, and decode
+// emissions are back-to-back, so entry `next_code` created between two
+// emissions is exactly the contiguous dst range [prev_emit_start,
+// prev_emit_start + prev_len + 1). Emission is then a forward copy from dst
+// into dst (sequential reads, no prefix-chain walking). Entries recorded
+// before a Clear keep valid offsets but are never referenced again.
 long long fsr_lzw_decode(const unsigned char* src, long long src_len,
                          unsigned char* dst, long long dst_cap) {
-  // Table entries are (prefix_code, suffix_byte, length); strings are
-  // materialized by walking prefixes backwards.
-  std::vector<int> prefix(4096);
-  std::vector<unsigned char> suffix(4096);
-  std::vector<int> length(4096);
-  for (int i = 0; i < 256; ++i) {
-    prefix[i] = -1;
-    suffix[i] = static_cast<unsigned char>(i);
-    length[i] = 1;
-  }
+  long long off[4096];
+  int len[4096];
+
   int next_code = kFirst;
   int width = 9;
-
   long long out_pos = 0;
-  long long bitpos = 0;
-  const long long nbits = src_len * 8;
   int prev_code = -1;
+  long long prev_start = 0;
+  int prev_len = 0;
 
-  auto emit = [&](int code) -> long long {
-    // Write the string for `code` at out_pos; returns its length or -2.
-    const int len = length[code];
-    if (out_pos + len > dst_cap) return -2;
-    long long w = out_pos + len - 1;
-    int c = code;
-    while (c >= 0) {
-      dst[w--] = suffix[c];
-      c = prefix[c];
-    }
-    out_pos += len;
-    return len;
-  };
+  // Rolling MSB-first bit buffer.
+  uint64_t bitbuf = 0;
+  int bits = 0;
+  long long in_pos = 0;
 
-  while (bitpos + width <= nbits) {
-    const long long byte_idx = bitpos >> 3;
-    uint32_t chunk = 0;
-    for (int k = 0; k < 4; ++k) {
-      chunk <<= 8;
-      if (byte_idx + k < src_len) chunk |= src[byte_idx + k];
+  for (;;) {
+    while (bits < width && in_pos < src_len) {
+      bitbuf = (bitbuf << 8) | src[in_pos++];
+      bits += 8;
     }
-    const int shift = 32 - static_cast<int>(bitpos & 7) - width;
-    const int code = (chunk >> shift) & ((1u << width) - 1u);
-    bitpos += width;
+    if (bits < width) break;  // stream exhausted without EOI
+    bits -= width;
+    const int code = static_cast<int>(bitbuf >> bits) & ((1 << width) - 1);
 
     if (code == kEoi) break;
     if (code == kClear) {
@@ -75,35 +64,43 @@ long long fsr_lzw_decode(const unsigned char* src, long long src_len,
       prev_code = -1;
       continue;
     }
+
+    const long long emit_start = out_pos;
     if (prev_code < 0) {
       if (code >= 256) return -1;
-      if (emit(code) < 0) return -2;
-      prev_code = code;
-    } else if (code < next_code) {
-      if (next_code < 4096) {
-        prefix[next_code] = prev_code;
-        // suffix = first byte of table[code]
-        int c = code;
-        while (prefix[c] >= 0) c = prefix[c];
-        suffix[next_code] = suffix[c];
-        length[next_code] = length[prev_code] + 1;
-        ++next_code;
-      }
-      if (emit(code) < 0) return -2;
-      prev_code = code;
-    } else if (code == next_code && next_code < 4096) {
-      // KwKwK case: entry = prev + prev[0]
-      int c = prev_code;
-      while (prefix[c] >= 0) c = prefix[c];
-      prefix[next_code] = prev_code;
-      suffix[next_code] = suffix[c];
-      length[next_code] = length[prev_code] + 1;
-      ++next_code;
-      if (emit(code) < 0) return -2;
-      prev_code = code;
+      if (out_pos >= dst_cap) return -2;
+      dst[out_pos++] = static_cast<unsigned char>(code);
     } else {
-      return -1;
+      // Record the new entry FIRST: its bytes are prev emission + the first
+      // byte of this emission, contiguous at prev_start. For the KwKwK case
+      // (code == next_code) the entry's final byte is produced by this very
+      // copy, which the forward byte loop handles.
+      const bool have_entry = next_code < 4096;
+      if (have_entry) {
+        off[next_code] = prev_start;
+        len[next_code] = prev_len + 1;
+      }
+      if (code < 256) {
+        if (out_pos >= dst_cap) return -2;
+        dst[out_pos++] = static_cast<unsigned char>(code);
+      } else if (code < next_code + (have_entry ? 1 : 0) && code >= kFirst) {
+        const long long src_off = off[code];
+        const int n = len[code];
+        if (out_pos + n > dst_cap) return -2;
+        if (src_off + n <= out_pos) {
+          std::memcpy(dst + out_pos, dst + src_off, static_cast<size_t>(n));
+        } else {
+          for (int k = 0; k < n; ++k) dst[out_pos + k] = dst[src_off + k];
+        }
+        out_pos += n;
+      } else {
+        return -1;  // corrupt: code beyond the table
+      }
+      if (have_entry) ++next_code;
     }
+    prev_code = code;
+    prev_start = emit_start;
+    prev_len = static_cast<int>(out_pos - emit_start);
     // TIFF early change (libtiff convention): widen at 2^width - 1 entries.
     if (next_code == (1 << width) - 1 && width < 12) ++width;
   }
