@@ -141,6 +141,38 @@ class TestTiffCodec:
         assert lzw_decode(enc_c) == data
         assert native.lzw_decode(lzw_encode(data), len(data)) == data
 
+    def test_native_decode_fuzz_matches_python(self, rng):
+        """Random/corrupt streams: native decode agrees with the Python twin.
+
+        The native decoder (tiff_codec.cc) must reject exactly the streams
+        the behavioral-reference Python codec rejects, and produce identical
+        bytes on the ones it accepts — including truncated and bit-flipped
+        valid streams, which exercise the mid-table corrupt-code paths.
+        """
+        if not native.available():
+            pytest.skip("native codec unavailable")
+        streams = []
+        for n in (1, 2, 17, 300):
+            streams.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        valid = lzw_encode(rng.integers(0, 256, 4096, dtype=np.uint8).tobytes())
+        streams.append(valid[: len(valid) // 2])  # truncated
+        for _ in range(20):  # bit flips in a valid stream
+            b = bytearray(valid)
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+            streams.append(bytes(b))
+        for s in streams:
+            try:
+                want = lzw_decode(s)
+                want_err = False
+            except ValueError:
+                want_err = True
+            if want_err:
+                with pytest.raises(ValueError):
+                    native.lzw_decode(s, 1 << 20)
+            else:
+                assert native.lzw_decode(s, 1 << 20) == want
+
 
 class TestGeoTiff:
     def _profile(self, arr, crs="EPSG:32633", nodata=-9999.0):
