@@ -82,10 +82,12 @@ class EngineJAX(EngineBase):
         self._model_fp = Path(model_fp).expanduser().resolve()
         assert self._model_fp.exists(), f"model file does not exist: {self._model_fp}"
         self.log = logger or logging.getLogger(__name__)
-        # Precision: "float32" = every stage f32/HIGH (strict parity),
-        # "bfloat16" = single-pass bf16 body (fast, outside the 1e-3 m gate),
-        # "mixed" = bf16 trunk + f32/HIGH tail + f32 head (gate-passing fast
-        # path; per-stage policy in nn/resunet.py::PRECISION_POLICIES).
+        # Precision: "float32" = every stage f32/HIGH (the only policy that
+        # passes the 1e-3 m parity gate — default), "bfloat16" = single-pass
+        # bf16 body (fast, FAILS the gate at 5.2e-3), "mixed" = bf16
+        # trunk/sr_up + f32/HIGH tail (also FAILS, 2.4e-3, and saves almost
+        # nothing — docs/perf/precision_study.json; per-stage policy in
+        # nn/resunet.py::PRECISION_POLICIES).
         policy_by_name = {"float32": "f32", "bfloat16": "bf16", "mixed": "mixed"}
         assert compute_dtype in policy_by_name, (
             f"compute_dtype must be one of {sorted(policy_by_name)}; got {compute_dtype}"

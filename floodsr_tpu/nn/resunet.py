@@ -226,19 +226,24 @@ def _precision_for(dtype) -> lax.Precision:
 #
 # The parity gate (≤1e-3 m RMSE vs the CPU float32 reference) applies to the
 # PIPELINE OUTPUT, not to per-layer numerics — and the measured error budget
-# is dominated by the HR tail (docs/perf/kernel_study.json: single-pass bf16
-# tail alone costs 6.5e-3 m). A policy assigns each stage an operand dtype;
+# is spread across stages (docs/perf/precision_study.json: bf16 tail alone
+# 4.4e-3 m, bf16 trunk alone 2.4e-3, sr_up alone 9.5e-4 — only the full-f32
+# policy passes). A policy assigns each stage an operand dtype;
 # matmul/conv precision follows the dtype (_precision_for: f32 → bf16x3
 # "HIGH" MXU passes, bf16 → one pass). Stage boundaries cast activations.
 
 PRECISION_STAGES = ("trunk", "sr_up", "tail", "head")
 
 #: named policies (head stays f32 in every one — it is ~0.3% of MACs and
-#: anchors the meter-domain output):
-#:   f32    — every stage f32/HIGH (the strict-parity reference config)
-#:   bf16   — body single-pass bf16 (fast; FAILS the 1e-3 m gate: 6.5e-3)
-#:   mixed  — trunk+sr_up bf16, tail f32/HIGH (the gate-passing default;
-#:            parity margin measured per-config in docs/perf/precision_study)
+#: anchors the meter-domain output). Measured pipeline parity vs the CPU f32
+#: reference (docs/perf/precision_study.json):
+#:   f32    — every stage f32/HIGH: 3.3e-5 m, the ONLY gate-passing policy
+#:            and therefore the default
+#:   bf16   — body single-pass bf16 (fast; FAILS the 1e-3 m gate: 5.2e-3)
+#:   mixed  — trunk+sr_up bf16, tail f32/HIGH: FAILS the gate at 2.4e-3 —
+#:            the bf16 trunk alone costs 2.36e-3, refuting the hypothesis
+#:            that the error budget was tail-dominated; kept as an opt-in
+#:            (it buys almost nothing: 111 vs 114 ms/scene)
 PRECISION_POLICIES: dict[str, dict[str, str]] = {
     "f32": {"trunk": "f32", "sr_up": "f32", "tail": "f32", "head": "f32"},
     "bf16": {"trunk": "bf16", "sr_up": "bf16", "tail": "bf16", "head": "f32"},
