@@ -33,7 +33,10 @@ _DATA_DIR = REPO / "tests" / "data"
 GATE_RMSE_M = 1e-3
 
 
-def _tohr_cpu_subprocess(case_dir: Path, spec: dict, model_fp: Path, out_fp: Path):
+def _tohr_cpu_subprocess(
+    case_dir: Path, spec: dict, model_fp: Path, out_fp: Path,
+    window_method: str = "feather",
+):
     """CPU-pinned reference run (own process: backend choice is per-process)."""
     script = f"""
 import sys; sys.path.insert(0, {str(REPO)!r})
@@ -47,6 +50,7 @@ tohr(
     depth_lr_fp={str(case_dir / spec["inputs"]["lowres_fp"])!r},
     dem_hr_fp={str(case_dir / spec["inputs"]["dem_fp"])!r},
     output_fp={str(out_fp)!r},
+    window_method={window_method!r},
 )
 """
     env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -91,16 +95,24 @@ def main() -> int:
         d.name for d in _DATA_DIR.iterdir()
         if d.is_dir() and (d / "case_spec.json").exists()
     )
+    # Every golden case gates the default feather mode; the bench-shaped
+    # mersch case additionally gates --window-method hard, the mode behind
+    # the headline throughput number, so that claim is pinned by this
+    # artifact rather than by an executor-similarity argument.
+    runs = [(name, "feather") for name in cases]
+    if "synth_mersch" in cases:
+        runs.append(("synth_mersch", "hard"))
     with tempfile.TemporaryDirectory(prefix="floodsr-parity-") as tmp_s:
         work = args.work or Path(tmp_s)
-        for name in cases:
+        for name, method in runs:
             case_dir = _DATA_DIR / name
             spec = json.loads((case_dir / "case_spec.json").read_text())
             model_fp = _DATA_DIR / spec.get(
                 "model_artifact", "_artifacts/model_infer_test.fsrz"
             )
-            out_acc = work / f"{name}_acc.tif"
-            out_cpu = work / f"{name}_cpu.tif"
+            label = name if method == "feather" else f"{name}@{method}"
+            out_acc = work / f"{label}_acc.tif"
+            out_cpu = work / f"{label}_cpu.tif"
             t0 = time.perf_counter()
             tohr(
                 model_version="ResUNet_16x_DEM",
@@ -108,20 +120,21 @@ def main() -> int:
                 depth_lr_fp=case_dir / spec["inputs"]["lowres_fp"],
                 dem_hr_fp=case_dir / spec["inputs"]["dem_fp"],
                 output_fp=out_acc,
+                window_method=method,
             )
             acc_s = time.perf_counter() - t0
-            _tohr_cpu_subprocess(case_dir, spec, model_fp, out_cpu)
+            _tohr_cpu_subprocess(case_dir, spec, model_fp, out_cpu, method)
             a, _, _ = read_raster(out_acc)
             b, _, _ = read_raster(out_cpu)
             rmse = float(np.sqrt(np.mean((a - b) ** 2)))
             max_abs = float(np.max(np.abs(a - b)))
-            result["cases"][name] = {
+            result["cases"][label] = {
                 "rmse_m": rmse,
                 "max_abs_m": max_abs,
                 "pass": rmse <= GATE_RMSE_M,
                 "accelerator_wall_s": round(acc_s, 2),
             }
-            print(f"# {name}: rmse={rmse:.2e} max={max_abs:.2e} "
+            print(f"# {label}: rmse={rmse:.2e} max={max_abs:.2e} "
                   f"pass={rmse <= GATE_RMSE_M}", file=sys.stderr)
 
     # Zero discovered cases must FAIL (all() over an empty dict is True):

@@ -139,6 +139,7 @@ _MACHINE_SCHEMA: dict[str, tuple[str, bool]] = {
     "window_method": ("--window-method", False),
     "tile_overlap": ("--tile-overlap", False),
     "tile_size": ("--tile-size", False),
+    "input_kind": ("--input-kind", False),
 }
 
 
@@ -260,6 +261,7 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
         window_method=args.window_method or config.window_method,
         tile_overlap=args.tile_overlap,
         tile_size=args.tile_size,
+        input_kind=args.input_kind,
         logger=log,
         engine_options={
             "compute_dtype": config.compute_dtype,
@@ -524,6 +526,15 @@ def _build_tohr_parser(subparsers) -> None:
             "multiple of 2^levels runs the same weights at a different "
             "window size (larger windows cut feather overlap recompute; "
             "quality vs window size: docs/perf/tile_size_study)."
+        ),
+    )
+    p.add_argument(
+        "--input-kind", choices=("depth", "wse"), default=None,
+        help=(
+            "What the --in raster carries. Default: the model's native "
+            "input (ResUNet_16x_DEM: depth; CostGrow: wse). 'wse' rasters "
+            "are converted against the DEM (depth = max(WSE - DEM, 0) on "
+            "the LR grid) before super-resolution."
         ),
     )
 

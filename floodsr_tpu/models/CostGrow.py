@@ -136,12 +136,17 @@ class ModelWorker(Model):
         window_method: str = "feather",
         tile_overlap: int | None = None,
         tile_size: int | None = None,
+        input_kind: str | None = None,
     ) -> dict[str, Any]:
-        """Run CostGrow; the LR input is interpreted as a WSE raster.
+        """Run CostGrow; the LR input is natively a WSE raster.
 
         Unused ToHR knobs (window/tile) are accepted for CLI compatibility.
         ``max_depth`` clips the depth-domain output when ``output_kind`` is
-        ``depth``.
+        ``depth``. ``input_kind`` defaults to this worker's native ``wse``;
+        ``input_kind="depth"`` ingests an LR depth raster instead and lifts
+        it to WSE on the DEM grid (``WSE = DEM + max(depth, 0)``) before the
+        connectivity phases (the reference's planned WSE/conversion flag,
+        reference ``PLAN.md`` "preprocessing WSE feature").
         """
         start = time.perf_counter()
         log = self.log
@@ -156,6 +161,8 @@ class ModelWorker(Model):
         decay_per_meter = float(self.params.get("decay_per_meter", 0.0))
         output_kind = str(self.params.get("output_kind", "wse")).lower()
         assert output_kind in {"wse", "depth"}, f"unsupported output_kind={output_kind}"
+        input_kind = (input_kind or "wse").strip().lower()
+        assert input_kind in {"wse", "depth"}, f"unsupported input_kind={input_kind}"
 
         wse_raw, wse_nodata, wse_profile = read_raster(wse_lr_path)
         dem_raw, dem_nodata, dem_profile = read_raster(dem_path)
@@ -210,6 +217,12 @@ class ModelWorker(Model):
             np.isfinite(wse).astype(np.uint8), wse_t, dem_shape, dem_t, fill=0
         ).astype(bool)
         wse_fine = np.where(valid_fine & dem_valid, wse_fine, np.nan).astype(np.float32)
+        if input_kind == "depth":
+            # The LR raster carried depths: lift onto the terrain so the
+            # wet-anchor condition (WSE > DEM) becomes depth > 0.
+            wse_fine = np.where(
+                np.isfinite(wse_fine), dem + np.clip(wse_fine, 0.0, None), np.nan
+            ).astype(np.float32)
 
         phases = jax.jit(
             lambda a, b, c: _costgrow_phases(

@@ -397,8 +397,15 @@ class ModelWorker(Model):
         window_method: str = "feather",
         tile_overlap: int | None = None,
         tile_size: int | None = None,
+        input_kind: str | None = None,
     ) -> dict[str, Any]:
-        """Run the model-specific ToHR workflow; returns output path + diagnostics."""
+        """Run the model-specific ToHR workflow; returns output path + diagnostics.
+
+        ``input_kind="wse"`` ingests a water-surface-elevation raster and
+        converts it to depth against the DEM on the LR grid
+        (:func:`floodsr_tpu.preprocessing.wse_to_depth_lr` — the reference's
+        planned WSE feature, reference ``PLAN.md``).
+        """
         start = time.perf_counter()
         log = self.log
         assert self.engine is not None, "worker must be used under context management"
@@ -411,6 +418,10 @@ class ModelWorker(Model):
         window_method = (window_method or "feather").strip().lower()
         assert window_method in {"hard", "feather"}, (
             f"unsupported window_method={window_method}"
+        )
+        input_kind = (input_kind or "depth").strip().lower()
+        assert input_kind in {"depth", "wse"}, (
+            f"unsupported input_kind={input_kind}"
         )
 
         log.info(
@@ -532,6 +543,7 @@ class ModelWorker(Model):
                 # warped DEM on device for the fused scene executor.
                 write_files=False,
                 device_dem=True,
+                input_kind=input_kind,
                 preread={
                     "depth": depth_lr_raw,
                     "depth_nodata": depth_lr_raw_nodata,
@@ -670,6 +682,7 @@ class ModelWorker(Model):
                 "dem_pct_clip": float(preprocess_cfg["dem_pct_clip"]),
                 "dem_ref_stats": preprocess_cfg["dem_ref_stats"],
                 "window_method": window_method,
+                "input_kind": input_kind,
                 "tile_overlap_lr": overlap_lr,
                 "tile_size_lr": model_lr_tile,
                 "tile_size_hr": model_lr_tile * model_scale,

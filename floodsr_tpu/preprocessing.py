@@ -177,6 +177,82 @@ def _replace_nodata_any(arr, nodata):
     return jnp.where(jnp.isclose(arr, nodata), 0.0, arr)
 
 
+def wse_to_depth_lr(
+    wse_raw: np.ndarray,
+    wse_nodata: float | None,
+    lr_transform,
+    dem_crop,
+    dem_crop_valid,
+    dem_crop_transform,
+    logger=None,
+) -> np.ndarray:
+    """Convert a water-surface-elevation raster to LR depth: ``max(WSE−DEM, 0)``.
+
+    Implements the reference's planned-but-unbuilt WSE ingestion feature
+    (reference: ``PLAN.md`` "preprocessing WSE feature" — "allow ingestion of
+    water surface rasters (with a flag), and convert these"). The DEM is
+    sampled onto the LR grid with the same mask-renormalized bilinear warp
+    the aligner uses for the HR model grid; cells where the WSE is nodata,
+    the DEM has no valid contribution, or the WSE sits at/below terrain
+    come out dry (0 m).
+
+    ``dem_crop`` is the nodata-zeroed clipped DEM (host or device array) with
+    ``dem_crop_valid`` its float validity mask (or None when fully valid).
+    """
+    log = logger or logging.getLogger(__name__)
+    lr_shape = tuple(int(v) for v in wse_raw.shape)
+
+    is_device = not isinstance(dem_crop, np.ndarray)
+    rectilinear = (
+        dem_crop_transform.is_rectilinear() and lr_transform.is_rectilinear()
+    )
+    if is_device and rectilinear:
+        from floodsr_tpu.ops.resample import warp_bucketed_device
+
+        dem_lr = np.asarray(
+            warp_bucketed_device(dem_crop, dem_crop_transform, lr_shape, lr_transform)
+        )
+        wmask = (
+            np.asarray(
+                warp_bucketed_device(
+                    dem_crop_valid, dem_crop_transform, lr_shape, lr_transform
+                )
+            )
+            if dem_crop_valid is not None
+            else None
+        )
+    else:
+        dem_host = np.asarray(dem_crop)
+        dem_lr = reproject_bilinear(dem_host, dem_crop_transform, lr_shape, lr_transform)
+        wmask = (
+            reproject_bilinear(
+                np.asarray(dem_crop_valid, np.float32),
+                dem_crop_transform,
+                lr_shape,
+                lr_transform,
+            )
+            if dem_crop_valid is not None
+            else None
+        )
+
+    if wmask is not None:
+        dem_valid = wmask > 1e-6
+        dem_lr = np.where(dem_valid, dem_lr / np.maximum(wmask, 1e-6), 0.0)
+    else:
+        dem_valid = np.ones(lr_shape, dtype=bool)
+
+    wse = np.asarray(wse_raw, np.float32)
+    wse_valid_f = _valid_mask_any(wse, wse_nodata)
+    valid = dem_valid if wse_valid_f is None else (dem_valid & (wse_valid_f > 0.5))
+    depth = np.where(valid, np.clip(wse - dem_lr, 0.0, None), 0.0).astype(np.float32)
+    wet = int(np.count_nonzero(depth > 0))
+    log.info(
+        f"WSE→depth conversion: {wet}/{depth.size} wet LR cells, "
+        f"max depth {float(depth.max()):.3f} m"
+    )
+    return depth
+
+
 def _align_depth_and_dem_inputs(
     depth_lr_fp: str | Path,
     dem_hr_fp: str | Path,
@@ -184,6 +260,7 @@ def _align_depth_and_dem_inputs(
     logger=None,
     preread: dict | None = None,
     device_dem: bool = False,
+    input_kind: str = "depth",
 ) -> dict[str, Any]:
     """Align inputs for model scale: keep LR depth native, resample DEM.
 
@@ -195,6 +272,9 @@ def _align_depth_and_dem_inputs(
     """
     log = logger or logging.getLogger(__name__)
     assert scale > 0, f"scale must be > 0; got {scale}"
+    assert input_kind in {"depth", "wse"}, (
+        f"input_kind must be 'depth' or 'wse'; got {input_kind!r}"
+    )
     depth_path = Path(depth_lr_fp).expanduser().resolve()
     dem_path = Path(dem_hr_fp).expanduser().resolve()
     assert depth_path.exists(), f"low-res depth raster does not exist: {depth_path}"
@@ -265,6 +345,19 @@ def _align_depth_and_dem_inputs(
     dem_crop_valid = _valid_mask_any(dem_crop, dem_nodata)
     dem_crop = _replace_nodata_any(dem_crop, dem_nodata)
     dem_crop_transform = window_transform(row0, col0, dem_t)
+
+    if input_kind == "wse":
+        # The raw raster carries water-surface elevations, not depths:
+        # convert on the LR grid before any depth validation/scaling.
+        depth_lr = wse_to_depth_lr(
+            depth_raw,
+            depth_nodata,
+            depth_t,
+            dem_crop,
+            dem_crop_valid,
+            dem_crop_transform,
+            logger=log,
+        )
 
     if isinstance(dem_crop, np.ndarray) and not np.isfinite(dem_crop).all():
         # Device-resident DEMs were finite-checked by the caller pre-upload.
@@ -399,6 +492,7 @@ def write_prepared_rasters(
     write_files: bool = True,
     preread: dict | None = None,
     device_dem: bool = False,
+    input_kind: str = "depth",
 ) -> dict[str, object]:
     """Align depth/DEM for inference; optionally write the prepared rasters.
 
@@ -406,6 +500,8 @@ def write_prepared_rasters(
     (the ``*_prepared_fp`` keys are None) — the hot inference path skips the
     short-lived temp files entirely. ``device_dem=True`` keeps the warped DEM
     on device for direct consumption by the scene executor.
+    ``input_kind="wse"`` treats the LR raster as water-surface elevation and
+    converts it to depth against the DEM (:func:`wse_to_depth_lr`).
     """
     log = logger or logging.getLogger(__name__)
     out_dir = Path(out_dir).expanduser()
@@ -417,6 +513,7 @@ def write_prepared_rasters(
         logger=log,
         preread=preread,
         device_dem=device_dem,
+        input_kind=input_kind,
     )
 
     depth_prepared_fp = (

@@ -25,6 +25,7 @@ _RUN_KEYS = (
     "window_method",
     "tile_overlap",
     "tile_size",
+    "input_kind",
 )
 
 
@@ -40,6 +41,7 @@ def tohr(
     window_method: str = "feather",
     tile_overlap: int | None = None,
     tile_size: int | None = None,
+    input_kind: str | None = None,
     logger: logging.Logger | None = None,
     engine_options: dict | None = None,
 ) -> dict[str, object]:
@@ -77,6 +79,7 @@ def tohr(
                 window_method,
                 tile_overlap,
                 tile_size,
+                input_kind,
             ),
         )
     )
@@ -94,6 +97,7 @@ def tohr_many(
     window_method: str = "feather",
     tile_overlap: int | None = None,
     tile_size: int | None = None,
+    input_kind: str | None = None,
     logger: logging.Logger | None = None,
     engine_options: dict | None = None,
 ) -> list[dict[str, object]]:
@@ -129,6 +133,7 @@ def tohr_many(
         window_method=window_method,
         tile_overlap=tile_overlap,
         tile_size=tile_size,
+        input_kind=input_kind,
     )
     with worker_class(model_fp=artifact, logger=log, **extra) as worker:
         if hasattr(worker, "run_many"):
