@@ -140,6 +140,8 @@ _MACHINE_SCHEMA: dict[str, tuple[str, bool]] = {
     "tile_overlap": ("--tile-overlap", False),
     "tile_size": ("--tile-size", False),
     "input_kind": ("--input-kind", False),
+    "buildings": ("--buildings", False),
+    "fetch_buildings": ("--fetch-buildings", True),
 }
 
 
@@ -283,6 +285,19 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
             logger=log,
         ).dem_fp
 
+    def resolve_buildings(in_fp: Path):
+        if args.buildings is not None:
+            return args.buildings
+        if args.fetch_buildings:
+            from floodsr_tpu.features.nrcan_buildings import (
+                fetch_buildings_for_raster,
+            )
+
+            return fetch_buildings_for_raster(
+                raster_fp=in_fp, logger=log
+            ).buildings_fp
+        return None
+
     if len(in_fps) == 1:
         in_fp = in_fps[0]
         result = tohr(
@@ -295,6 +310,7 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
                 if args.out is not None
                 else _resolve_default_output_path(in_fp)
             ),
+            buildings_fp=resolve_buildings(in_fp),
             **shared,
         )
         print(result["output_fp"])
@@ -325,6 +341,7 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
             "depth_lr_fp": in_fp,
             "dem_hr_fp": resolve_dem(in_fp),
             "output_fp": job_output(in_fp),
+            "buildings_fp": resolve_buildings(in_fp),
         }
         for in_fp in in_fps
     ]
@@ -526,6 +543,22 @@ def _build_tohr_parser(subparsers) -> None:
             "multiple of 2^levels runs the same weights at a different "
             "window size (larger windows cut feather overlap recompute; "
             "quality vs window size: docs/perf/tile_size_study)."
+        ),
+    )
+    p.add_argument(
+        "--buildings", type=Path, default=None,
+        help=(
+            "GeoJSON building footprints to block: ResUNet zeroes "
+            "super-resolved depths inside them; CostGrow excludes them from "
+            "the connectivity domain (reference ADR-0016)."
+        ),
+    )
+    p.add_argument(
+        "--fetch-buildings", action="store_true",
+        help=(
+            "Resolve building footprints automatically from the NRCan "
+            "automatically-extracted-buildings STAC collection for each "
+            "input's footprint (like -f for the DEM)."
         ),
     )
     p.add_argument(

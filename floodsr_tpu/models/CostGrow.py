@@ -137,6 +137,7 @@ class ModelWorker(Model):
         tile_overlap: int | None = None,
         tile_size: int | None = None,
         input_kind: str | None = None,
+        buildings_fp: str | Path | None = None,
     ) -> dict[str, Any]:
         """Run CostGrow; the LR input is natively a WSE raster.
 
@@ -147,6 +148,11 @@ class ModelWorker(Model):
         it to WSE on the DEM grid (``WSE = DEM + max(depth, 0)``) before the
         connectivity phases (the reference's planned WSE/conversion flag,
         reference ``PLAN.md`` "preprocessing WSE feature").
+
+        ``buildings_fp`` (GeoJSON footprints) blocks buildings out of the
+        hydraulic-connectivity domain: no anchors inside them, growth cannot
+        route through them, and they come out dry (the reference's planned
+        building-blocking feature, reference ``docs/dev/adr/0016-buildings.md``).
         """
         start = time.perf_counter()
         log = self.log
@@ -177,6 +183,19 @@ class ModelWorker(Model):
             dem_raw,
         ).astype(np.float32)
         dem_valid = np.isfinite(dem)
+        blocked_cells = 0
+        if buildings_fp is not None:
+            from floodsr_tpu.features import building_mask_for_grid
+
+            bmask = building_mask_for_grid(
+                buildings_fp,
+                dem_profile["transform"],
+                dem.shape,
+                crs=str(dem_profile["crs"]),
+                logger_=log,
+            )
+            blocked_cells = int(bmask.sum())
+            dem_valid &= ~bmask
 
         # CRS/bounds compatibility (reference notebook cell 6 validators).
         assert wse_profile["crs"] is not None and dem_profile["crs"] is not None, (
@@ -268,6 +287,7 @@ class ModelWorker(Model):
                 "terrain_penalty_scale": terrain_penalty_scale,
                 "decay_per_meter": decay_per_meter,
                 "downscale": downscale,
+                "building_blocked_cells": blocked_cells,
                 "output_kind": output_kind,
                 "wet_pixel_count": wet_count,
                 "input_shape": {

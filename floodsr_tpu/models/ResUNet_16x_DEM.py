@@ -398,13 +398,16 @@ class ModelWorker(Model):
         tile_overlap: int | None = None,
         tile_size: int | None = None,
         input_kind: str | None = None,
+        buildings_fp: str | Path | None = None,
     ) -> dict[str, Any]:
         """Run the model-specific ToHR workflow; returns output path + diagnostics.
 
         ``input_kind="wse"`` ingests a water-surface-elevation raster and
         converts it to depth against the DEM on the LR grid
         (:func:`floodsr_tpu.preprocessing.wse_to_depth_lr` — the reference's
-        planned WSE feature, reference ``PLAN.md``).
+        planned WSE feature, reference ``PLAN.md``). ``buildings_fp``
+        (GeoJSON footprints) zeroes super-resolved depths inside buildings
+        (the reference's planned building-blocking feature, its ADR-0016).
         """
         start = time.perf_counter()
         log = self.log
@@ -587,6 +590,31 @@ class ModelWorker(Model):
             output_profile.update(dtype="float32", count=1)
             stream_writer = open_raster_stream(out_path, output_profile)
 
+            # Building blocking (reference's planned feature, its ADR-0016):
+            # zero depths inside footprints as the rows stream to disk, and
+            # apply the same mask to the in-memory prediction below.
+            building_mask = None
+            blocked_wet = {"cells": 0}
+            row_sink = stream_writer.write_rows
+            if buildings_fp is not None:
+                from floodsr_tpu.features import building_mask_for_grid
+
+                building_mask = building_mask_for_grid(
+                    buildings_fp,
+                    output_profile["transform"],
+                    tuple(prepped["dem_raw_shape"]),
+                    crs=str(output_profile["crs"]),
+                    logger_=log,
+                )
+                row_cursor = {"row": 0}
+
+                def row_sink(band, _w=stream_writer.write_rows):
+                    r0 = row_cursor["row"]
+                    m = building_mask[r0 : r0 + band.shape[0]]
+                    blocked_wet["cells"] += int(((band > 0) & m).sum())
+                    row_cursor["row"] = r0 + band.shape[0]
+                    _w(np.where(m, 0.0, band).astype(band.dtype, copy=False))
+
             t_tiled0 = time.perf_counter()
             try:
                 prediction_out_m, tile_cache_size, tile_dem_stats = (
@@ -603,7 +631,7 @@ class ModelWorker(Model):
                         window_method=window_method,
                         overlap_lr=overlap_lr,
                         post_resample=post_spec,
-                        row_sink=stream_writer.write_rows,
+                        row_sink=row_sink,
                     )
                 )
                 log.debug(
@@ -613,6 +641,12 @@ class ModelWorker(Model):
                     f"prediction shape {prediction_out_m.shape} must match "
                     f"raw DEM shape {prepped['dem_raw_shape']}"
                 )
+                if building_mask is not None:
+                    # Keep the in-memory prediction identical to the streamed
+                    # (masked) file contents.
+                    prediction_out_m = np.where(
+                        building_mask, 0.0, prediction_out_m
+                    ).astype(np.float32)
 
                 # The pipeline already clipped to [0, max_depth] and applied the
                 # low-depth mask; a cheap range guard replaces host re-work.
@@ -683,6 +717,9 @@ class ModelWorker(Model):
                 "dem_ref_stats": preprocess_cfg["dem_ref_stats"],
                 "window_method": window_method,
                 "input_kind": input_kind,
+                "building_blocked_wet_cells": (
+                    blocked_wet["cells"] if building_mask is not None else None
+                ),
                 "tile_overlap_lr": overlap_lr,
                 "tile_size_lr": model_lr_tile,
                 "tile_size_hr": model_lr_tile * model_scale,

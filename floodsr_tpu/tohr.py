@@ -26,6 +26,7 @@ _RUN_KEYS = (
     "tile_overlap",
     "tile_size",
     "input_kind",
+    "buildings_fp",
 )
 
 
@@ -42,6 +43,7 @@ def tohr(
     tile_overlap: int | None = None,
     tile_size: int | None = None,
     input_kind: str | None = None,
+    buildings_fp: str | Path | None = None,
     logger: logging.Logger | None = None,
     engine_options: dict | None = None,
 ) -> dict[str, object]:
@@ -80,6 +82,7 @@ def tohr(
                 tile_overlap,
                 tile_size,
                 input_kind,
+                buildings_fp,
             ),
         )
     )
@@ -98,6 +101,7 @@ def tohr_many(
     tile_overlap: int | None = None,
     tile_size: int | None = None,
     input_kind: str | None = None,
+    buildings_fp: str | Path | None = None,
     logger: logging.Logger | None = None,
     engine_options: dict | None = None,
 ) -> list[dict[str, object]]:
@@ -134,6 +138,7 @@ def tohr_many(
         tile_overlap=tile_overlap,
         tile_size=tile_size,
         input_kind=input_kind,
+        buildings_fp=buildings_fp,
     )
     with worker_class(model_fp=artifact, logger=log, **extra) as worker:
         if hasattr(worker, "run_many"):
