@@ -5,9 +5,9 @@ footprints "similar to dem fetching" (reference ``docs/dev/adr/0016-buildings.md
 but never built it; GDAL would have done the vector I/O + rasterization
 there. Here the GeoJSON subset needed for footprints (FeatureCollection /
 Feature / Polygon / MultiPolygon) is parsed with the stdlib, coordinates are
-reprojected with the in-tree geodesy, and rasterization is an even-odd
-parity scanline fill evaluated at pixel centers (GDAL's default
-``all_touched=False`` convention).
+reprojected with the in-tree geodesy, and rasterization is a scanline fill
+evaluated at pixel centers — even-odd within each polygon's rings, unioned
+across polygons (GDAL's default ``all_touched=False`` convention).
 """
 
 from __future__ import annotations
@@ -89,11 +89,15 @@ def load_footprints(
     """
     if isinstance(src, dict):
         obj = src
+    elif isinstance(src, str) and src.lstrip()[:1] in ("{", "["):
+        obj = json.loads(src)  # inline JSON text
     else:
-        text = Path(src).read_text() if Path(str(src)).exists() else str(src)
-        obj = json.loads(text)
+        # A path: raise FileNotFoundError naming it (a mistyped --buildings
+        # path must not surface as a cryptic JSONDecodeError).
+        obj = json.loads(Path(src).read_text())
 
-    effective_src = src_crs or _crs_of_geojson(obj) or "EPSG:4326"
+    doc_crs = _crs_of_geojson(obj)
+    effective_src = src_crs or doc_crs or "EPSG:4326"
     polygons: list[Polygon] = []
     for geom in _geometries(obj):
         if geom["type"] == "Polygon":
@@ -103,6 +107,21 @@ def load_footprints(
                 polygons.append(_rings_of_polygon(poly))
 
     if dst_crs is not None and _crs_key(effective_src) != _crs_key(dst_crs):
+        if src_crs is None and doc_crs is None and polygons:
+            # EPSG:4326 was *assumed* (GeoJSON's mandate), so sanity-check
+            # that the coordinates are plausible lon/lat before transforming:
+            # a document exported in a projected CRS without a crs member
+            # (common for tooling that strips the legacy member) would
+            # otherwise reproject garbage silently.
+            all_xy = np.concatenate([r for rings in polygons for r in rings])
+            if (np.abs(all_xy[:, 0]) > 180.0).any() or (
+                np.abs(all_xy[:, 1]) > 90.0
+            ).any():
+                raise ValueError(
+                    "footprint coordinates fall outside lon/lat bounds but no "
+                    "source CRS is declared; pass src_crs (or add a legacy "
+                    "'crs' member) for projected-CRS GeoJSON"
+                )
         from floodsr_tpu.dem_sources.geodesy import transform_points
 
         reprojected: list[Polygon] = []
@@ -125,13 +144,16 @@ def _crs_key(crs) -> str:
 def rasterize_polygons(
     polygons: list[Polygon], transform, out_shape: tuple[int, int]
 ) -> np.ndarray:
-    """Even-odd scanline fill of polygons, evaluated at pixel centers.
+    """Scanline fill of polygons, evaluated at pixel centers.
 
     ``transform`` is the raster's affine georeference (north-up rectilinear
     required). Returns a boolean ``[H, W]`` mask. Matches GDAL's
-    ``all_touched=False`` center-containment convention; a pixel whose
-    center lies exactly on a horizontal edge follows the half-open rule
-    (bottom vertex included, top excluded), so shared edges never
+    ``all_touched=False`` center-containment convention: each polygon is
+    filled even-odd over its own rings (holes excluded) and independent
+    polygons are **unioned** — overlapping or duplicated footprints stay
+    blocked, exactly as GDAL burns each geometry independently. A pixel
+    whose center lies exactly on a horizontal edge follows the half-open
+    rule (bottom vertex included, top excluded), so shared edges never
     double-count.
     """
     h, w = int(out_shape[0]), int(out_shape[1])
@@ -150,8 +172,8 @@ def rasterize_polygons(
     # the scanline work is one vectorized pass (NRCan scenes carry tens of
     # thousands of footprints; a per-edge Python loop is minutes, this is
     # milliseconds — cost scales with actual edge/row crossings).
-    ex1, ey1, ex2, ey2 = [], [], [], []
-    for rings in polygons:
+    ex1, ey1, ex2, ey2, epoly = [], [], [], [], []
+    for poly_id, rings in enumerate(polygons):
         for ring in rings:
             if len(ring) < 3:
                 continue
@@ -162,12 +184,14 @@ def rasterize_polygons(
             ey1.append(ys[keep])
             ex2.append(xn[keep])
             ey2.append(yn[keep])
+            epoly.append(np.full(int(keep.sum()), poly_id, dtype=np.int64))
     if not ex1:
         return np.zeros((h, w), dtype=bool)
     x1 = np.concatenate(ex1)
     yy1 = np.concatenate(ey1)
     x2 = np.concatenate(ex2)
     yy2 = np.concatenate(ey2)
+    poly_of_edge = np.concatenate(epoly)
     ylo = np.minimum(yy1, yy2)
     yhi = np.maximum(yy1, yy2)
 
@@ -197,26 +221,27 @@ def rasterize_polygons(
         np.ceil((x_cross - x0) / a - 0.5).astype(np.int64), 0, w
     )
 
-    # Even-odd fill: sort the crossings within each row; parity flips at
-    # each one, so consecutive pairs bound the odd-parity (inside) runs.
-    # Every row's crossing count is even (closed rings + the half-open
-    # vertex rule), so the sorted stream's global alternation aligns with
-    # row boundaries. The delta image is int8 (+1 open / -1 close; runs are
-    # disjoint after sorting, so the row cumsum stays in {0, 1}) — 8x less
-    # memory than a count image, which matters for first-touch cost on
-    # large grids (see docs/perf/hostmem_study.json).
-    order = np.argsort(rows * np.int64(w + 1) + cols, kind="stable")
+    # Per-polygon even-odd fill, unioned across polygons: sort crossings by
+    # (row, polygon, col); within each (row, polygon) group parity flips at
+    # each crossing, so consecutive pairs bound that polygon's inside runs
+    # (holes excluded). Every group's crossing count is even (closed rings +
+    # the half-open vertex rule), so the sorted stream's global alternation
+    # aligns with group boundaries. Opens get +1 / closes -1 into an int16
+    # delta image (4x less first-touch memory than an int64 count image —
+    # docs/perf/hostmem_study.json); the row cumsum is then the number of
+    # polygons covering each pixel, and the union mask is cover > 0.
+    poly_c = poly_of_edge[edge_of]
+    order = np.lexsort((cols, poly_c, rows))
     flat = rows[order] * np.int64(w + 1) + cols[order]
     delta = np.zeros(h * (w + 1), dtype=np.int16)
     np.add.at(delta, flat[0::2], 1)
     np.add.at(delta, flat[1::2], -1)
-    parity = np.cumsum(delta.reshape(h, w + 1)[:, :w], axis=1, dtype=np.int16)
-    pmax = int(parity.max())
-    assert 0 <= int(parity.min()) and pmax <= 1, (
-        f"scanline parity invariant violated (range 0..{pmax}); "
-        "likely >32767 coincident crossings in one cell"
+    cover = np.cumsum(delta.reshape(h, w + 1)[:, :w], axis=1, dtype=np.int16)
+    assert int(cover.min()) >= 0, (
+        "scanline coverage went negative; open/close pairing is misaligned "
+        "(or >32767 polygons overlap one cell)"
     )
-    return parity.astype(bool)
+    return cover.astype(bool)
 
 
 def building_mask_for_grid(

@@ -47,6 +47,19 @@ class TestRasterize:
         assert not mask[4, 4]  # the hole's single pixel center
         assert mask.sum() == 24
 
+    def test_overlapping_and_duplicate_polygons_union(self):
+        # GDAL burns each geometry independently: overlaps and exact
+        # duplicates stay blocked (union), never XOR'd back to unblocked.
+        t = from_origin(0, 10, 1.0, 1.0)
+        a = [np.asarray(_square(1, 1, 6, 6), float)]
+        b = [np.asarray(_square(4, 4, 9, 9), float)]
+        mask = rasterize_polygons([a, b, a], t, (10, 10))
+        want = rasterize_polygons([a], t, (10, 10)) | rasterize_polygons(
+            [b], t, (10, 10)
+        )
+        np.testing.assert_array_equal(mask, want)
+        assert mask[5, 5]  # center of the overlap region
+
     def test_matches_matplotlib_center_containment(self, rng):
         from matplotlib.path import Path as MplPath
 
@@ -129,6 +142,27 @@ class TestGeoJson:
         fp = tmp_path / "b.geojson"
         fp.write_text(json.dumps({"type": "Polygon", "coordinates": [_square(0, 0, 2, 2)]}))
         assert len(load_footprints(fp)) == 1
+
+    def test_missing_file_raises_file_not_found(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            load_footprints(tmp_path / "nope.geojson")
+
+    def test_inline_json_text(self):
+        text = json.dumps({"type": "Polygon", "coordinates": [_square(0, 0, 2, 2)]})
+        assert len(load_footprints(text)) == 1
+
+    def test_assumed_4326_guard_rejects_projected_coords(self):
+        # Projected coordinates with no declared CRS must not be silently
+        # reprojected as lon/lat.
+        doc = {
+            "type": "Polygon",
+            "coordinates": [_square(500000, 4000000, 500010, 4000010)],
+        }
+        with pytest.raises(ValueError, match="lon/lat"):
+            load_footprints(doc, dst_crs=CRS)
+        # Declaring the source CRS clears the guard.
+        polys = load_footprints(doc, dst_crs=CRS, src_crs=CRS)
+        assert len(polys) == 1
 
 
 def _profile(arr, transform, nodata=NODATA):
