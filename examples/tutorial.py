@@ -139,25 +139,26 @@ def main() -> int:
     shade = hillshade(_box_smooth(dem, 9), pixel_m)
     shade = 0.62 + 0.33 * shade
     vmax = float(np.percentile(truth[truth >= DRY_THRESH_M], 99.5))
+    # (title, depth, metrics key or None) — the key travels with the panel
+    # so reordering panels cannot detach a caption from its image.
     panels = [
-        ("Low-resolution input (30 m)", lr_nearest),
-        ("Bilinear upsample", lr_bilinear),
-        ("FloodSR-TPU 16x SR", pred),
-        ("Hi-res truth (1.875 m)", truth),
+        ("Low-resolution input (30 m)", lr_nearest, None),
+        ("Bilinear upsample", lr_bilinear, "bilinear"),
+        ("FloodSR-TPU 16x SR", pred, "FloodSR SR"),
+        ("Hi-res truth (1.875 m)", truth, None),
     ]
 
     fig, axes = plt.subplots(1, 4, figsize=(16, 4.6), constrained_layout=True)
     im = None
-    for ax, (title, depth) in zip(axes, panels):
+    for ax, (title, depth, mkey) in zip(axes, panels):
         ax.imshow(shade, cmap="gray", vmin=0, vmax=1, interpolation="bilinear")
         wet = np.ma.masked_less(depth, DRY_THRESH_M)
         im = ax.imshow(wet, cmap="Blues", vmin=0, vmax=vmax, alpha=0.92,
                        interpolation="nearest")
         ax.set_title(title, fontsize=11, color="#333333")
-        name = {1: "bilinear", 2: "FloodSR SR"}.get(list(axes).index(ax))
-        if name:
-            ax.set_xlabel(f"RMSE {metrics[name]['rmse_m']:.3f} m  "
-                          f"SSIM {metrics[name]['ssim']:.3f}",
+        if mkey:
+            ax.set_xlabel(f"RMSE {metrics[mkey]['rmse_m']:.3f} m  "
+                          f"SSIM {metrics[mkey]['ssim']:.3f}",
                           fontsize=9, color="#555555")
         ax.set_xticks([])
         ax.set_yticks([])

@@ -151,6 +151,18 @@ class TestGeoJson:
         text = json.dumps({"type": "Polygon", "coordinates": [_square(0, 0, 2, 2)]})
         assert len(load_footprints(text)) == 1
 
+    def test_non_finite_vertex_rejected_at_parse(self):
+        doc = {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [float("nan"), 0], [1, 1], [0, 0]]],
+        }
+        with pytest.raises(ValueError, match="non-finite"):
+            load_footprints(doc)
+
+    def test_top_level_array_rejected(self):
+        with pytest.raises(ValueError, match="JSON object"):
+            load_footprints('[{"type": "Polygon"}]')
+
     def test_assumed_4326_guard_rejects_projected_coords(self):
         # Projected coordinates with no declared CRS must not be silently
         # reprojected as lon/lat.
