@@ -23,6 +23,7 @@ COMMANDS = [
     ["models", "list"],
     ["models", "fetch"],
     ["tohr"],
+    ["serve"],
     ["doctor"],
     ["cache"],
     ["cache", "info"],

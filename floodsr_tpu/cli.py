@@ -405,10 +405,50 @@ def _cmd_cache_purge(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_serve(args: argparse.Namespace) -> int:
+    from floodsr_tpu.config import load_config
+    from floodsr_tpu.serve import serve
+
+    config = load_config()
+    if args.cache_dir is None and config.cache_dir:
+        args.cache_dir = Path(config.cache_dir)
+    if args.manifest is None and config.manifest_fp:
+        args.manifest = Path(config.manifest_fp)
+    if args.model_version is None and args.model_path is None:
+        args.model_version = config.default_model_version
+    model_version, model_fp = _resolve_tohr_model_spec(args)
+
+    warmup_shapes = []
+    for spec in args.warmup or []:
+        try:
+            h, w = (int(part) for part in spec.lower().split("x"))
+        except ValueError:
+            raise ValueError(
+                f"--warmup expects HxW (e.g. 3840x3840), got '{spec}'"
+            ) from None
+        warmup_shapes.append((h, w))
+
+    return serve(
+        model_version=model_version,
+        model_fp=model_fp,
+        host=args.host,
+        port=args.port,
+        warmup_hr_shapes=warmup_shapes,
+        engine_options={
+            "compute_dtype": config.compute_dtype,
+            "max_batch": config.max_batch,
+            "output_transfer": config.output_transfer,
+            "input_transfer": config.input_transfer,
+        },
+        logger_=log,
+    )
+
+
 _COMMAND_HANDLERS = {
     ("models", "list"): _cmd_models_list,
     ("models", "fetch"): _cmd_models_fetch,
     ("tohr", None): _cmd_tohr,
+    ("serve", None): _cmd_serve,
     ("doctor", None): _cmd_doctor,
     ("cache", "info"): _cmd_cache_info,
     ("cache", "purge"): _cmd_cache_purge,
@@ -572,6 +612,39 @@ def _build_tohr_parser(subparsers) -> None:
     )
 
 
+def _build_serve_parser(subparsers) -> None:
+    p = subparsers.add_parser(
+        "serve",
+        help=(
+            "Run a resident HTTP inference daemon: the model loads and "
+            "compiles once, requests POST machine-interface JSON to "
+            "/v1/tohr (rasters travel by filesystem path)."
+        ),
+    )
+    p.add_argument(
+        "--host", default="127.0.0.1",
+        help="Bind address (default loopback; the daemon is unauthenticated).",
+    )
+    p.add_argument("--port", type=int, default=8571, help="Bind port.")
+    p.add_argument(
+        "--model-version", default=None,
+        help="Manifest version to serve (fetched into the cache if needed).",
+    )
+    p.add_argument(
+        "--model-path", type=Path, default=None,
+        help="Serve a local artifact file directly, bypassing the cache.",
+    )
+    p.add_argument(
+        "--warmup", action="append", default=None, metavar="HxW",
+        help=(
+            "Precompile the scene executables for an expected HR scene "
+            "extent before accepting traffic (repeatable, e.g. "
+            "--warmup 3840x3840)."
+        ),
+    )
+    _add_fetch_opts(p)
+
+
 def _build_cache_parser(subparsers) -> None:
     cache = subparsers.add_parser("cache", help="Inspect or purge cached artifacts.")
     verbs = cache.add_subparsers(dest="cache_command", required=True)
@@ -605,6 +678,7 @@ def _parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     subparsers = parser.add_subparsers(dest="command", required=True)
     _build_models_parser(subparsers)
     _build_tohr_parser(subparsers)
+    _build_serve_parser(subparsers)
     subparsers.add_parser("doctor", help="Print runtime/device diagnostics as key=value.")
     _build_cache_parser(subparsers)
     return parser.parse_args(_inject_tohr_machine_json_args(argv))

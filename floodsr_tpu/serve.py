@@ -1,0 +1,365 @@
+"""Resident HTTP serving daemon for ToHR inference (``floodsr serve``).
+
+The reference is a one-shot CLI — runtime/serving concerns are explicitly
+out of its MVP scope (reference ``docs/dev/adr/0000-scope.md:15-17``) — but
+a TPU deployment wants a resident process: model weights load once,
+scene-bucket executables stay compiled across requests (first compile is
+minutes on some hosts — ``engine/aot_cache.py``), the device DEM LRU
+persists, and ``ModelWorker.warmup()`` can precompile expected scene
+geometries at boot so the first real request runs at steady-state speed.
+
+This daemon is the thinnest possible network front for that worker:
+
+- stdlib ``ThreadingHTTPServer`` — connection threads only parse JSON and
+  stage errors; all device work is serialized through one lock (one chip
+  runs one scene at a time; queued requests wait their turn).
+- The request body for ``POST /v1/tohr`` is the machine-interface JSON
+  payload the CLI already accepts via ``--machine-json`` (same keys, same
+  validation posture: unknown keys are an error, never a silent drop).
+  Model identity is pinned at boot — per-request ``model_version`` /
+  ``model_path`` is rejected so a fleet's routing layer, not a request
+  body, decides which process serves which model.
+- Rasters travel by filesystem path, not request body — matching the
+  pipeline contract everywhere else in the framework (scenes are tens to
+  hundreds of MB; a shared filesystem or object-store mount is assumed).
+  ``out`` is required on every request: a daemon writing files to a
+  cwd-relative default would scatter outputs nobody asked for.
+
+Security posture: binds loopback by default and executes read/write on any
+path the request names, with no authentication — deploy behind a trusted
+boundary (localhost callers, a sidecar, or an authenticated reverse proxy),
+exactly like other file-path-oriented inference daemons.
+
+Endpoints::
+
+    POST /v1/tohr    {"in": ..., "dem": ..., "out": ..., ...} -> diagnostics
+    GET  /v1/healthz {"status": "ok", "model_version": ..., ...}
+    GET  /v1/doctor  runtime/device diagnostics (CLI `doctor` as JSON)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from floodsr_tpu.model_registry import resolve_model_worker_class
+
+logger = logging.getLogger(__name__)
+
+#: Per-request keys accepted by POST /v1/tohr (machine-interface names) and
+#: the worker.run keyword each maps to. Kept aligned with cli._MACHINE_SCHEMA.
+_REQUEST_KEYS: dict[str, str] = {
+    "in": "depth_lr_fp",
+    "in_fp": "depth_lr_fp",
+    "dem": "dem_hr_fp",
+    "out": "output_fp",
+    "max_depth": "max_depth",
+    "dem_pct_clip": "dem_pct_clip",
+    "window_method": "window_method",
+    "tile_overlap": "tile_overlap",
+    "tile_size": "tile_size",
+    "input_kind": "input_kind",
+    "buildings": "buildings_fp",
+    "fetch_hrdem": "fetch_hrdem",
+    "fetch_out": "fetch_out",
+    "fetch_buildings": "fetch_buildings",
+}
+
+#: Machine-json keys that configure model/cache identity; pinned at boot.
+_BOOT_ONLY_KEYS = frozenset(
+    {"model_version", "model_path", "manifest", "cache_dir", "backend", "force"}
+)
+
+
+class RequestError(ValueError):
+    """Client-side request problem -> HTTP 400."""
+
+
+def _json_safe(value):
+    """Recursively convert a diagnostics dict to JSON-serializable types."""
+    if isinstance(value, dict):
+        return {str(k): _json_safe(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_json_safe(v) for v in value]
+    if isinstance(value, Path):
+        return str(value)
+    if isinstance(value, np.ndarray):
+        if value.size <= 16:
+            return value.tolist()
+        return {"shape": list(value.shape), "dtype": str(value.dtype)}
+    if isinstance(value, np.generic):
+        return value.item()
+    if isinstance(value, (str, int, float, bool)) or value is None:
+        return value
+    return str(value)
+
+
+class TohrService:
+    """One loaded model worker + the request->run translation.
+
+    Owns the worker lifecycle (context-entered on ``start``), the device
+    lock, and request counters. Independent of HTTP so tests (and other
+    fronts) can drive it directly.
+    """
+
+    def __init__(
+        self,
+        *,
+        model_version: str,
+        model_fp: str | Path,
+        engine_options: dict | None = None,
+        logger_: logging.Logger | None = None,
+    ):
+        self.model_version = model_version
+        self.model_fp = Path(model_fp).expanduser().resolve()
+        if not self.model_fp.exists():
+            raise FileNotFoundError(f"model file does not exist: {self.model_fp}")
+        self.log = logger_ or logger
+        self._engine_options = dict(engine_options or {})
+        self._worker = None
+        self._device_lock = threading.Lock()
+        self._started = time.time()
+        self._requests_done = 0
+        self._requests_failed = 0
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        import inspect
+
+        worker_class = resolve_model_worker_class(self.model_version)
+        init_params = inspect.signature(worker_class.__init__).parameters
+        extra = {
+            key: value
+            for key, value in self._engine_options.items()
+            if key in init_params
+        }
+        self._worker = worker_class(
+            model_fp=self.model_fp, logger=self.log, **extra
+        ).__enter__()
+
+    def warmup(self, hr_shapes: list[tuple[int, int]], **kw) -> int:
+        assert self._worker is not None, "service not started"
+        if not hasattr(self._worker, "warmup"):
+            return 0
+        with self._device_lock:
+            return self._worker.warmup(hr_shapes, **kw)
+
+    def close(self) -> None:
+        if self._worker is not None:
+            self._worker.__exit__(None, None, None)
+            self._worker = None
+
+    # -- request handling ----------------------------------------------------
+
+    def handle_tohr(self, payload: dict) -> dict:
+        """Validate one machine-interface payload and run it on the worker."""
+        if not isinstance(payload, dict):
+            raise RequestError("request body must be a JSON object")
+        body = payload.get("tohr", payload)
+        if not isinstance(body, dict):
+            raise RequestError("'tohr' payload must be a JSON object")
+
+        run_kwargs: dict = {}
+        fetch_hrdem = False
+        fetch_buildings = False
+        fetch_out = None
+        for raw_key, value in body.items():
+            key = str(raw_key).strip().lstrip("-").replace("-", "_")
+            if key in _BOOT_ONLY_KEYS:
+                raise RequestError(
+                    f"key '{raw_key}' is fixed when the daemon starts; "
+                    "run one `floodsr serve` process per model"
+                )
+            if key not in _REQUEST_KEYS:
+                raise RequestError(f"unsupported tohr request key: {raw_key}")
+            if key in ("fetch_hrdem", "fetch_buildings"):
+                if not isinstance(value, bool):
+                    raise RequestError(f"key '{raw_key}' must be boolean")
+                if key == "fetch_hrdem":
+                    fetch_hrdem = value
+                else:
+                    fetch_buildings = value
+            elif key == "fetch_out":
+                fetch_out = value
+            elif value is not None:
+                run_kwargs[_REQUEST_KEYS[key]] = value
+
+        if "depth_lr_fp" not in run_kwargs:
+            raise RequestError("request must name an input raster ('in')")
+        if "output_fp" not in run_kwargs:
+            raise RequestError(
+                "request must name an output path ('out'); a serving daemon "
+                "does not invent cwd-relative output locations"
+            )
+        if fetch_out is not None and not fetch_hrdem:
+            raise RequestError("'fetch_out' requires 'fetch_hrdem'")
+        if fetch_hrdem:
+            if "dem_hr_fp" in run_kwargs:
+                raise RequestError("pass either 'dem' or 'fetch_hrdem', not both")
+            from floodsr_tpu.dem_sources import fetch_dem
+
+            run_kwargs["dem_hr_fp"] = fetch_dem(
+                source_id="hrdem",
+                depth_lr_fp=run_kwargs["depth_lr_fp"],
+                output_fp=fetch_out,
+                logger=self.log,
+            ).dem_fp
+        if "dem_hr_fp" not in run_kwargs:
+            raise RequestError("request must name a DEM ('dem' or 'fetch_hrdem')")
+        if fetch_buildings:
+            if "buildings_fp" in run_kwargs:
+                raise RequestError(
+                    "pass either 'buildings' or 'fetch_buildings', not both"
+                )
+            from floodsr_tpu.features.nrcan_buildings import (
+                fetch_buildings_for_raster,
+            )
+
+            run_kwargs["buildings_fp"] = fetch_buildings_for_raster(
+                raster_fp=run_kwargs["depth_lr_fp"], logger=self.log
+            ).buildings_fp
+
+        assert self._worker is not None, "service not started"
+        with self._device_lock:
+            result = self._worker.run(**run_kwargs)
+        self._requests_done += 1
+        return _json_safe(result)
+
+    def health(self) -> dict:
+        return {
+            "status": "ok" if self._worker is not None else "starting",
+            "model_version": self.model_version,
+            "model_path": str(self.model_fp),
+            "uptime_s": round(time.time() - self._started, 3),
+            "requests_done": self._requests_done,
+            "requests_failed": self._requests_failed,
+        }
+
+    @staticmethod
+    def doctor() -> dict:
+        from floodsr_tpu.engine import get_io_info, get_jax_info
+
+        jax_info = get_jax_info()
+        io_info = get_io_info()
+        return {
+            "jax_installed": jax_info["installed"],
+            "jax_version": jax_info["version"],
+            "jax_backend": jax_info["backend"],
+            "jax_devices": [str(d) for d in jax_info["devices"]],
+            "io_backend": io_info["backend"],
+            "io_native_codec": io_info["native_codec"],
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # Set by make_server(); class attribute so the stdlib handler-per-request
+    # instantiation can reach the shared service.
+    service: TohrService
+
+    protocol_version = "HTTP/1.1"
+    # 16 MiB request-body ceiling: payloads are file paths + scalars, never
+    # raster data; anything larger is a misdirected upload.
+    max_body_bytes = 16 * 1024 * 1024
+
+    def log_message(self, fmt, *args):  # route to our logger, not stderr
+        self.service.log.debug("serve: " + fmt % args)
+
+    def _reply(self, status: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib handler naming)
+        if self.path in ("/v1/healthz", "/healthz"):
+            self._reply(200, self.service.health())
+        elif self.path in ("/v1/doctor", "/doctor"):
+            self._reply(200, self.service.doctor())
+        else:
+            self._reply(404, {"error": f"unknown path: {self.path}"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        if self.path not in ("/v1/tohr", "/tohr"):
+            self._reply(404, {"error": f"unknown path: {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if length <= 0:
+                raise RequestError("request must carry a JSON body")
+            if length > self.max_body_bytes:
+                raise RequestError("request body too large")
+            try:
+                payload = json.loads(self.rfile.read(length))
+            except json.JSONDecodeError as err:
+                raise RequestError(f"invalid JSON body: {err}") from None
+            started = time.perf_counter()
+            result = self.service.handle_tohr(payload)
+            result["serve_runtime_s"] = round(time.perf_counter() - started, 4)
+            self._reply(200, result)
+        except RequestError as err:
+            self.service._requests_failed += 1
+            self._reply(400, {"error": str(err)})
+        except Exception as err:  # noqa: BLE001 — daemon must not die per-request
+            self.service._requests_failed += 1
+            self.service.log.error(f"serve: request failed: {err}")
+            self.service.log.debug("serve: request traceback", exc_info=True)
+            self._reply(500, {"error": str(err)})
+
+
+def make_server(
+    service: TohrService, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Bind (but do not run) the HTTP server; ``server.server_port`` is the
+    resolved port when 0 was requested (tests bind ephemeral ports)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    server = ThreadingHTTPServer((host, port), handler)
+    server.daemon_threads = True
+    return server
+
+
+def serve(
+    *,
+    model_version: str,
+    model_fp: str | Path,
+    host: str = "127.0.0.1",
+    port: int = 8571,
+    warmup_hr_shapes: list[tuple[int, int]] | None = None,
+    engine_options: dict | None = None,
+    logger_: logging.Logger | None = None,
+) -> int:
+    """Run the daemon until interrupted. Returns a process exit code."""
+    log = logger_ or logger
+    service = TohrService(
+        model_version=model_version,
+        model_fp=model_fp,
+        engine_options=engine_options,
+        logger_=log,
+    )
+    service.start()
+    try:
+        if warmup_hr_shapes:
+            n = service.warmup(warmup_hr_shapes)
+            log.info(f"serve: warmed {n} scene bucket(s)")
+        server = make_server(service, host=host, port=port)
+        log.info(
+            f"serve: {model_version} ({service.model_fp.name}) listening on "
+            f"http://{host}:{server.server_port}"
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            log.info("serve: interrupted, shutting down")
+        finally:
+            server.server_close()
+        return 0
+    finally:
+        service.close()

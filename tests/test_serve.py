@@ -1,0 +1,220 @@
+"""`floodsr serve` HTTP daemon: request contract, lifecycle, concurrency.
+
+The reference has no serving surface (runtime concerns out of MVP scope,
+reference ``docs/dev/adr/0000-scope.md:15-17``); this is the TPU-native
+resident-process front over ``ModelWorker`` (see ``floodsr_tpu/serve.py``).
+Tests drive a live server on an ephemeral loopback port with the tiny
+committed model.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from floodsr_tpu.io import read_raster
+from floodsr_tpu.serve import TohrService, make_server
+from floodsr_tpu.tohr import tohr
+
+pytestmark = pytest.mark.unit
+
+
+@pytest.fixture(scope="module")
+def live_server(tiny_model_fp, logger):
+    service = TohrService(
+        model_version="ResUNet_16x_DEM", model_fp=tiny_model_fp, logger_=logger
+    )
+    service.start()
+    server = make_server(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_port}", service
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=10)
+        service.close()
+
+
+def _post(base: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        base + "/v1/tohr",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def _get(base: str, path: str) -> tuple[int, dict]:
+    with urllib.request.urlopen(base + path, timeout=60) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+class TestEndpoints:
+    def test_healthz_and_doctor(self, live_server):
+        base, _ = live_server
+        status, health = _get(base, "/v1/healthz")
+        assert status == 200
+        assert health["status"] == "ok"
+        assert health["model_version"] == "ResUNet_16x_DEM"
+        status, doc = _get(base, "/v1/doctor")
+        assert status == 200
+        assert doc["jax_installed"] is True
+
+    def test_unknown_path_404(self, live_server):
+        base, _ = live_server
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _get(base, "/v1/nope")
+        assert err.value.code == 404
+
+    def test_tohr_request_matches_library_output(
+        self, live_server, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        base, _ = live_server
+        served_fp = tmp_path / "served.tif"
+        status, result = _post(base, {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+            "out": str(served_fp),
+        })
+        assert status == 200, result
+        assert result["output_fp"] == str(served_fp)
+        assert "serve_runtime_s" in result
+
+        # Same job through the library entry point -> identical raster.
+        lib_fp = tmp_path / "lib.tif"
+        tohr(
+            model_version="ResUNet_16x_DEM",
+            model_fp=tiny_model_fp,
+            depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+            dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+            output_fp=lib_fp,
+            logger=logger,
+        )
+        served, _, _ = read_raster(served_fp)
+        expected, _, _ = read_raster(lib_fp)
+        np.testing.assert_array_equal(served, expected)
+
+    def test_nested_tohr_payload_accepted(
+        self, live_server, synthetic_tohr_tiles, tmp_path
+    ):
+        base, _ = live_server
+        out_fp = tmp_path / "nested.tif"
+        status, result = _post(base, {"tohr": {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+            "out": str(out_fp),
+            "window_method": "hard",
+        }})
+        assert status == 200, result
+        assert out_fp.exists()
+
+    def test_concurrent_requests_serialized_and_both_served(
+        self, live_server, synthetic_tohr_tiles, tmp_path
+    ):
+        base, service = live_server
+        results = {}
+
+        def job(name):
+            results[name] = _post(base, {
+                "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+                "dem": str(synthetic_tohr_tiles["dem_fp"]),
+                "out": str(tmp_path / f"{name}.tif"),
+            })
+
+        threads = [threading.Thread(target=job, args=(n,)) for n in ("a", "b")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert results["a"][0] == 200 and results["b"][0] == 200
+        a, _, _ = read_raster(tmp_path / "a.tif")
+        b, _, _ = read_raster(tmp_path / "b.tif")
+        np.testing.assert_array_equal(a, b)
+
+
+class TestRequestValidation:
+    def test_unknown_key_400(self, live_server):
+        base, _ = live_server
+        status, body = _post(base, {"in": "x.tif", "dem": "y.tif",
+                                    "out": "z.tif", "bogus": 1})
+        assert status == 400
+        assert "bogus" in body["error"]
+
+    def test_boot_only_key_400(self, live_server):
+        base, _ = live_server
+        status, body = _post(base, {"in": "x.tif", "dem": "y.tif",
+                                    "out": "z.tif", "model_version": "other"})
+        assert status == 400
+        assert "fixed when the daemon starts" in body["error"]
+
+    def test_missing_out_400(self, live_server, synthetic_tohr_tiles):
+        base, _ = live_server
+        status, body = _post(base, {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+        })
+        assert status == 400
+        assert "'out'" in body["error"]
+
+    def test_missing_dem_400(self, live_server, synthetic_tohr_tiles):
+        base, _ = live_server
+        status, body = _post(base, {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "out": "z.tif",
+        })
+        assert status == 400
+        assert "dem" in body["error"].lower()
+
+    def test_invalid_json_400(self, live_server):
+        base, _ = live_server
+        req = urllib.request.Request(
+            base + "/v1/tohr", data=b"{not json", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=60)
+        assert err.value.code == 400
+
+    def test_runtime_failure_500_daemon_survives(self, live_server, tmp_path):
+        base, service = live_server
+        status, body = _post(base, {
+            "in": str(tmp_path / "missing.tif"),
+            "dem": str(tmp_path / "missing_dem.tif"),
+            "out": str(tmp_path / "o.tif"),
+        })
+        assert status == 500
+        assert "error" in body
+        # Daemon still healthy after the failure.
+        status, health = _get(base, "/v1/healthz")
+        assert status == 200 and health["status"] == "ok"
+        assert health["requests_failed"] >= 1
+
+
+class TestCliPlumbing:
+    def test_parse_serve_args(self):
+        from floodsr_tpu.cli import _parse_arguments
+
+        args = _parse_arguments(
+            ["serve", "--port", "9000", "--model-path", "m.fsrz",
+             "--warmup", "3840x3840", "--warmup", "512x512"]
+        )
+        assert args.command == "serve"
+        assert args.port == 9000
+        assert args.warmup == ["3840x3840", "512x512"]
+
+    def test_bad_warmup_spec_errors(self, tiny_model_fp):
+        from floodsr_tpu.cli import main
+
+        code = main([
+            "serve", "--model-path", str(tiny_model_fp), "--warmup", "nope"
+        ])
+        assert code == 1  # CLI catch-all -> exit 1
