@@ -142,6 +142,8 @@ _MACHINE_SCHEMA: dict[str, tuple[str, bool]] = {
     "input_kind": ("--input-kind", False),
     "buildings": ("--buildings", False),
     "fetch_buildings": ("--fetch-buildings", True),
+    "mesh": ("--mesh", False),
+    "scene_mode": ("--scene-mode", False),
 }
 
 
@@ -270,6 +272,7 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
             "max_batch": config.max_batch,
             "output_transfer": config.output_transfer,
             "input_transfer": config.input_transfer,
+            **_resolve_mesh_options(args),
         },
     )
 
@@ -439,6 +442,7 @@ def _cmd_serve(args: argparse.Namespace) -> int:
             "max_batch": config.max_batch,
             "output_transfer": config.output_transfer,
             "input_transfer": config.input_transfer,
+            **_resolve_mesh_options(args),
         },
         logger_=log,
     )
@@ -610,6 +614,41 @@ def _build_tohr_parser(subparsers) -> None:
             "the LR grid) before super-resolution."
         ),
     )
+    _add_mesh_opts(p)
+
+
+def _add_mesh_opts(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--mesh", default=None, metavar="SPEC",
+        help=(
+            "Shard inference over a device mesh: 'auto' (all chips, data "
+            "parallel), a device count, or axis sizes like 'dp=4,tp=2'. "
+            "Default: single device."
+        ),
+    )
+    p.add_argument(
+        "--scene-mode", choices=("replicated", "banded"), default=None,
+        help=(
+            "Sharded-scene formulation (with --mesh): 'replicated' gathers "
+            "tiles and updates a replicated scene (fastest for scenes that "
+            "fit one chip's HBM); 'banded' row-shards the scene and its "
+            "accumulators across dp (scenes beyond single-chip HBM)."
+        ),
+    )
+
+
+def _resolve_mesh_options(args: argparse.Namespace) -> dict:
+    """--mesh/--scene-mode -> engine_options entries (empty when unset)."""
+    options: dict = {}
+    if getattr(args, "mesh", None):
+        from floodsr_tpu.parallel.mesh import parse_mesh_spec
+
+        options["mesh"] = parse_mesh_spec(args.mesh)
+    if getattr(args, "scene_mode", None):
+        if "mesh" not in options:
+            raise ValueError("--scene-mode requires --mesh")
+        options["scene_mode"] = args.scene_mode
+    return options
 
 
 def _build_serve_parser(subparsers) -> None:
@@ -642,6 +681,7 @@ def _build_serve_parser(subparsers) -> None:
             "--warmup 3840x3840)."
         ),
     )
+    _add_mesh_opts(p)
     _add_fetch_opts(p)
 
 

@@ -57,6 +57,7 @@ class ModelWorker(Model):
         compute_dtype: str = "float32",
         max_batch: int = 8,
         mesh=None,
+        scene_mode: str = "replicated",
         output_transfer: str = "uint16",
         input_transfer: str = "uint16",
     ):
@@ -64,6 +65,7 @@ class ModelWorker(Model):
         self.compute_dtype = compute_dtype
         self.max_batch = int(max_batch)
         self.mesh = mesh
+        self.scene_mode = scene_mode
         self.output_transfer = output_transfer
         self.input_transfer = input_transfer
         self.engine: EngineJAX | None = None
@@ -81,6 +83,7 @@ class ModelWorker(Model):
             compute_dtype=self.compute_dtype,
             max_batch=self.max_batch,
             mesh=self.mesh,
+            scene_mode=self.scene_mode,
             output_transfer=self.output_transfer,
         )
         return self

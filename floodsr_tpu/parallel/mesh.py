@@ -45,6 +45,56 @@ def make_mesh(
     return Mesh(grid, axis_names=("dp", "tp"))
 
 
+def parse_mesh_spec(spec: str) -> Mesh:
+    """Build a mesh from a CLI-style spec string.
+
+    Accepted forms (user-facing via ``--mesh``):
+
+    - ``"auto"``  — all visible devices, pure data parallel (tp=1)
+    - ``"4"``     — first 4 devices, pure data parallel
+    - ``"dp=4"`` / ``"dp=4,tp=2"`` — explicit axis sizes
+
+    Raises ``ValueError`` with the accepted grammar on anything else (a CLI
+    flag must not surface an assertion).
+    """
+    text = str(spec).strip().lower()
+    if not text:
+        raise ValueError("empty --mesh spec")
+    if text == "auto":
+        return make_mesh()
+    if text.isdigit():
+        return make_mesh(int(text))
+    dp: int | None = None
+    tp = 1
+    for part in text.split(","):
+        key, _, value = part.partition("=")
+        key = key.strip()
+        if key not in ("dp", "tp") or not value.strip().isdigit():
+            raise ValueError(
+                f"bad --mesh spec '{spec}'; expected 'auto', a device count, "
+                "or axis sizes like 'dp=4' / 'dp=4,tp=2'"
+            )
+        if key == "dp":
+            dp = int(value)
+        else:
+            tp = int(value)
+    if dp is None:
+        n = len(jax.devices())
+        if n % tp != 0:
+            raise ValueError(
+                f"--mesh '{spec}': {n} visible devices not divisible by tp={tp}"
+            )
+        dp = n // tp
+    n_devices = dp * tp
+    available = len(jax.devices())
+    if n_devices > available:
+        raise ValueError(
+            f"--mesh '{spec}' needs {n_devices} devices but only "
+            f"{available} are visible"
+        )
+    return make_mesh(n_devices, dp=dp, tp=tp)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over ``dp``."""
     return NamedSharding(mesh, PartitionSpec("dp"))

@@ -307,6 +307,68 @@ class TestTohrCli:
         assert out.parent == Path.cwd().resolve()
 
 
+class TestMeshCli:
+    def test_parse_mesh_spec_grammar(self):
+        import jax
+
+        from floodsr_tpu.parallel.mesh import parse_mesh_spec
+
+        n = len(jax.devices())
+        assert dict(parse_mesh_spec("auto").shape) == {"dp": n, "tp": 1}
+        assert dict(parse_mesh_spec("4").shape) == {"dp": 4, "tp": 1}
+        assert dict(parse_mesh_spec("dp=2,tp=2").shape) == {"dp": 2, "tp": 2}
+        assert dict(parse_mesh_spec("tp=2").shape) == {"dp": n // 2, "tp": 2}
+        for bad in ("", "dp=x", "qq=2", "dp=999"):
+            with pytest.raises(ValueError):
+                parse_mesh_spec(bad)
+
+    @pytest.mark.parametrize("extra", [
+        ["--mesh", "auto"],
+        ["--mesh", "dp=4,tp=2"],
+        ["--mesh", "8", "--scene-mode", "banded"],
+    ])
+    def test_tohr_mesh_output_matches_single_device(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, extra
+    ):
+        """CLI-sharded inference (8-device virtual mesh) matches the
+        single-device run — the dp=8 ≡ dp=1 invariant through the CLI.
+        Tolerance matches the engine-level sharded-equality tests (the mesh
+        rounds batch widths up for even sharding, which reorders conv
+        reductions; see tests/test_scene_banded.py)."""
+        base_fp = tmp_path / "single.tif"
+        common = [
+            "tohr",
+            "--in", str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "--dem", str(synthetic_tohr_tiles["dem_fp"]),
+            "--model-path", str(tiny_model_fp),
+        ]
+        assert main(common + ["--out", str(base_fp)]) == 0
+        sharded_fp = tmp_path / ("sharded_" + extra[1].replace("=", "").replace(",", "") + ".tif")
+        assert main(common + ["--out", str(sharded_fp)] + extra) == 0
+        single, _, _ = read_raster(base_fp)
+        sharded, _, _ = read_raster(sharded_fp)
+        np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=0)
+
+    def test_scene_mode_requires_mesh(self, tiny_model_fp, synthetic_tohr_tiles, tmp_path):
+        code = main([
+            "tohr",
+            "--in", str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "--dem", str(synthetic_tohr_tiles["dem_fp"]),
+            "--model-path", str(tiny_model_fp),
+            "--out", str(tmp_path / "x.tif"),
+            "--scene-mode", "banded",
+        ])
+        assert code == 1  # CLI catch-all -> exit 1
+
+    def test_machine_json_mesh_keys(self):
+        from floodsr_tpu.cli import _build_tohr_machine_cli_tokens
+
+        tokens = _build_tohr_machine_cli_tokens(
+            {"mesh": "dp=4", "scene_mode": "banded"}, []
+        )
+        assert tokens == ["--mesh", "dp=4", "--scene-mode", "banded"]
+
+
 class TestDoctorAndCache:
     def test_doctor_prints_runtime_keys(self, capsys):
         assert main(["doctor"]) == 0
