@@ -369,18 +369,11 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
 
 
 def _cmd_doctor(args: argparse.Namespace) -> int:
-    from floodsr_tpu.engine import get_io_info, get_jax_info
+    from floodsr_tpu.engine import doctor_info
 
-    jax_info = get_jax_info()
-    io_info = get_io_info()
-    for key, value in (
-        ("jax_installed", jax_info["installed"]),
-        ("jax_version", jax_info["version"]),
-        ("jax_backend", jax_info["backend"]),
-        ("jax_devices", ",".join(str(d) for d in jax_info["devices"])),
-        ("io_backend", io_info["backend"]),
-        ("io_native_codec", io_info["native_codec"]),
-    ):
+    for key, value in doctor_info().items():
+        if isinstance(value, list):
+            value = ",".join(str(v) for v in value)
         print(f"{key}={value}")
     return 0
 
@@ -413,14 +406,9 @@ def _cmd_serve(args: argparse.Namespace) -> int:
     from floodsr_tpu.serve import serve
 
     config = load_config()
-    if args.cache_dir is None and config.cache_dir:
-        args.cache_dir = Path(config.cache_dir)
-    if args.manifest is None and config.manifest_fp:
-        args.manifest = Path(config.manifest_fp)
-    if args.model_version is None and args.model_path is None:
-        args.model_version = config.default_model_version
-    model_version, model_fp = _resolve_tohr_model_spec(args)
 
+    # Validate the cheap inputs BEFORE model resolution: a typo'd --warmup
+    # or --mesh must not abort only after a multi-GB weights download.
     warmup_shapes = []
     for spec in args.warmup or []:
         try:
@@ -430,6 +418,15 @@ def _cmd_serve(args: argparse.Namespace) -> int:
                 f"--warmup expects HxW (e.g. 3840x3840), got '{spec}'"
             ) from None
         warmup_shapes.append((h, w))
+    mesh_options = _resolve_mesh_options(args)
+
+    if args.cache_dir is None and config.cache_dir:
+        args.cache_dir = Path(config.cache_dir)
+    if args.manifest is None and config.manifest_fp:
+        args.manifest = Path(config.manifest_fp)
+    if args.model_version is None and args.model_path is None:
+        args.model_version = config.default_model_version
+    model_version, model_fp = _resolve_tohr_model_spec(args)
 
     return serve(
         model_version=model_version,
@@ -442,8 +439,9 @@ def _cmd_serve(args: argparse.Namespace) -> int:
             "max_batch": config.max_batch,
             "output_transfer": config.output_transfer,
             "input_transfer": config.input_transfer,
-            **_resolve_mesh_options(args),
+            **mesh_options,
         },
+        run_defaults={"window_method": config.window_method},
         logger_=log,
     )
 

@@ -52,3 +52,17 @@ def get_optional_package_info(name: str) -> dict[str, object]:
     except md.PackageNotFoundError:
         return {"installed": False, "version": None}
     return {"installed": True, "version": version}
+
+
+def doctor_info() -> dict[str, object]:
+    """The `doctor` diagnostics as one dict (CLI key=value; daemon JSON)."""
+    jax_info = get_jax_info()
+    io_info = get_io_info()
+    return {
+        "jax_installed": jax_info["installed"],
+        "jax_version": jax_info["version"],
+        "jax_backend": jax_info["backend"],
+        "jax_devices": [str(d) for d in jax_info["devices"]],
+        "io_backend": io_info["backend"],
+        "io_native_codec": io_info["native_codec"],
+    }

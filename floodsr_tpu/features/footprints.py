@@ -264,12 +264,16 @@ def rasterize_polygons(
     delta[close_idx] -= close_n.astype(np.int16)
     cover = np.cumsum(delta.reshape(h, w + 1)[:, :w], axis=1, dtype=np.int16)
     if int(cover.min()) < 0:
-        # Unreachable for finite closed rings (parse-time validation rejects
-        # non-finite vertices); a real exception, not an assert, because a
+        # Two reachable causes: malformed geometry desyncing the open/close
+        # pairing (parse-time validation rejects non-finite vertices, but a
+        # caller bypassing load_footprints could still feed one), or int16
+        # cumulative-coverage wraparound when >32767 well-formed polygons
+        # stack on one pixel. A real exception, not an assert, because a
         # misaligned pairing corrupts every later polygon's fill.
         raise ValueError(
-            "scanline coverage went negative; open/close crossing pairing "
-            "is misaligned (malformed polygon geometry)"
+            "scanline coverage went negative: open/close crossing pairing "
+            "is misaligned (malformed polygon geometry, or >32767 polygons "
+            "overlapping one pixel)"
         )
     return cover.astype(bool)
 

@@ -60,33 +60,36 @@ def parse_mesh_spec(spec: str) -> Mesh:
     text = str(spec).strip().lower()
     if not text:
         raise ValueError("empty --mesh spec")
+    available = len(jax.devices())
     if text == "auto":
         return make_mesh()
     if text.isdigit():
-        return make_mesh(int(text))
-    dp: int | None = None
-    tp = 1
-    for part in text.split(","):
-        key, _, value = part.partition("=")
-        key = key.strip()
-        if key not in ("dp", "tp") or not value.strip().isdigit():
-            raise ValueError(
-                f"bad --mesh spec '{spec}'; expected 'auto', a device count, "
-                "or axis sizes like 'dp=4' / 'dp=4,tp=2'"
-            )
-        if key == "dp":
-            dp = int(value)
-        else:
-            tp = int(value)
-    if dp is None:
-        n = len(jax.devices())
-        if n % tp != 0:
-            raise ValueError(
-                f"--mesh '{spec}': {n} visible devices not divisible by tp={tp}"
-            )
-        dp = n // tp
+        dp, tp = int(text), 1
+    else:
+        dp = None
+        tp = 1
+        for part in text.split(","):
+            key, _, value = part.partition("=")
+            key = key.strip()
+            if key not in ("dp", "tp") or not value.strip().isdigit():
+                raise ValueError(
+                    f"bad --mesh spec '{spec}'; expected 'auto', a device "
+                    "count, or axis sizes like 'dp=4' / 'dp=4,tp=2'"
+                )
+            if key == "dp":
+                dp = int(value)
+            else:
+                tp = int(value)
+        if dp is None:
+            if tp < 1 or available % tp != 0:
+                raise ValueError(
+                    f"--mesh '{spec}': {available} visible devices not "
+                    f"divisible by tp={tp}"
+                )
+            dp = available // tp
+    if dp < 1 or tp < 1:
+        raise ValueError(f"--mesh '{spec}': axis sizes must be >= 1")
     n_devices = dp * tp
-    available = len(jax.devices())
     if n_devices > available:
         raise ValueError(
             f"--mesh '{spec}' needs {n_devices} devices but only "

@@ -114,6 +114,7 @@ class TohrService:
         model_version: str,
         model_fp: str | Path,
         engine_options: dict | None = None,
+        run_defaults: dict | None = None,
         logger_: logging.Logger | None = None,
     ):
         self.model_version = model_version
@@ -122,6 +123,9 @@ class TohrService:
             raise FileNotFoundError(f"model file does not exist: {self.model_fp}")
         self.log = logger_ or logger
         self._engine_options = dict(engine_options or {})
+        self._run_defaults = {
+            k: v for k, v in (run_defaults or {}).items() if v is not None
+        }
         self._worker = None
         self._device_lock = threading.Lock()
         self._started = time.time()
@@ -131,15 +135,10 @@ class TohrService:
     # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> None:
-        import inspect
+        from floodsr_tpu.tohr import filter_engine_options
 
         worker_class = resolve_model_worker_class(self.model_version)
-        init_params = inspect.signature(worker_class.__init__).parameters
-        extra = {
-            key: value
-            for key, value in self._engine_options.items()
-            if key in init_params
-        }
+        extra = filter_engine_options(worker_class, self._engine_options)
         self._worker = worker_class(
             model_fp=self.model_fp, logger=self.log, **extra
         ).__enter__()
@@ -162,7 +161,18 @@ class TohrService:
         """Validate one machine-interface payload and run it on the worker."""
         if not isinstance(payload, dict):
             raise RequestError("request body must be a JSON object")
-        body = payload.get("tohr", payload)
+        if "tohr" in payload:
+            # Nested form: siblings would silently bypass key validation
+            # (including the boot-only-key rejection) if ignored.
+            siblings = sorted(k for k in payload if k != "tohr")
+            if siblings:
+                raise RequestError(
+                    "a nested 'tohr' payload cannot carry sibling keys: "
+                    + ", ".join(siblings)
+                )
+            body = payload["tohr"]
+        else:
+            body = payload
         if not isinstance(body, dict):
             raise RequestError("'tohr' payload must be a JSON object")
 
@@ -200,34 +210,45 @@ class TohrService:
             )
         if fetch_out is not None and not fetch_hrdem:
             raise RequestError("'fetch_out' requires 'fetch_hrdem'")
-        if fetch_hrdem:
-            if "dem_hr_fp" in run_kwargs:
-                raise RequestError("pass either 'dem' or 'fetch_hrdem', not both")
-            from floodsr_tpu.dem_sources import fetch_dem
-
-            run_kwargs["dem_hr_fp"] = fetch_dem(
-                source_id="hrdem",
-                depth_lr_fp=run_kwargs["depth_lr_fp"],
-                output_fp=fetch_out,
-                logger=self.log,
-            ).dem_fp
-        if "dem_hr_fp" not in run_kwargs:
+        if fetch_hrdem and "dem_hr_fp" in run_kwargs:
+            raise RequestError("pass either 'dem' or 'fetch_hrdem', not both")
+        if not fetch_hrdem and "dem_hr_fp" not in run_kwargs:
             raise RequestError("request must name a DEM ('dem' or 'fetch_hrdem')")
-        if fetch_buildings:
-            if "buildings_fp" in run_kwargs:
-                raise RequestError(
-                    "pass either 'buildings' or 'fetch_buildings', not both"
-                )
-            from floodsr_tpu.features.nrcan_buildings import (
-                fetch_buildings_for_raster,
+        if fetch_buildings and "buildings_fp" in run_kwargs:
+            raise RequestError(
+                "pass either 'buildings' or 'fetch_buildings', not both"
             )
-
-            run_kwargs["buildings_fp"] = fetch_buildings_for_raster(
-                raster_fp=run_kwargs["depth_lr_fp"], logger=self.log
-            ).buildings_fp
+        # Fill request-absent options from the daemon's configured defaults
+        # (e.g. window_method from the user config file), so the same job
+        # through the CLI and the daemon produces the same raster.
+        for key, value in self._run_defaults.items():
+            run_kwargs.setdefault(key, value)
 
         assert self._worker is not None, "service not started"
+        # STAC fetches run under the device lock too: the fetchers' session
+        # caches and scratch files are shared process state with no
+        # cross-thread coordination, and two concurrent requests for the
+        # same scene would race check-then-write on the same scratch raster
+        # (one thread reading the DEM into the worker while another rewrites
+        # it). Fetch latency serializing with compute is the v1 trade.
         with self._device_lock:
+            if fetch_hrdem:
+                from floodsr_tpu.dem_sources import fetch_dem
+
+                run_kwargs["dem_hr_fp"] = fetch_dem(
+                    source_id="hrdem",
+                    depth_lr_fp=run_kwargs["depth_lr_fp"],
+                    output_fp=fetch_out,
+                    logger=self.log,
+                ).dem_fp
+            if fetch_buildings:
+                from floodsr_tpu.features.nrcan_buildings import (
+                    fetch_buildings_for_raster,
+                )
+
+                run_kwargs["buildings_fp"] = fetch_buildings_for_raster(
+                    raster_fp=run_kwargs["depth_lr_fp"], logger=self.log
+                ).buildings_fp
             result = self._worker.run(**run_kwargs)
         self._requests_done += 1
         return _json_safe(result)
@@ -244,18 +265,9 @@ class TohrService:
 
     @staticmethod
     def doctor() -> dict:
-        from floodsr_tpu.engine import get_io_info, get_jax_info
+        from floodsr_tpu.engine import doctor_info
 
-        jax_info = get_jax_info()
-        io_info = get_io_info()
-        return {
-            "jax_installed": jax_info["installed"],
-            "jax_version": jax_info["version"],
-            "jax_backend": jax_info["backend"],
-            "jax_devices": [str(d) for d in jax_info["devices"]],
-            "io_backend": io_info["backend"],
-            "io_native_codec": io_info["native_codec"],
-        }
+        return doctor_info()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -293,10 +305,16 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
-            if length <= 0:
-                raise RequestError("request must carry a JSON body")
-            if length > self.max_body_bytes:
-                raise RequestError("request body too large")
+            if length <= 0 or length > self.max_body_bytes:
+                # Replying without reading the body would leave its bytes in
+                # the socket and desync this HTTP/1.1 keep-alive connection
+                # (they'd parse as the next request line) — drop it instead.
+                self.close_connection = True
+                raise RequestError(
+                    "request must carry a JSON body"
+                    if length <= 0
+                    else "request body too large"
+                )
             try:
                 payload = json.loads(self.rfile.read(length))
             except json.JSONDecodeError as err:
@@ -334,6 +352,7 @@ def serve(
     port: int = 8571,
     warmup_hr_shapes: list[tuple[int, int]] | None = None,
     engine_options: dict | None = None,
+    run_defaults: dict | None = None,
     logger_: logging.Logger | None = None,
 ) -> int:
     """Run the daemon until interrupted. Returns a process exit code."""
@@ -342,6 +361,7 @@ def serve(
         model_version=model_version,
         model_fp=model_fp,
         engine_options=engine_options,
+        run_defaults=run_defaults,
         logger_=log,
     )
     service.start()

@@ -30,6 +30,21 @@ _RUN_KEYS = (
 )
 
 
+def filter_engine_options(worker_class, engine_options: dict | None) -> dict:
+    """Keep only the engine options the worker's __init__ declares.
+
+    Shared by :func:`tohr`, :func:`tohr_many`, and the serving daemon so the
+    option surface cannot silently diverge between entry points; workers opt
+    in per-option by declaring the parameter.
+    """
+    init_params = inspect.signature(worker_class.__init__).parameters
+    return {
+        key: value
+        for key, value in (engine_options or {}).items()
+        if key in init_params
+    }
+
+
 def tohr(
     *,
     model_version: str,
@@ -62,12 +77,7 @@ def tohr(
     log = logger if logger is not None else logging.getLogger(__name__)
 
     worker_class = resolve_model_worker_class(model_version)
-    init_params = inspect.signature(worker_class.__init__).parameters
-    extra: dict[str, Any] = {
-        key: value
-        for key, value in (engine_options or {}).items()
-        if key in init_params
-    }
+    extra = filter_engine_options(worker_class, engine_options)
 
     run_args = dict(
         zip(
@@ -125,12 +135,7 @@ def tohr_many(
     log = logger if logger is not None else logging.getLogger(__name__)
 
     worker_class = resolve_model_worker_class(model_version)
-    init_params = inspect.signature(worker_class.__init__).parameters
-    extra: dict[str, Any] = {
-        key: value
-        for key, value in (engine_options or {}).items()
-        if key in init_params
-    }
+    extra = filter_engine_options(worker_class, engine_options)
     shared = dict(
         max_depth=max_depth,
         dem_pct_clip=dem_pct_clip,

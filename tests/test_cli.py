@@ -318,7 +318,7 @@ class TestMeshCli:
         assert dict(parse_mesh_spec("4").shape) == {"dp": 4, "tp": 1}
         assert dict(parse_mesh_spec("dp=2,tp=2").shape) == {"dp": 2, "tp": 2}
         assert dict(parse_mesh_spec("tp=2").shape) == {"dp": n // 2, "tp": 2}
-        for bad in ("", "dp=x", "qq=2", "dp=999"):
+        for bad in ("", "dp=x", "qq=2", "dp=999", "0", "999", "dp=0", "tp=3"):
             with pytest.raises(ValueError):
                 parse_mesh_spec(bad)
 

@@ -175,6 +175,44 @@ class TestRequestValidation:
         assert status == 400
         assert "dem" in body["error"].lower()
 
+    def test_nested_payload_sibling_keys_400(self, live_server):
+        # Siblings of a nested 'tohr' object would bypass key validation
+        # (including boot-only rejection) if silently dropped.
+        base, _ = live_server
+        status, body = _post(base, {
+            "tohr": {"in": "x.tif", "dem": "y.tif", "out": "z.tif"},
+            "model_version": "other",
+        })
+        assert status == 400
+        assert "sibling" in body["error"]
+
+    def test_run_defaults_fill_absent_options(self, tiny_model_fp, logger):
+        # A daemon configured with window_method='hard' must apply it to
+        # requests that don't name one (CLI/daemon output parity).
+        from floodsr_tpu.serve import RequestError, TohrService
+
+        service = TohrService(
+            model_version="ResUNet_16x_DEM",
+            model_fp=tiny_model_fp,
+            run_defaults={"window_method": "hard"},
+            logger_=logger,
+        )
+        captured = {}
+
+        class FakeWorker:
+            def run(self, **kw):
+                captured.update(kw)
+                return {"output_fp": kw["output_fp"]}
+
+        service._worker = FakeWorker()
+        service.handle_tohr({"in": "a.tif", "dem": "b.tif", "out": "c.tif"})
+        assert captured["window_method"] == "hard"
+        service.handle_tohr({"in": "a.tif", "dem": "b.tif", "out": "c.tif",
+                             "window_method": "feather"})
+        assert captured["window_method"] == "feather"  # request wins
+        with pytest.raises(RequestError):
+            service.handle_tohr({"in": "a.tif", "out": "c.tif"})
+
     def test_invalid_json_400(self, live_server):
         base, _ = live_server
         req = urllib.request.Request(
