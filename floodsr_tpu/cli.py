@@ -442,6 +442,7 @@ def _cmd_serve(args: argparse.Namespace) -> int:
             **mesh_options,
         },
         run_defaults={"window_method": config.window_method},
+        max_pending=args.max_pending,
         logger_=log,
     )
 
@@ -677,6 +678,13 @@ def _build_serve_parser(subparsers) -> None:
             "Precompile the scene executables for an expected HR scene "
             "extent before accepting traffic (repeatable, e.g. "
             "--warmup 3840x3840)."
+        ),
+    )
+    p.add_argument(
+        "--max-pending", type=int, default=8,
+        help=(
+            "Requests admitted to the device queue before the daemon "
+            "answers 503 (backpressure instead of unbounded queueing)."
         ),
     )
     _add_mesh_opts(p)

@@ -32,9 +32,19 @@ exactly like other file-path-oriented inference daemons.
 
 Endpoints::
 
-    POST /v1/tohr    {"in": ..., "dem": ..., "out": ..., ...} -> diagnostics
-    GET  /v1/healthz {"status": "ok", "model_version": ..., ...}
-    GET  /v1/doctor  runtime/device diagnostics (CLI `doctor` as JSON)
+    POST /v1/tohr      {"in": ..., "dem": ..., "out": ..., ...} -> diagnostics
+    POST /v1/tohr_many {"jobs": [{...}, ...], <shared options>} -> [diag, ...]
+    GET  /v1/healthz   {"status": "ok", "model_version": ..., ...}
+    GET  /v1/doctor    runtime/device diagnostics (CLI `doctor` as JSON)
+    GET  /v1/metrics   Prometheus text-format counters
+
+``/v1/tohr_many`` streams the whole batch through ``ModelWorker.run_many``
+under one lock acquisition: scene N+1's DEM decodes and uploads in a
+background thread while scene N computes — the HTTP analogue of
+``floodsr tohr --in a.tif b.tif …``. Backpressure: at most ``max_pending``
+requests may wait on the device lock; beyond that the daemon answers
+503 immediately so callers retry elsewhere instead of piling onto a chip
+that is minutes behind.
 """
 
 from __future__ import annotations
@@ -81,6 +91,10 @@ class RequestError(ValueError):
     """Client-side request problem -> HTTP 400."""
 
 
+class BusyError(RuntimeError):
+    """Device queue full -> HTTP 503 (caller should retry elsewhere/later)."""
+
+
 def _json_safe(value):
     """Recursively convert a diagnostics dict to JSON-serializable types."""
     if isinstance(value, dict):
@@ -115,6 +129,7 @@ class TohrService:
         model_fp: str | Path,
         engine_options: dict | None = None,
         run_defaults: dict | None = None,
+        max_pending: int = 8,
         logger_: logging.Logger | None = None,
     ):
         self.model_version = model_version
@@ -126,11 +141,18 @@ class TohrService:
         self._run_defaults = {
             k: v for k, v in (run_defaults or {}).items() if v is not None
         }
+        self.max_pending = int(max_pending)
+        if self.max_pending < 1:
+            raise ValueError(f"max_pending must be >= 1, got {max_pending}")
         self._worker = None
         self._device_lock = threading.Lock()
+        self._pending_lock = threading.Lock()
+        self._pending = 0
         self._started = time.time()
         self._requests_done = 0
         self._requests_failed = 0
+        self._scenes_done = 0
+        self._device_busy_s = 0.0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -157,25 +179,26 @@ class TohrService:
 
     # -- request handling ----------------------------------------------------
 
-    def handle_tohr(self, payload: dict) -> dict:
-        """Validate one machine-interface payload and run it on the worker."""
+    @staticmethod
+    def _unwrap(payload: dict, key: str) -> dict:
         if not isinstance(payload, dict):
             raise RequestError("request body must be a JSON object")
-        if "tohr" in payload:
+        if key in payload:
             # Nested form: siblings would silently bypass key validation
             # (including the boot-only-key rejection) if ignored.
-            siblings = sorted(k for k in payload if k != "tohr")
+            siblings = sorted(k for k in payload if k != key)
             if siblings:
                 raise RequestError(
-                    "a nested 'tohr' payload cannot carry sibling keys: "
+                    f"a nested '{key}' payload cannot carry sibling keys: "
                     + ", ".join(siblings)
                 )
-            body = payload["tohr"]
-        else:
-            body = payload
-        if not isinstance(body, dict):
-            raise RequestError("'tohr' payload must be a JSON object")
+            payload = payload[key]
+        if not isinstance(payload, dict):
+            raise RequestError(f"'{key}' payload must be a JSON object")
+        return payload
 
+    def _translate_body(self, body: dict) -> tuple[dict, bool, bool, object]:
+        """Machine-interface keys -> (run kwargs, fetch flags, fetch_out)."""
         run_kwargs: dict = {}
         fetch_hrdem = False
         fetch_buildings = False
@@ -223,35 +246,110 @@ class TohrService:
         # through the CLI and the daemon produces the same raster.
         for key, value in self._run_defaults.items():
             run_kwargs.setdefault(key, value)
+        return run_kwargs, fetch_hrdem, fetch_buildings, fetch_out
+
+    def _resolve_fetches(
+        self, run_kwargs: dict, fetch_hrdem: bool, fetch_buildings: bool,
+        fetch_out,
+    ) -> dict:
+        """Resolve fetch_* flags into real paths. Caller holds the device
+        lock: the fetchers' session caches and scratch files are shared
+        process state with no cross-thread coordination, and two concurrent
+        requests for the same scene would race check-then-write on the same
+        scratch raster. Fetch latency serializing with compute is the trade.
+        """
+        if fetch_hrdem:
+            from floodsr_tpu.dem_sources import fetch_dem
+
+            run_kwargs["dem_hr_fp"] = fetch_dem(
+                source_id="hrdem",
+                depth_lr_fp=run_kwargs["depth_lr_fp"],
+                output_fp=fetch_out,
+                logger=self.log,
+            ).dem_fp
+        if fetch_buildings:
+            from floodsr_tpu.features.nrcan_buildings import (
+                fetch_buildings_for_raster,
+            )
+
+            run_kwargs["buildings_fp"] = fetch_buildings_for_raster(
+                raster_fp=run_kwargs["depth_lr_fp"], logger=self.log
+            ).buildings_fp
+        return run_kwargs
+
+    def _acquire_slot(self):
+        """Backpressure: admit at most max_pending requests to the device
+        queue; answer 503 beyond that instead of stacking minutes of work."""
+        with self._pending_lock:
+            if self._pending >= self.max_pending:
+                raise BusyError(
+                    f"server busy: {self._pending} requests already queued "
+                    f"(max_pending={self.max_pending})"
+                )
+            self._pending += 1
+
+    def _release_slot(self):
+        with self._pending_lock:
+            self._pending -= 1
+
+    def handle_tohr(self, payload: dict) -> dict:
+        """Validate one machine-interface payload and run it on the worker."""
+        body = self._unwrap(payload, "tohr")
+        run_kwargs, f_dem, f_bld, f_out = self._translate_body(body)
+        assert self._worker is not None, "service not started"
+        self._acquire_slot()
+        try:
+            with self._device_lock:
+                run_kwargs = self._resolve_fetches(run_kwargs, f_dem, f_bld, f_out)
+                started = time.perf_counter()
+                result = self._worker.run(**run_kwargs)
+                self._device_busy_s += time.perf_counter() - started
+        finally:
+            self._release_slot()
+        self._requests_done += 1
+        self._scenes_done += 1
+        return _json_safe(result)
+
+    def handle_tohr_many(self, payload: dict) -> list[dict]:
+        """Batch form: shared options at the top level, per-scene paths in
+        ``jobs``. The whole batch rides ``ModelWorker.run_many`` under ONE
+        lock acquisition, so scene N+1's DEM decodes/uploads in a background
+        thread while scene N computes."""
+        body = self._unwrap(payload, "tohr_many")
+        jobs_spec = body.get("jobs")
+        if not isinstance(jobs_spec, list) or not jobs_spec:
+            raise RequestError("'jobs' must be a non-empty array of objects")
+        shared_body = {k: v for k, v in body.items() if k != "jobs"}
+        jobs: list[dict] = []
+        fetches: list[tuple[bool, bool, object]] = []
+        for i, job_body in enumerate(jobs_spec):
+            if not isinstance(job_body, dict):
+                raise RequestError(f"jobs[{i}] must be a JSON object")
+            merged = {**shared_body, **job_body}
+            run_kwargs, f_dem, f_bld, f_out = self._translate_body(merged)
+            jobs.append(run_kwargs)
+            fetches.append((f_dem, f_bld, f_out))
+        outs = {Path(j["output_fp"]).expanduser().resolve() for j in jobs}
+        if len(outs) != len(jobs):
+            raise RequestError("jobs write to colliding output paths")
 
         assert self._worker is not None, "service not started"
-        # STAC fetches run under the device lock too: the fetchers' session
-        # caches and scratch files are shared process state with no
-        # cross-thread coordination, and two concurrent requests for the
-        # same scene would race check-then-write on the same scratch raster
-        # (one thread reading the DEM into the worker while another rewrites
-        # it). Fetch latency serializing with compute is the v1 trade.
-        with self._device_lock:
-            if fetch_hrdem:
-                from floodsr_tpu.dem_sources import fetch_dem
-
-                run_kwargs["dem_hr_fp"] = fetch_dem(
-                    source_id="hrdem",
-                    depth_lr_fp=run_kwargs["depth_lr_fp"],
-                    output_fp=fetch_out,
-                    logger=self.log,
-                ).dem_fp
-            if fetch_buildings:
-                from floodsr_tpu.features.nrcan_buildings import (
-                    fetch_buildings_for_raster,
-                )
-
-                run_kwargs["buildings_fp"] = fetch_buildings_for_raster(
-                    raster_fp=run_kwargs["depth_lr_fp"], logger=self.log
-                ).buildings_fp
-            result = self._worker.run(**run_kwargs)
+        self._acquire_slot()
+        try:
+            with self._device_lock:
+                for job, (f_dem, f_bld, f_out) in zip(jobs, fetches):
+                    self._resolve_fetches(job, f_dem, f_bld, f_out)
+                started = time.perf_counter()
+                if hasattr(self._worker, "run_many"):
+                    results = self._worker.run_many(jobs)
+                else:
+                    results = [self._worker.run(**job) for job in jobs]
+                self._device_busy_s += time.perf_counter() - started
+        finally:
+            self._release_slot()
         self._requests_done += 1
-        return _json_safe(result)
+        self._scenes_done += len(jobs)
+        return [_json_safe(r) for r in results]
 
     def health(self) -> dict:
         return {
@@ -261,7 +359,23 @@ class TohrService:
             "uptime_s": round(time.time() - self._started, 3),
             "requests_done": self._requests_done,
             "requests_failed": self._requests_failed,
+            "pending": self._pending,
         }
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the serving counters."""
+        lines = []
+        for name, kind, value in (
+            ("floodsr_requests_done", "counter", self._requests_done),
+            ("floodsr_requests_failed", "counter", self._requests_failed),
+            ("floodsr_scenes_done", "counter", self._scenes_done),
+            ("floodsr_device_busy_seconds", "counter", self._device_busy_s),
+            ("floodsr_pending_requests", "gauge", self._pending),
+            ("floodsr_uptime_seconds", "gauge", time.time() - self._started),
+        ):
+            lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"{name} {value}")
+        return "\n".join(lines) + "\n"
 
     @staticmethod
     def doctor() -> dict:
@@ -296,11 +410,22 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, self.service.health())
         elif self.path in ("/v1/doctor", "/doctor"):
             self._reply(200, self.service.doctor())
+        elif self.path in ("/v1/metrics", "/metrics"):
+            body = self.service.metrics_text().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._reply(404, {"error": f"unknown path: {self.path}"})
 
     def do_POST(self) -> None:  # noqa: N802
-        if self.path not in ("/v1/tohr", "/tohr"):
+        if self.path in ("/v1/tohr", "/tohr"):
+            handle = self.service.handle_tohr
+        elif self.path in ("/v1/tohr_many", "/tohr_many"):
+            handle = self.service.handle_tohr_many
+        else:
             self._reply(404, {"error": f"unknown path: {self.path}"})
             return
         try:
@@ -320,12 +445,19 @@ class _Handler(BaseHTTPRequestHandler):
             except json.JSONDecodeError as err:
                 raise RequestError(f"invalid JSON body: {err}") from None
             started = time.perf_counter()
-            result = self.service.handle_tohr(payload)
-            result["serve_runtime_s"] = round(time.perf_counter() - started, 4)
-            self._reply(200, result)
+            result = handle(payload)
+            runtime = round(time.perf_counter() - started, 4)
+            if isinstance(result, dict):
+                result["serve_runtime_s"] = runtime
+                self._reply(200, result)
+            else:  # tohr_many: list of per-job diagnostics
+                self._reply(200, {"results": result, "serve_runtime_s": runtime})
         except RequestError as err:
             self.service._requests_failed += 1
             self._reply(400, {"error": str(err)})
+        except BusyError as err:
+            self.service._requests_failed += 1
+            self._reply(503, {"error": str(err)})
         except Exception as err:  # noqa: BLE001 — daemon must not die per-request
             self.service._requests_failed += 1
             self.service.log.error(f"serve: request failed: {err}")
@@ -353,6 +485,7 @@ def serve(
     warmup_hr_shapes: list[tuple[int, int]] | None = None,
     engine_options: dict | None = None,
     run_defaults: dict | None = None,
+    max_pending: int = 8,
     logger_: logging.Logger | None = None,
 ) -> int:
     """Run the daemon until interrupted. Returns a process exit code."""
@@ -362,6 +495,7 @@ def serve(
         model_fp=model_fp,
         engine_options=engine_options,
         run_defaults=run_defaults,
+        max_pending=max_pending,
         logger_=log,
     )
     service.start()

@@ -9,6 +9,7 @@ committed model.
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -140,6 +141,101 @@ class TestEndpoints:
         a, _, _ = read_raster(tmp_path / "a.tif")
         b, _, _ = read_raster(tmp_path / "b.tif")
         np.testing.assert_array_equal(a, b)
+
+
+class TestBatchAndMetrics:
+    def test_tohr_many_streams_batch(
+        self, live_server, synthetic_tohr_tiles, tmp_path
+    ):
+        base, _ = live_server
+        req = urllib.request.Request(
+            base + "/v1/tohr_many",
+            data=json.dumps({
+                "window_method": "hard",
+                "jobs": [
+                    {"in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+                     "dem": str(synthetic_tohr_tiles["dem_fp"]),
+                     "out": str(tmp_path / "m1.tif")},
+                    {"in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+                     "dem": str(synthetic_tohr_tiles["dem_fp"]),
+                     "out": str(tmp_path / "m2.tif"),
+                     "window_method": "feather"},  # per-job override
+                ],
+            }).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            body = json.loads(resp.read())
+        assert len(body["results"]) == 2
+        m1, _, _ = read_raster(tmp_path / "m1.tif")
+        m2, _, _ = read_raster(tmp_path / "m2.tif")
+        assert m1.shape == m2.shape
+        assert body["results"][0]["preprocess"]["window_method"] == "hard"
+        assert body["results"][1]["preprocess"]["window_method"] == "feather"
+
+    def test_tohr_many_validation(self, live_server, tmp_path):
+        base, _ = live_server
+        for bad, needle in (
+            ({"jobs": []}, "non-empty"),
+            ({"jobs": [{"in": "a", "dem": "b", "out": str(tmp_path / "x.tif")},
+                       {"in": "c", "dem": "d", "out": str(tmp_path / "x.tif")}]},
+             "colliding"),
+            ({"jobs": ["nope"]}, "jobs[0]"),
+        ):
+            status, body = _post_path(base, "/v1/tohr_many", bad)
+            assert status == 400, (bad, body)
+            assert needle in body["error"]
+
+    def test_metrics_endpoint(self, live_server):
+        base, service = live_server
+        with urllib.request.urlopen(base + "/v1/metrics", timeout=60) as resp:
+            assert resp.status == 200
+            text = resp.read().decode()
+        assert "# TYPE floodsr_requests_done counter" in text
+        assert "floodsr_device_busy_seconds" in text
+        assert "floodsr_pending_requests" in text
+
+    def test_busy_503(self, tiny_model_fp, logger):
+        from floodsr_tpu.serve import BusyError, TohrService
+
+        service = TohrService(
+            model_version="ResUNet_16x_DEM", model_fp=tiny_model_fp,
+            max_pending=1, logger_=logger,
+        )
+        blocker = threading.Event()
+
+        class SlowWorker:
+            def run(self, **kw):
+                blocker.wait(timeout=60)
+                return {"output_fp": kw["output_fp"]}
+
+        service._worker = SlowWorker()
+        job = {"in": "a.tif", "dem": "b.tif", "out": "c.tif"}
+        first = threading.Thread(target=service.handle_tohr, args=(dict(job),))
+        first.start()
+        try:
+            deadline = time.time() + 10
+            while service._pending < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            with pytest.raises(BusyError):
+                service.handle_tohr(dict(job))
+        finally:
+            blocker.set()
+            first.join(timeout=60)
+        assert service._pending == 0
+        # Slot released: a new request is admitted again.
+        service.handle_tohr(dict(job))
+
+
+def _post_path(base: str, path: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
 
 
 class TestRequestValidation:
