@@ -419,6 +419,8 @@ def _cmd_serve(args: argparse.Namespace) -> int:
             ) from None
         warmup_shapes.append((h, w))
     mesh_options = _resolve_mesh_options(args)
+    if args.max_pending < 1:
+        raise ValueError(f"--max-pending must be >= 1, got {args.max_pending}")
 
     if args.cache_dir is None and config.cache_dir:
         args.cache_dir = Path(config.cache_dir)

@@ -38,13 +38,15 @@ Endpoints::
     GET  /v1/doctor    runtime/device diagnostics (CLI `doctor` as JSON)
     GET  /v1/metrics   Prometheus text-format counters
 
-``/v1/tohr_many`` streams the whole batch through ``ModelWorker.run_many``
-under one lock acquisition: scene N+1's DEM decodes and uploads in a
+``/v1/tohr_many`` streams the batch under one lock acquisition with the
+``run_many`` pipeline shape: scene N+1's DEM decodes and uploads in a
 background thread while scene N computes — the HTTP analogue of
-``floodsr tohr --in a.tif b.tif …``. Backpressure: at most ``max_pending``
-requests may wait on the device lock; beyond that the daemon answers
-503 immediately so callers retry elsewhere instead of piling onto a chip
-that is minutes behind.
+``floodsr tohr --in a.tif b.tif …``. A failed scene reports its error in
+its own result entry (``"ok": false``) and the batch continues.
+Backpressure: at most ``max_pending`` requests may wait on the device
+lock and a batch carries at most ``max_jobs_per_batch`` scenes; beyond
+either bound the daemon answers 503/400 immediately so callers retry
+elsewhere instead of piling onto a chip that is minutes behind.
 """
 
 from __future__ import annotations
@@ -148,6 +150,7 @@ class TohrService:
         self._device_lock = threading.Lock()
         self._pending_lock = threading.Lock()
         self._pending = 0
+        self._stats_lock = threading.Lock()  # counters bump from HTTP threads
         self._started = time.time()
         self._requests_done = 0
         self._requests_failed = 0
@@ -303,22 +306,37 @@ class TohrService:
                 run_kwargs = self._resolve_fetches(run_kwargs, f_dem, f_bld, f_out)
                 started = time.perf_counter()
                 result = self._worker.run(**run_kwargs)
-                self._device_busy_s += time.perf_counter() - started
+                elapsed = time.perf_counter() - started
         finally:
             self._release_slot()
-        self._requests_done += 1
-        self._scenes_done += 1
+        with self._stats_lock:
+            self._device_busy_s += elapsed
+            self._requests_done += 1
+            self._scenes_done += 1
         return _json_safe(result)
+
+    #: Scenes per /v1/tohr_many request. A batch occupies one pending slot
+    #: for its whole runtime, so an unbounded batch would defeat the
+    #: max_pending backpressure; larger workloads should split requests.
+    max_jobs_per_batch = 64
 
     def handle_tohr_many(self, payload: dict) -> list[dict]:
         """Batch form: shared options at the top level, per-scene paths in
-        ``jobs``. The whole batch rides ``ModelWorker.run_many`` under ONE
-        lock acquisition, so scene N+1's DEM decodes/uploads in a background
-        thread while scene N computes."""
+        ``jobs``. The whole batch runs under ONE lock acquisition with the
+        next scene's DEM prefetching in a background thread while the
+        current scene computes (the ``run_many`` pipeline). Each entry of
+        the response carries ``"ok"``: a failed scene reports its error in
+        place and the batch continues — earlier outputs on disk are valid.
+        """
         body = self._unwrap(payload, "tohr_many")
         jobs_spec = body.get("jobs")
         if not isinstance(jobs_spec, list) or not jobs_spec:
             raise RequestError("'jobs' must be a non-empty array of objects")
+        if len(jobs_spec) > self.max_jobs_per_batch:
+            raise RequestError(
+                f"too many jobs ({len(jobs_spec)} > {self.max_jobs_per_batch}); "
+                "split the batch across requests"
+            )
         shared_body = {k: v for k, v in body.items() if k != "jobs"}
         jobs: list[dict] = []
         fetches: list[tuple[bool, bool, object]] = []
@@ -327,6 +345,13 @@ class TohrService:
                 raise RequestError(f"jobs[{i}] must be a JSON object")
             merged = {**shared_body, **job_body}
             run_kwargs, f_dem, f_bld, f_out = self._translate_body(merged)
+            if f_out is not None:
+                # Same rule as the multi-input CLI: one named DEM file per
+                # batch means every job's fetch would overwrite it.
+                raise RequestError(
+                    "'fetch_out' names a single DEM file and cannot be used "
+                    "in a batch (each scene fetches its own DEM)"
+                )
             jobs.append(run_kwargs)
             fetches.append((f_dem, f_bld, f_out))
         outs = {Path(j["output_fp"]).expanduser().resolve() for j in jobs}
@@ -334,22 +359,49 @@ class TohrService:
             raise RequestError("jobs write to colliding output paths")
 
         assert self._worker is not None, "service not started"
+        can_prefetch = hasattr(self._worker, "prefetch_dem")
+        results: list[dict] = []
+        scenes_ok = 0
         self._acquire_slot()
         try:
             with self._device_lock:
-                for job, (f_dem, f_bld, f_out) in zip(jobs, fetches):
-                    self._resolve_fetches(job, f_dem, f_bld, f_out)
                 started = time.perf_counter()
-                if hasattr(self._worker, "run_many"):
-                    results = self._worker.run_many(jobs)
-                else:
-                    results = [self._worker.run(**job) for job in jobs]
-                self._device_busy_s += time.perf_counter() - started
+                for i, (job, (f_dem, f_bld, f_out)) in enumerate(
+                    zip(jobs, fetches)
+                ):
+                    try:
+                        self._resolve_fetches(job, f_dem, f_bld, f_out)
+                        # run_many's pipeline shape: next scene's DEM decodes
+                        # and uploads in the background while this one runs
+                        # (only for already-resolved local DEM paths).
+                        if can_prefetch and i + 1 < len(jobs):
+                            nxt = jobs[i + 1].get("dem_hr_fp")
+                            if nxt is not None:
+                                self._worker.prefetch_dem(nxt)
+                        result = _json_safe(self._worker.run(**job))
+                        result["ok"] = True
+                        scenes_ok += 1
+                    except Exception as err:  # noqa: BLE001 — report per job
+                        self.log.error(f"serve: batch job {i} failed: {err}")
+                        self.log.debug("serve: job traceback", exc_info=True)
+                        result = {
+                            "ok": False,
+                            "error": str(err),
+                            "output_fp": str(job.get("output_fp")),
+                        }
+                    results.append(result)
+                elapsed = time.perf_counter() - started
         finally:
             self._release_slot()
-        self._requests_done += 1
-        self._scenes_done += len(jobs)
-        return [_json_safe(r) for r in results]
+        with self._stats_lock:
+            self._device_busy_s += elapsed
+            self._requests_done += 1
+            self._scenes_done += scenes_ok
+        return results
+
+    def note_failure(self) -> None:
+        with self._stats_lock:
+            self._requests_failed += 1
 
     def health(self) -> dict:
         return {
@@ -397,13 +449,15 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # route to our logger, not stderr
         self.service.log.debug("serve: " + fmt % args)
 
-    def _reply(self, status: int, payload: dict) -> None:
-        body = json.dumps(payload).encode()
+    def _reply_raw(self, status: int, content_type: str, body: bytes) -> None:
         self.send_response(status)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _reply(self, status: int, payload: dict) -> None:
+        self._reply_raw(status, "application/json", json.dumps(payload).encode())
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib handler naming)
         if self.path in ("/v1/healthz", "/healthz"):
@@ -411,12 +465,10 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path in ("/v1/doctor", "/doctor"):
             self._reply(200, self.service.doctor())
         elif self.path in ("/v1/metrics", "/metrics"):
-            body = self.service.metrics_text().encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "text/plain; version=0.0.4")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._reply_raw(
+                200, "text/plain; version=0.0.4",
+                self.service.metrics_text().encode(),
+            )
         else:
             self._reply(404, {"error": f"unknown path: {self.path}"})
 
@@ -429,7 +481,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path: {self.path}"})
             return
         try:
-            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                # Same keep-alive hazard as the unread-body paths below.
+                self.close_connection = True
+                raise RequestError("malformed Content-Length header") from None
             if length <= 0 or length > self.max_body_bytes:
                 # Replying without reading the body would leave its bytes in
                 # the socket and desync this HTTP/1.1 keep-alive connection
@@ -453,13 +510,13 @@ class _Handler(BaseHTTPRequestHandler):
             else:  # tohr_many: list of per-job diagnostics
                 self._reply(200, {"results": result, "serve_runtime_s": runtime})
         except RequestError as err:
-            self.service._requests_failed += 1
+            self.service.note_failure()
             self._reply(400, {"error": str(err)})
         except BusyError as err:
-            self.service._requests_failed += 1
+            self.service.note_failure()
             self._reply(503, {"error": str(err)})
         except Exception as err:  # noqa: BLE001 — daemon must not die per-request
-            self.service._requests_failed += 1
+            self.service.note_failure()
             self.service.log.error(f"serve: request failed: {err}")
             self.service.log.debug("serve: request traceback", exc_info=True)
             self._reply(500, {"error": str(err)})

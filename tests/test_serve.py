@@ -167,20 +167,49 @@ class TestBatchAndMetrics:
         with urllib.request.urlopen(req, timeout=600) as resp:
             body = json.loads(resp.read())
         assert len(body["results"]) == 2
+        assert all(r["ok"] for r in body["results"])
         m1, _, _ = read_raster(tmp_path / "m1.tif")
         m2, _, _ = read_raster(tmp_path / "m2.tif")
         assert m1.shape == m2.shape
         assert body["results"][0]["preprocess"]["window_method"] == "hard"
         assert body["results"][1]["preprocess"]["window_method"] == "feather"
 
+    def test_tohr_many_mid_batch_failure_reports_per_job(
+        self, live_server, synthetic_tohr_tiles, tmp_path
+    ):
+        base, _ = live_server
+        good = {"in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+                "dem": str(synthetic_tohr_tiles["dem_fp"])}
+        status, body = _post_path(base, "/v1/tohr_many", {"jobs": [
+            {**good, "out": str(tmp_path / "ok1.tif")},
+            {"in": str(tmp_path / "missing.tif"), "dem": good["dem"],
+             "out": str(tmp_path / "bad.tif")},
+            {**good, "out": str(tmp_path / "ok2.tif")},
+        ]})
+        assert status == 200
+        oks = [r["ok"] for r in body["results"]]
+        assert oks == [True, False, True]
+        assert "error" in body["results"][1]
+        # The scenes around the failure completed and are valid rasters.
+        a, _, _ = read_raster(tmp_path / "ok1.tif")
+        b, _, _ = read_raster(tmp_path / "ok2.tif")
+        np.testing.assert_array_equal(a, b)
+        assert not (tmp_path / "bad.tif").exists()
+
     def test_tohr_many_validation(self, live_server, tmp_path):
         base, _ = live_server
+        toobig = [{"in": "a", "dem": "b", "out": str(tmp_path / f"{i}.tif")}
+                  for i in range(65)]
         for bad, needle in (
             ({"jobs": []}, "non-empty"),
             ({"jobs": [{"in": "a", "dem": "b", "out": str(tmp_path / "x.tif")},
                        {"in": "c", "dem": "d", "out": str(tmp_path / "x.tif")}]},
              "colliding"),
             ({"jobs": ["nope"]}, "jobs[0]"),
+            ({"jobs": toobig}, "too many jobs"),
+            ({"fetch_hrdem": True, "fetch_out": "/tmp/one_dem.tif",
+              "jobs": [{"in": "a", "out": str(tmp_path / "y.tif")}]},
+             "fetch_out"),
         ):
             status, body = _post_path(base, "/v1/tohr_many", bad)
             assert status == 400, (bad, body)
@@ -317,6 +346,31 @@ class TestRequestValidation:
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req, timeout=60)
         assert err.value.code == 400
+
+    def test_malformed_content_length_400_closes_connection(self, live_server):
+        import http.client
+        from urllib.parse import urlparse
+
+        base, _ = live_server
+        parsed = urlparse(base)
+        conn = http.client.HTTPConnection(parsed.hostname, parsed.port, timeout=60)
+        try:
+            conn.putrequest("POST", "/v1/tohr")
+            conn.putheader("Content-Length", "abc")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+            body = json.loads(resp.read())
+            assert "Content-Length" in body["error"]
+            # The server must drop the connection (unread body bytes would
+            # desync keep-alive): a follow-up request on the same socket
+            # cannot get a response.
+            with pytest.raises((http.client.HTTPException, OSError)):
+                conn.putrequest("GET", "/v1/healthz")
+                conn.endheaders()
+                conn.getresponse().read()
+        finally:
+            conn.close()
 
     def test_runtime_failure_500_daemon_survives(self, live_server, tmp_path):
         base, service = live_server
