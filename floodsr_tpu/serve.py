@@ -107,10 +107,14 @@ def _json_safe(value):
         return str(value)
     if isinstance(value, np.ndarray):
         if value.size <= 16:
-            return value.tolist()
+            return _json_safe(value.tolist())
         return {"shape": list(value.shape), "dtype": str(value.dtype)}
     if isinstance(value, np.generic):
-        return value.item()
+        value = value.item()
+    if isinstance(value, float) and not np.isfinite(value):
+        # json.dumps would emit bare NaN/Infinity — invalid JSON that strict
+        # clients reject; null is the faithful wire encoding.
+        return None
     if isinstance(value, (str, int, float, bool)) or value is None:
         return value
     return str(value)

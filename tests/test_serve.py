@@ -267,6 +267,22 @@ def _post_path(base: str, path: str, payload: dict) -> tuple[int, dict]:
         return err.code, json.loads(err.read())
 
 
+class TestJsonSafe:
+    def test_non_finite_floats_become_null(self):
+        # json.dumps would emit bare NaN/Infinity (invalid JSON) otherwise.
+        from floodsr_tpu.serve import _json_safe
+
+        out = _json_safe({
+            "nan": float("nan"),
+            "inf": np.float32("inf"),
+            "arr": np.array([1.0, float("-inf")]),
+            "path": __import__("pathlib").Path("/x"),
+        })
+        assert out["nan"] is None and out["inf"] is None
+        assert out["arr"] == [1.0, None]
+        json.dumps(out, allow_nan=False)  # strict-JSON round trip
+
+
 class TestRequestValidation:
     def test_unknown_key_400(self, live_server):
         base, _ = live_server
