@@ -455,7 +455,19 @@ class EngineJAX(EngineBase):
                 metas.append((chunk["pos"], chunk["take"], chunk["bucket"]))
                 yield (chunk["d"], chunk["m"])
 
-        for i, (d_dev, m_dev) in enumerate(prefetch_to_device(array_chunks())):
+        # Under a mesh, upload straight into the batch sharding — an
+        # uncommitted single-device put would be resharded (moved again)
+        # at jit dispatch, serializing the transfer double-buffering.
+        batch_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sharding = NamedSharding(
+                self.mesh, PartitionSpec(self.batch_axis)
+            )
+        for i, (d_dev, m_dev) in enumerate(
+            prefetch_to_device(array_chunks(), sharding=batch_sharding)
+        ):
             pos, take, bucket = metas[i]
             fn = self._forward_fn(
                 bucket,
@@ -740,13 +752,12 @@ class EngineJAX(EngineBase):
                 banded_in_shardings,
                 pack_banded_scene,
             )
-            from floodsr_tpu.tiling import build_window_grid
 
             scale = cfg.scale
             n_bands = int(self.mesh.shape[self.batch_axis])
             warmed = set()
             for shape in crop_shapes:
-                fn, bucket, chunk = self.banded_scene_executor(
+                fn, bucket, chunk, cap = self.banded_scene_executor(
                     (int(shape[0]), int(shape[1])),
                     stride_hr=stride_hr, overlap_hr=overlap_hr,
                     max_depth=max_depth, dem_pct_clip=dem_pct_clip,
@@ -765,7 +776,7 @@ class EngineJAX(EngineBase):
                         np.zeros((bucket[0] // scale, bucket[1] // scale), np.float32),
                         np.zeros(bucket, np.float32),
                         grid, n_bands=n_bands, tile=cfg.hr_tile, scale=scale,
-                        chunk=chunk,
+                        chunk=chunk, cap=cap,
                     )
                     banded_np.pop("grid_slot")
                     shardings = banded_in_shardings(self.mesh, self.batch_axis)
@@ -943,6 +954,20 @@ class EngineJAX(EngineBase):
         quantum = n_bands * tile
         bucket = (-(-bucket[0] // quantum) * quantum, bucket[1])
         chunk = max(1, int(self.max_batch))
+        # Bucket-level tile capacity per band: every content grid within
+        # the bucket packs to THIS shape, so one compiled executable serves
+        # them all (a per-scene cap would hand each crop shape its own jit
+        # signature — minutes-long recompiles that warmup cannot cover).
+        # Worst case rows owned by one band: the regular stride rows plus a
+        # forced trailing-edge row landing inside the band.
+        from floodsr_tpu.tiling import build_window_grid
+
+        band = bucket[0] // n_bands
+        cap_rows = -(-band // int(stride_hr)) + 1
+        nx_bucket = int(
+            build_window_grid(tile, bucket[1], tile, int(stride_hr))["nx"]
+        )
+        cap = -(-(cap_rows * nx_bucket) // chunk) * chunk
 
         key = ("scene-banded", bucket, int(stride_hr), int(overlap_hr),
                float(max_depth), float(dem_pct_clip), self.output_transfer,
@@ -958,7 +983,7 @@ class EngineJAX(EngineBase):
                 transfer_dtype=self.output_transfer,
             )
             self._jit_cache[key] = fn
-        return fn, bucket, chunk
+        return fn, bucket, chunk, cap
 
     def _run_scene_banded(
         self,
@@ -991,7 +1016,7 @@ class EngineJAX(EngineBase):
         tile, scale = cfg.hr_tile, cfg.scale
         crop_h, crop_w = crop_shape
         n_bands = int(self.mesh.shape[self.batch_axis])
-        fn, bucket, chunk = self.banded_scene_executor(
+        fn, bucket, chunk, cap = self.banded_scene_executor(
             (crop_h, crop_w),
             stride_hr=stride_hr, overlap_hr=overlap_hr,
             max_depth=max_depth, dem_pct_clip=dem_pct_clip, tile_lr=tile_lr,
@@ -1011,7 +1036,7 @@ class EngineJAX(EngineBase):
 
         banded_np = pack_banded_scene(
             depth_np, dem_np, grid, n_bands=n_bands, tile=tile, scale=scale,
-            chunk=chunk,
+            chunk=chunk, cap=cap,
         )
         grid_slot = banded_np.pop("grid_slot")
         shardings = banded_in_shardings(self.mesh, self.batch_axis)

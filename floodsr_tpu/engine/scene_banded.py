@@ -73,6 +73,7 @@ def pack_banded_scene(
     tile: int,
     scale: int,
     chunk: int,
+    cap: "int | None" = None,
 ) -> dict[str, np.ndarray]:
     """Host-side banding: overlapping input bands + per-band tile indices.
 
@@ -104,8 +105,18 @@ def pack_banded_scene(
     owner = np.minimum(y0 // band, n_bands - 1)
 
     counts = [(owner == d).sum() for d in range(n_bands)]
-    cap = max(1, int(max(counts)))
-    cap = -(-cap // chunk) * chunk
+    needed = -(-max(1, int(max(counts))) // chunk) * chunk
+    if cap is None:
+        cap = needed
+    else:
+        # Caller-fixed capacity (the executor's bucket-level cap): every
+        # content grid within a bucket packs to the SAME shapes so one
+        # compiled executable serves them all — a per-scene cap would give
+        # each distinct crop shape its own jit signature (minutes-long
+        # recompiles warmup cannot cover).
+        assert cap % chunk == 0 and cap >= needed, (
+            f"cap={cap} cannot hold {needed} tiles (chunk={chunk})"
+        )
 
     def field(default, dtype):
         return np.full((n_bands, cap), default, dtype)

@@ -22,7 +22,6 @@ reference's tile cache.
 from __future__ import annotations
 
 import logging
-import math
 import tempfile
 import threading
 import time
@@ -232,6 +231,11 @@ class ModelWorker(Model):
         if window_method == "hard":
             stride_hr, weight_overlap = hr_tile, 0
         else:
+            if overlap_lr <= 0:
+                # Same validation as run(): warming a hard-geometry
+                # executable for arguments every run() would reject leaves a
+                # "healthy" server that fails 100% of real requests.
+                raise AssertionError("feather windowing requires overlap_lr > 0")
             stride_hr = hr_tile - overlap_lr * scale
             weight_overlap = overlap_lr * scale
         return self.engine.warmup(
@@ -591,14 +595,14 @@ class ModelWorker(Model):
 
             output_profile = dict(prepped["dem_raw_profile"])
             output_profile.update(dtype="float32", count=1)
-            stream_writer = open_raster_stream(out_path, output_profile)
 
             # Building blocking (reference's planned feature, its ADR-0016):
             # zero depths inside footprints as the rows stream to disk, and
-            # apply the same mask to the in-memory prediction below.
+            # apply the same mask to the in-memory prediction below. Loaded
+            # BEFORE the output stream opens: a bad --buildings file must
+            # fail cleanly, not truncate/corrupt the requested output path.
             building_mask = None
             blocked_wet = {"cells": 0}
-            row_sink = stream_writer.write_rows
             if buildings_fp is not None:
                 from floodsr_tpu.features import building_mask_for_grid
 
@@ -609,6 +613,10 @@ class ModelWorker(Model):
                     crs=str(output_profile["crs"]),
                     logger_=log,
                 )
+
+            stream_writer = open_raster_stream(out_path, output_profile)
+            row_sink = stream_writer.write_rows
+            if building_mask is not None:
                 row_cursor = {"row": 0}
 
                 def row_sink(band, _w=stream_writer.write_rows):

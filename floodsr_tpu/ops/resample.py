@@ -244,9 +244,17 @@ class StreamingSeparableResampler:
         need = np.maximum(self._r0, self._r1)
         assert np.all(np.diff(need) >= 0), "dst rows must map monotonically"
         self._need = need
+        # Earliest source row any dst row >= i still references (suffix min
+        # of the lower bracket): once dst rows before i are emitted, source
+        # rows below _lowmin[i] can never be read again and are dropped —
+        # retained rows stay O(band), not O(scene) (a 30k-row scene would
+        # otherwise re-vstack a growing multi-GB prefix on every band).
+        low = np.minimum(self._r0, self._r1)
+        self._lowmin = np.minimum.accumulate(low[::-1])[::-1]
         self._dst_h = int(dst_shape[0])
         self._src_rows: list[np.ndarray] = []
-        self._rows_have = 0
+        self._rows_have = 0  # total source rows fed so far (absolute)
+        self._base = 0       # absolute index of the first retained row
         self._next_dst = 0
 
     def feed(self, band: np.ndarray) -> tuple[int, np.ndarray]:
@@ -262,12 +270,22 @@ class StreamingSeparableResampler:
         if len(self._src_rows) > 1:
             self._src_rows = [np.vstack(self._src_rows)]
         src = self._src_rows[0]
-        r0 = self._r0[start:end]
-        r1 = self._r1[start:end]
+        r0 = self._r0[start:end] - self._base
+        r1 = self._r1[start:end] - self._base
         fr = self._fr[start:end]
         rows = src[r0] * (1.0 - fr) + src[r1] * fr
         out = rows[:, self._c0] * (1.0 - self._fc) + rows[:, self._c1] * self._fc
         self._next_dst = end
+        # Clamp to rows actually fed: the next dst row's lower bracket can
+        # lie beyond the stream position, and trimming past it would desync
+        # _base from the rows appended later.
+        keep_abs = min(
+            int(self._lowmin[end]) if end < self._dst_h else self._rows_have,
+            self._rows_have,
+        )
+        if keep_abs > self._base:
+            self._src_rows = [src[keep_abs - self._base :]]
+            self._base = keep_abs
         return start, out
 
     @property

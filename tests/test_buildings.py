@@ -220,6 +220,26 @@ class TestTohrBlocking:
         diag = result["preprocess"]
         assert diag["building_blocked_wet_cells"] == int((base[mask] > 0).sum())
 
+    def test_bad_buildings_file_does_not_clobber_output(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        # The footprint mask loads BEFORE the output stream opens: a
+        # mistyped --buildings path must fail cleanly without truncating an
+        # existing raster at the output path.
+        out_fp = tmp_path / "keep.tif"
+        out_fp.write_bytes(b"precious previous result")
+        with pytest.raises(FileNotFoundError):
+            tohr(
+                model_version="ResUNet_16x_DEM",
+                model_fp=tiny_model_fp,
+                depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                output_fp=out_fp,
+                buildings_fp=tmp_path / "missing.geojson",
+                logger=logger,
+            )
+        assert out_fp.read_bytes() == b"precious previous result"
+
     def test_no_buildings_diagnostic_is_none(
         self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
     ):

@@ -298,3 +298,41 @@ class TestNodataHandling:
             assert valid.any()
             np.testing.assert_allclose(out[valid], 150.0, atol=1e-3)
         np.testing.assert_allclose(dev_dem, host_dem, atol=1e-3)
+
+
+class TestStreamingResampler:
+    @pytest.mark.parametrize("dst_shape", [(97, 61), (240, 240), (33, 200)])
+    def test_matches_one_shot_and_bounds_memory(self, rng, dst_shape):
+        from floodsr_tpu.io import from_origin
+        from floodsr_tpu.ops.resample import (
+            StreamingSeparableResampler,
+            separable_resample_np,
+        )
+
+        src = rng.normal(0, 1, (120, 80)).astype(np.float32)
+        t_src = from_origin(0, 120.0, 1.0, 1.0)
+        # dst grid covering the same extent at a different resolution
+        t_dst = from_origin(
+            0, 120.0, 80.0 / dst_shape[1], 120.0 / dst_shape[0]
+        )
+        want = separable_resample_np(src, t_src, dst_shape, t_dst)
+
+        s = StreamingSeparableResampler(src.shape, t_src, dst_shape, t_dst)
+        got = np.zeros(dst_shape, np.float32)
+        fed = 0
+        max_retained = 0
+        band_sizes = [7, 1, 23, 11, 40, 38]
+        while fed < src.shape[0]:
+            n = min(band_sizes[0], src.shape[0] - fed)
+            band_sizes = band_sizes[1:] + band_sizes[:1]
+            start, rows = s.feed(src[fed : fed + n])
+            got[start : start + rows.shape[0]] = rows
+            fed += n
+            max_retained = max(
+                max_retained, sum(r.shape[0] for r in s._src_rows)
+            )
+        assert s.complete
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+        # Consumed rows are dropped: the retained window stays O(band),
+        # never the whole accumulated prefix (quadratic-copy regression).
+        assert max_retained < src.shape[0]

@@ -177,3 +177,53 @@ class TestBandedWarmup:
         assert out.shape == BUCKET
         assert len(eng._jit_cache) == 1
         eng.close()
+
+    def test_sub_bucket_crop_reuses_warmed_trace(self, scene_inputs, tmp_path):
+        """Content grids smaller than the bucket must pack to the SAME
+        shapes as warmup's bucket grid (bucket-level tile cap), or the first
+        real request retraces and pays the compile warmup exists to hide."""
+        from floodsr_tpu.engine import EngineJAX
+        from floodsr_tpu.nn.checkpoint import save_artifact
+
+        dem, depth, params, state = scene_inputs
+        fp = tmp_path / "tiny.fsrz"
+        save_artifact(fp, CFG, params, state, {"seed": 77})
+        mesh = make_mesh(8, tp=1)
+        eng = EngineJAX(
+            fp, mesh=mesh, scene_mode="banded", max_batch=4,
+            output_transfer="float32",
+        )
+        # A crop strictly inside the bucket: different content grid, fewer
+        # tiles per band than the bucket grid.
+        crop = (BUCKET[0] - CFG.hr_tile, BUCKET[1] - CFG.hr_tile)
+        eng.warmup(
+            [crop], stride_hr=STRIDE, overlap_hr=OVERLAP,
+            max_depth=MAX_DEPTH, dem_pct_clip=PCT,
+        )
+        # The shapes that drive jit specialization: warmup's bucket grid and
+        # the real request's content grid must pack identically.
+        _, bucket, chunk, cap = eng.banded_scene_executor(
+            crop, stride_hr=STRIDE, overlap_hr=OVERLAP,
+            max_depth=MAX_DEPTH, dem_pct_clip=PCT,
+        )
+        packs = {}
+        for name, (h, w) in (("bucket", bucket), ("content", crop)):
+            grid = build_window_grid(h, w, CFG.hr_tile, STRIDE)
+            p = pack_banded_scene(
+                np.zeros((bucket[0] // CFG.scale, bucket[1] // CFG.scale),
+                         np.float32),
+                np.zeros(bucket, np.float32),
+                grid, n_bands=8, tile=CFG.hr_tile, scale=CFG.scale,
+                chunk=chunk, cap=cap,
+            )
+            p.pop("grid_slot")
+            packs[name] = {k: v.shape for k, v in p.items()}
+        assert packs["bucket"] == packs["content"]
+        out, _ = eng.run_scene(
+            depth[: crop[0] // CFG.scale, : crop[1] // CFG.scale],
+            dem[: crop[0], : crop[1]],
+            stride_hr=STRIDE, overlap_hr=OVERLAP,
+            max_depth=MAX_DEPTH, dem_pct_clip=PCT, crop_shape=crop,
+        )
+        assert out.shape == crop
+        eng.close()

@@ -158,6 +158,17 @@ class TestTohrNativeScale:
             scene_keys_after = {k for k in worker.engine._jit_cache if k[0] == "scene"}
             assert scene_keys_after == {k for k in keys_before if k[0] == "scene"}
 
+    def test_warmup_rejects_feather_with_zero_overlap(
+        self, worker_cls, tiny_model_fp, logger
+    ):
+        # run() rejects feather+overlap=0; warmup() must apply the same
+        # validation instead of warming a hard-geometry executable for
+        # arguments every real request will refuse.
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            with pytest.raises(AssertionError, match="overlap_lr > 0"):
+                worker.warmup([(64, 64)], window_method="feather",
+                              tile_overlap=0)
+
     def test_run_many_streams_scenes_with_prefetch(
         self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
     ):
