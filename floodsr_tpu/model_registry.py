@@ -315,6 +315,18 @@ class BuiltinRetrievalBackend(WeightsRetrievalBackend):
             indent=2,
         )
         + "\n",
+        "costgrow-pcraster-params-v1": json.dumps(
+            {
+                "model_version": "CostGrow_pcraster",
+                "dp_coarse_pixel_max": 10,
+                "decay_frac": 0.001,
+                "terrain_penalty_scale": 1.0,
+                "distance_metric": "chessboard",
+                "output_kind": "wse",
+            },
+            indent=2,
+        )
+        + "\n",
     }
 
     def retrieve(self, source: str, destination: Path) -> Path:

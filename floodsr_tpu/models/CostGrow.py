@@ -12,7 +12,13 @@ first-class worker in the same registry/worker framework as ResUNet_16x_DEM:
    ``1 + |Δ|·scale`` where the filled surface sits below terrain → anchor
    distance threshold (``max_grow_coarse_pixels × downscale``) → MCP value
    propagation of anchor WSE with optional linear distance decay;
-4. drop wet components not 8-connected to any anchor.
+4. drop wet components not connected to any anchor (orthogonal adjacency,
+   the reference's ``label(..., connectivity=1)``).
+
+The PCRaster variant the reference plans as a sibling model
+(``others/CostGrow_pcraster_inline.ipynb``) ships as
+:mod:`floodsr_tpu.models.CostGrow_pcraster`, subclassing this worker and
+overriding :meth:`ModelWorker._apply_phases`.
 
 All wavefront solves run as jitted relaxations on device
 (:mod:`floodsr_tpu.ops.costgrow`) instead of the reference's sequential
@@ -125,6 +131,53 @@ class ModelWorker(Model):
             self.params = {}
         return self
 
+    def _apply_phases(
+        self,
+        *,
+        wse_fine: np.ndarray,
+        dem: np.ndarray,
+        dem_valid: np.ndarray,
+        wse_coarse: np.ndarray,
+        wse_transform,
+        dem_transform,
+        downscale: int,
+        fine_pixel: float,
+    ) -> tuple[np.ndarray, dict[str, Any]]:
+        """Run phases 02-04 on the resampled WSE; returns (wse_out, params).
+
+        Subclasses (the PCRaster variant) override this with their own
+        phase semantics; the coarse WSE grid and both geotransforms are
+        provided for variants whose fill order differs.
+        """
+        max_grow_coarse_pixels = float(self.params.get("max_grow_coarse_pixels", 4.0))
+        terrain_penalty_scale = float(self.params.get("terrain_penalty_scale", 1.0))
+        decay_per_meter = float(self.params.get("decay_per_meter", 0.0))
+        max_grow_fine_pixels = max_grow_coarse_pixels * downscale
+
+        phases = jax.jit(
+            lambda a, b, c: _costgrow_phases(
+                a,
+                b,
+                c,
+                max_grow_fine_pixels=max_grow_fine_pixels,
+                terrain_penalty_scale=terrain_penalty_scale,
+                decay_per_pixel=decay_per_meter * fine_pixel,
+            )
+        )
+        wse_out = np.asarray(
+            phases(
+                jnp.asarray(wse_fine),
+                jnp.asarray(np.nan_to_num(dem, nan=np.inf)),
+                jnp.asarray(dem_valid),
+            )
+        )
+        return wse_out, {
+            "max_grow_coarse_pixels": max_grow_coarse_pixels,
+            "max_grow_fine_pixels": max_grow_fine_pixels,
+            "terrain_penalty_scale": terrain_penalty_scale,
+            "decay_per_meter": decay_per_meter,
+        }
+
     def run(
         self,
         *,
@@ -162,9 +215,6 @@ class ModelWorker(Model):
         assert wse_lr_path.exists(), f"low-res WSE raster does not exist: {wse_lr_path}"
         assert dem_path.exists(), f"DEM raster does not exist: {dem_path}"
 
-        max_grow_coarse_pixels = float(self.params.get("max_grow_coarse_pixels", 4.0))
-        terrain_penalty_scale = float(self.params.get("terrain_penalty_scale", 1.0))
-        decay_per_meter = float(self.params.get("decay_per_meter", 0.0))
         output_kind = str(self.params.get("output_kind", "wse")).lower()
         assert output_kind in {"wse", "depth"}, f"unsupported output_kind={output_kind}"
         input_kind = (input_kind or "wse").strip().lower()
@@ -215,11 +265,10 @@ class ModelWorker(Model):
         fine_pixel = float(np.mean([abs(dem_t.a), abs(dem_t.e)]))
         coarse_pixel = float(np.mean([abs(wse_t.a), abs(wse_t.e)]))
         downscale = max(1, int(round(coarse_pixel / fine_pixel)))
-        max_grow_fine_pixels = max_grow_coarse_pixels * downscale
 
         log.info(
-            f"CostGrow: {wse.shape} @ {coarse_pixel} m -> {dem.shape} @ {fine_pixel} m "
-            f"(downscale {downscale}, grow {max_grow_fine_pixels} fine px)"
+            f"{self.model_version}: {wse.shape} @ {coarse_pixel} m -> "
+            f"{dem.shape} @ {fine_pixel} m (downscale {downscale})"
         )
 
         # 01: resample WSE to the DEM grid; mask invalid source coverage.
@@ -243,18 +292,15 @@ class ModelWorker(Model):
                 np.isfinite(wse_fine), dem + np.clip(wse_fine, 0.0, None), np.nan
             ).astype(np.float32)
 
-        phases = jax.jit(
-            lambda a, b, c: _costgrow_phases(
-                a,
-                b,
-                c,
-                max_grow_fine_pixels=max_grow_fine_pixels,
-                terrain_penalty_scale=terrain_penalty_scale,
-                decay_per_pixel=decay_per_meter * fine_pixel,
-            )
-        )
-        wse_out = np.asarray(
-            phases(jnp.asarray(wse_fine), jnp.asarray(np.nan_to_num(dem, nan=np.inf)), jnp.asarray(dem_valid))
+        wse_out, phase_params = self._apply_phases(
+            wse_fine=wse_fine,
+            dem=dem,
+            dem_valid=dem_valid,
+            wse_coarse=wse,
+            wse_transform=wse_t,
+            dem_transform=dem_t,
+            downscale=downscale,
+            fine_pixel=fine_pixel,
         )
 
         wet_count = int(np.isfinite(wse_out).sum())
@@ -274,7 +320,7 @@ class ModelWorker(Model):
         write_raster(out_path, out_arr, profile)
 
         runtime_s = time.perf_counter() - start
-        log.info(f"finished CostGrow in {runtime_s:.3f}s -> {out_path}")
+        log.info(f"finished {self.model_version} in {runtime_s:.3f}s -> {out_path}")
         return {
             "output_fp": str(out_path),
             "runtime_s": float(runtime_s),
@@ -282,10 +328,7 @@ class ModelWorker(Model):
             "model_fp": str(self.model_fp),
             "output_size_bytes": int(out_path.stat().st_size),
             "preprocess": {
-                "max_grow_coarse_pixels": max_grow_coarse_pixels,
-                "max_grow_fine_pixels": max_grow_fine_pixels,
-                "terrain_penalty_scale": terrain_penalty_scale,
-                "decay_per_meter": decay_per_meter,
+                **phase_params,
                 "downscale": downscale,
                 "building_blocked_cells": blocked_cells,
                 "output_kind": output_kind,

@@ -184,12 +184,122 @@ def mcp_distance_jax(
     return dist
 
 
+def grid_distance_jax(
+    seed_mask: jnp.ndarray,
+    metric: str = "chessboard",
+    max_iters: int | None = None,
+    relaxations_per_check: int = 8,
+) -> jnp.ndarray:
+    """Unit-step grid distance from seed cells over the whole array.
+
+    Device twin of ``scipy.ndimage.distance_transform_cdt`` as the
+    reference's PCRaster CostGrow variant uses it (reference
+    ``others/CostGrow_pcraster_inline.ipynb`` ``_distance_fill`` /
+    ``_03_dry_partials``): ``"chessboard"`` = Chebyshev distance
+    (8-neighbor unit steps), ``"taxicab"`` = Manhattan (4-neighbor).
+    No domain masking — the reference computes it over the full raster
+    and masks afterwards. Returns float32 distances in pixels
+    (``inf`` where no seed is reachable, i.e. only when no seed exists).
+    """
+    if metric not in ("chessboard", "taxicab"):
+        raise ValueError(f"metric must be 'chessboard' or 'taxicab', got {metric!r}")
+    h, w = seed_mask.shape
+    if max_iters is None:
+        # Chebyshev/Manhattan eccentricity is bounded by the grid extent.
+        max_iters = h + w
+    steps = [
+        (dy, dx)
+        for dy, dx, _len in _NEIGHBORS
+        if metric == "chessboard" or dy == 0 or dx == 0
+    ]
+    dist0 = jnp.where(seed_mask, 0.0, jnp.inf).astype(jnp.float32)
+
+    def relax(dist):
+        best = dist
+        for dy, dx in steps:
+            best = jnp.minimum(best, _shift(dist, dy, dx, jnp.inf) + 1.0)
+        return best
+
+    def cond(state):
+        dist, prev, it = state
+        return jnp.any(dist < prev) & (it < max_iters)
+
+    def body(state):
+        dist, _prev, it = state
+        prev = dist
+        for _ in range(relaxations_per_check):
+            dist = relax(dist)
+        return dist, prev, it + relaxations_per_check
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, jnp.full_like(dist0, jnp.inf), jnp.int32(0))
+    )
+    return dist
+
+
+def nearest_fill_numpy(
+    values: np.ndarray, metric: str = "chessboard"
+) -> np.ndarray:
+    """Fill NaN cells with the value of the nearest finite cell (host side).
+
+    Behavioral twin of the reference's ``_distance_fill`` (reference
+    ``others/CostGrow_pcraster_inline.ipynb``: ``distance_transform_cdt``
+    index lookup): each empty cell takes the value of its nearest finite
+    cell under the chosen grid metric. Ties between equidistant sources are
+    resolved by neighbor-scan order (the reference inherits scipy's
+    internal tie-break; both pick *some* nearest source). Runs as iterated
+    dilation in numpy — intended for the small coarse grid.
+    """
+    if metric not in ("chessboard", "taxicab"):
+        raise ValueError(f"metric must be 'chessboard' or 'taxicab', got {metric!r}")
+    out = np.asarray(values, dtype=np.float64).copy()
+    filled = np.isfinite(out)
+    if not filled.any():
+        raise ValueError("nearest_fill_numpy: array has no finite cells")
+    steps = [
+        (dy, dx)
+        for dy, dx, _len in _NEIGHBORS
+        if metric == "chessboard" or dy == 0 or dx == 0
+    ]
+    h, w = out.shape
+    while not filled.all():
+        # Read only the previous ring: filling must not chain within one
+        # dilation step or the metric degrades (taxicab would pick up
+        # diagonal jumps composed from two orthogonal shifts).
+        prev_out = out.copy()
+        prev_filled = filled.copy()
+        for dy, dx in steps:
+            src_slice = (
+                slice(max(0, -dy), h - max(0, dy)),
+                slice(max(0, -dx), w - max(0, dx)),
+            )
+            dst_slice = (
+                slice(max(0, dy), h - max(0, -dy)),
+                slice(max(0, dx), w - max(0, -dx)),
+            )
+            take = ~filled[dst_slice] & prev_filled[src_slice]
+            if take.any():
+                dst_view = out[dst_slice]
+                dst_view[take] = prev_out[src_slice][take]
+                filled[dst_slice] |= take
+    return out
+
+
 def keep_components_connected_to_anchor_jax(
     wet_mask: jnp.ndarray,
     anchor_mask: jnp.ndarray,
     max_iters: int | None = None,
+    connectivity: int = 1,
 ) -> jnp.ndarray:
-    """Keep wet cells 8-connected to any anchor (reference notebook cell 22)."""
+    """Keep wet cells connected to any anchor (reference notebook cell 22).
+
+    ``connectivity`` follows the skimage convention the reference uses
+    (``label(..., connectivity=1)`` in both ``others/CostGrow_inline.ipynb``
+    and ``others/CostGrow_pcraster_inline.ipynb``): 1 = orthogonal
+    neighbors only (the reference default), 2 = diagonals included.
+    """
+    if connectivity not in (1, 2):
+        raise ValueError(f"connectivity must be 1 or 2, got {connectivity}")
     h, w = wet_mask.shape
     if max_iters is None:
         # A connected component can snake through every wet cell, so the
@@ -197,10 +307,15 @@ def keep_components_connected_to_anchor_jax(
         max_iters = h * w
     wet = wet_mask.astype(bool)
     reach0 = (anchor_mask & wet).astype(bool)
+    steps = [
+        (dy, dx)
+        for dy, dx, _len in _NEIGHBORS
+        if connectivity == 2 or dy == 0 or dx == 0
+    ]
 
     def dilate(mask):
         out = mask
-        for dy, dx, _len in _NEIGHBORS:
+        for dy, dx in steps:
             out = out | _shift(mask, dy, dx, False)
         return out & wet
 

@@ -102,6 +102,9 @@ class TestWavefrontKernels:
         assert not keep[10:14, 10:14].any()
 
     def test_diagonal_connectivity(self):
+        # The reference labels components with connectivity=1 (orthogonal
+        # only — both CostGrow notebooks), so a diagonal-only chain is
+        # disconnected by default; connectivity=2 opts into diagonals.
         wet = np.zeros((8, 8), bool)
         wet[0, 0] = wet[1, 1] = wet[2, 2] = True  # diagonal chain
         anchors = np.zeros((8, 8), bool)
@@ -109,7 +112,13 @@ class TestWavefrontKernels:
         keep = np.asarray(
             keep_components_connected_to_anchor_jax(jnp.asarray(wet), jnp.asarray(anchors))
         )
-        assert keep[2, 2]
+        assert keep[0, 0] and not keep[1, 1] and not keep[2, 2]
+        keep8 = np.asarray(
+            keep_components_connected_to_anchor_jax(
+                jnp.asarray(wet), jnp.asarray(anchors), connectivity=2
+            )
+        )
+        assert keep8[2, 2]
 
 
 class TestPallasStencil:
