@@ -117,6 +117,17 @@ class ModelWorker(Model):
     """Worker running the CostGrow downscale through the standard ToHR flow."""
 
     model_version = "CostGrow"
+    # Keys this variant's artifact JSON consumes. Unknown keys (e.g. a
+    # sibling variant's tuning) are warned about, not silently ignored.
+    _PARAM_KEYS = frozenset(
+        {
+            "model_version",
+            "max_grow_coarse_pixels",
+            "terrain_penalty_scale",
+            "decay_per_meter",
+            "output_kind",
+        }
+    )
 
     def __init__(self, model_fp: str | Path, *, logger=None):
         super().__init__(model_fp=model_fp, model_version=self.model_version, logger=logger)
@@ -129,6 +140,12 @@ class ModelWorker(Model):
                 self.params = payload
         except (ValueError, OSError):
             self.params = {}
+        unknown = sorted(set(self.params) - self._PARAM_KEYS)
+        if unknown:
+            self.log.warning(
+                f"{self.model_version}: ignoring unrecognized parameter keys "
+                f"{unknown} (accepted: {sorted(self._PARAM_KEYS)})"
+            )
         return self
 
     def _apply_phases(
@@ -291,6 +308,22 @@ class ModelWorker(Model):
             wse_fine = np.where(
                 np.isfinite(wse_fine), dem + np.clip(wse_fine, 0.0, None), np.nan
             ).astype(np.float32)
+            # Variants that consume the coarse surface directly (the
+            # PCRaster variant's coarse-grid neutral fill) need it in the
+            # WSE domain too: lift against the DEM resampled to coarse.
+            dem_coarse = reproject_bilinear_auto(
+                np.where(dem_valid, dem, -9999.0),
+                dem_t,
+                wse.shape,
+                wse_t,
+                src_nodata=-9999.0,
+                dst_nodata=np.nan,
+            )
+            wse = np.where(
+                np.isfinite(wse) & np.isfinite(dem_coarse),
+                dem_coarse + np.clip(wse, 0.0, None),
+                np.nan,
+            ).astype(np.float32)
 
         wse_out, phase_params = self._apply_phases(
             wse_fine=wse_fine,
@@ -304,7 +337,9 @@ class ModelWorker(Model):
         )
 
         wet_count = int(np.isfinite(wse_out).sum())
-        assert wet_count > 0, "CostGrow produced no wet cells (no anchors above terrain?)"
+        assert wet_count > 0, (
+            f"{self.model_version} produced no wet cells (no anchors above terrain?)"
+        )
 
         if output_kind == "depth":
             depth_out = np.where(np.isfinite(wse_out), wse_out - dem, np.nan)

@@ -120,6 +120,16 @@ class ModelWorker(_CostGrowWorker):
     """CostGrow with the PCRaster variant's phase-03 semantics."""
 
     model_version = "CostGrow_pcraster"
+    _PARAM_KEYS = frozenset(
+        {
+            "model_version",
+            "dp_coarse_pixel_max",
+            "decay_frac",
+            "terrain_penalty_scale",
+            "distance_metric",
+            "output_kind",
+        }
+    )
 
     def _apply_phases(
         self,

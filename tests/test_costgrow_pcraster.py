@@ -357,6 +357,71 @@ class TestPcrasterWorker:
                     output_fp=tmp_path / "x.tif",
                 )
 
+    def test_depth_ingestion_matches_native_wse(self, tmp_path, logger):
+        """--input-kind depth must lift BOTH grids to WSE before the phases.
+
+        The PCRaster variant consumes the coarse surface directly (neutral
+        fill + cost build), so a depth-domain coarse array would poison the
+        friction surface; on a flat DEM (where the lift is exact for both
+        grids) depth and native-WSE ingestion must agree. Before the coarse
+        lift existed, the depth path built its cost surface from raw depths
+        (~2 m) against terrain (~100 m) and diverged wildly.
+        """
+        import numpy as np
+
+        nodata = -9999.0
+        h = w = 64
+        dem = np.full((h, w), 100.0, np.float32)
+        wse_lr = np.full((8, 8), nodata, np.float32)
+        wse_lr[3:5, 2:6] = 102.5
+        depth_lr = np.where(np.isclose(wse_lr, nodata), nodata, wse_lr - 100.0)
+        base = {
+            "count": 1, "dtype": "float32", "crs": "EPSG:32633",
+            "nodata": nodata, "compress": "LZW",
+        }
+        wse_fp = tmp_path / "wse.tif"
+        depth_fp = tmp_path / "depth.tif"
+        dem_fp = tmp_path / "dem.tif"
+        write_raster(wse_fp, wse_lr, dict(base, height=8, width=8,
+                     transform=from_origin(0, 512, 64.0, 64.0)))
+        write_raster(depth_fp, depth_lr, dict(base, height=8, width=8,
+                     transform=from_origin(0, 512, 64.0, 64.0)))
+        write_raster(dem_fp, dem, dict(base, height=h, width=w,
+                     transform=from_origin(0, 512, 8.0, 8.0)))
+        params_fp = tmp_path / "p.json"
+        params_fp.write_text(json.dumps({"dp_coarse_pixel_max": 2}))
+
+        worker_cls = resolve_model_worker_class("CostGrow_pcraster")
+        outs = {}
+        for kind, in_fp in (("wse", wse_fp), ("depth", depth_fp)):
+            out_fp = tmp_path / f"grown_{kind}.tif"
+            with worker_cls(model_fp=params_fp, logger=logger) as worker:
+                worker.run(
+                    depth_lr_fp=in_fp,
+                    dem_hr_fp=dem_fp,
+                    output_fp=out_fp,
+                    input_kind=kind,
+                )
+            outs[kind], _, _ = read_raster(out_fp)
+        np.testing.assert_allclose(outs["depth"], outs["wse"], atol=1e-4)
+
+    def test_unknown_params_warn(self, scene, tmp_path, logger, caplog):
+        """Cross-variant keys must not be silently ignored."""
+        import logging
+
+        params_fp = tmp_path / "p.json"
+        params_fp.write_text(
+            json.dumps({"max_grow_coarse_pixels": 2, "dp_coarse_pixel_max": 3})
+        )
+        worker_cls = resolve_model_worker_class("CostGrow_pcraster")
+        with caplog.at_level(logging.WARNING):
+            with worker_cls(model_fp=params_fp, logger=logger):
+                pass
+        assert any(
+            "max_grow_coarse_pixels" in rec.message and "unrecognized" in rec.message
+            for rec in caplog.records
+        )
+
     def test_registry_builtin_fetch(self, tmp_path):
         fp = fetch_model("CostGrow_pcraster", cache_dir=tmp_path / "cache")
         payload = json.loads(fp.read_text())
