@@ -403,6 +403,60 @@ class TestRequestValidation:
         assert health["requests_failed"] >= 1
 
 
+class TestOtherWorkers:
+    def test_serve_costgrow_pcraster(self, tmp_path, logger):
+        """The daemon fronts ANY registered worker, not just ResUNet.
+
+        CostGrow workers have no ``warmup``; the service must boot, report
+        the pinned identity, and serve a job through the same contract.
+        """
+        from floodsr_tpu.io import from_origin, write_raster
+
+        nodata = -9999.0
+        dem = np.full((64, 64), 100.0, np.float32)
+        wse = np.full((8, 8), nodata, np.float32)
+        wse[3:5, 2:6] = 102.5
+        base_profile = {
+            "count": 1, "dtype": "float32", "crs": "EPSG:32633",
+            "nodata": nodata, "compress": "LZW",
+        }
+        wse_fp = tmp_path / "wse.tif"
+        dem_fp = tmp_path / "dem.tif"
+        write_raster(wse_fp, wse, dict(base_profile, height=8, width=8,
+                     transform=from_origin(0, 512, 64.0, 64.0)))
+        write_raster(dem_fp, dem, dict(base_profile, height=64, width=64,
+                     transform=from_origin(0, 512, 8.0, 8.0)))
+        params_fp = tmp_path / "p.json"
+        params_fp.write_text(json.dumps({"dp_coarse_pixel_max": 2}))
+
+        service = TohrService(
+            model_version="CostGrow_pcraster", model_fp=params_fp, logger_=logger
+        )
+        service.start()
+        server = make_server(service, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        base = f"http://127.0.0.1:{server.server_port}"
+        try:
+            assert service.warmup([(512, 512)]) == 0  # no-op for CostGrow
+            status, health = _get(base, "/v1/healthz")
+            assert status == 200
+            assert health["model_version"] == "CostGrow_pcraster"
+            out_fp = tmp_path / "grown.tif"
+            status, resp = _post(base, {
+                "in_fp": str(wse_fp), "dem": str(dem_fp), "out": str(out_fp),
+            })
+            assert status == 200, resp
+            assert resp["preprocess"]["variant"] == "pcraster"
+            arr, out_nodata, _ = read_raster(out_fp)
+            assert (~np.isclose(arr, out_nodata)).sum() > 0
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join(timeout=10)
+            service.close()
+
+
 class TestCliPlumbing:
     def test_parse_serve_args(self):
         from floodsr_tpu.cli import _parse_arguments
