@@ -391,17 +391,26 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict[int, object]]:
             ty, tx = divmod(idx, tiles_across)
             if ty >= tiles_down:
                 break
+            y0, x0 = ty * th, tx * tw
+            ny, nx = min(th, h - y0), min(tw, w - x0)
+            if cnt == 0:
+                # Sparse chunk (GDAL SPARSE_OK / libtiff convention): a zero
+                # byte count marks a block with no data — read as zeros.
+                out[y0 : y0 + ny, x0 : x0 + nx] = 0
+                continue
             decoded = _decompress_chunk(data[off : off + cnt], page.compression, expected)
             chunk = np.frombuffer(decoded[:expected], dtype=page.dtype).reshape(th, tw, s)
             chunk = _apply_predictor_decode(chunk, page.predictor)
-            y0, x0 = ty * th, tx * tw
-            ny, nx = min(th, h - y0), min(tw, w - x0)
             out[y0 : y0 + ny, x0 : x0 + nx] = chunk[:ny, :nx]
     else:
         rps = page.rows_per_strip or h
         row = 0
         for off, cnt in zip(page.chunk_offsets, page.chunk_byte_counts):
             nrows = min(rps, h - row)
+            if cnt == 0:
+                out[row : row + nrows] = 0  # sparse strip: no data → zeros
+                row += nrows
+                continue
             expected = nrows * w * s * itemsize
             decoded = _decompress_chunk(data[off : off + cnt], page.compression, expected)
             chunk = np.frombuffer(decoded[:expected], dtype=page.dtype).reshape(nrows, w, s)

@@ -284,6 +284,12 @@ class TiffWindowReader:
             if page.tile_width is not None:
                 ty, tx = divmod(idx, tiles_across)
                 y0, x0 = ty * th, tx * tw
+                if raw == b"":
+                    # Sparse chunk (zero byte count): no data → zeros.
+                    cy0, cy1 = max(row0, y0), min(row1, y0 + th)
+                    cx0, cx1 = max(col0, x0), min(col1, x0 + tw)
+                    out[cy0 - row0 : cy1 - row0, cx0 - col0 : cx1 - col0] = 0
+                    continue
                 decoded = _tiff._decompress_chunk(raw, page.compression, expected)
                 chunk = np.frombuffer(decoded[:expected], dtype=page.dtype).reshape(
                     th, tw, s
@@ -297,6 +303,10 @@ class TiffWindowReader:
             else:
                 y0 = idx * rps
                 nrows = min(rps, page.height - y0)
+                if raw == b"":
+                    cy0, cy1 = max(row0, y0), min(row1, y0 + nrows)
+                    out[cy0 - row0 : cy1 - row0, :] = 0  # sparse strip
+                    continue
                 exp = nrows * page.width * s * itemsize
                 decoded = _tiff._decompress_chunk(raw, page.compression, exp)
                 chunk = np.frombuffer(decoded[:exp], dtype=page.dtype).reshape(
@@ -315,11 +325,19 @@ class TiffWindowReader:
         return self.read_window(0, 0, self.page.height, self.page.width)
 
     def _fetch_chunks(self, page: _tiff.TiffPage, wanted: list[int]) -> dict[int, bytes]:
-        """Range-fetch chunk payloads, coalescing near-adjacent file ranges."""
+        """Range-fetch chunk payloads, coalescing near-adjacent file ranges.
+
+        Sparse chunks (zero byte count — GDAL SPARSE_OK convention) are never
+        fetched; they map to ``b""`` and the caller zero-fills.
+        """
+        blobs: dict[int, bytes] = {
+            i: b"" for i in set(wanted) if page.chunk_byte_counts[i] == 0
+        }
         spans = sorted(
-            (page.chunk_offsets[i], page.chunk_byte_counts[i], i) for i in set(wanted)
+            (page.chunk_offsets[i], page.chunk_byte_counts[i], i)
+            for i in set(wanted)
+            if i not in blobs
         )
-        blobs: dict[int, bytes] = {}
         group: list[tuple[int, int, int]] = []
 
         def flush():

@@ -608,3 +608,123 @@ class TestTagAndCodecEdgeCases:
         data = int(bits, 2).to_bytes(len(bits) // 8, "big")
         with pytest.raises(ValueError, match="corrupt LZW"):
             lzw_decode(data)
+
+
+class TestSparseChunks:
+    """GDAL SPARSE_OK convention: a chunk with byte count 0 holds no data
+    and reads back as zeros (real HRDEM mosaic COGs carry sparse nodata
+    tiles over ocean). Reference counterpart: GDAL's sparse-block reads
+    under ``floodsr/dem_sources/hrdem_stac.py:117-219``."""
+
+    @staticmethod
+    def _write_classic(fp, arr, chunk_blobs, layout_tags):
+        """Craft a classic striped/tiled TIFF where blobs[i] is None for a
+        sparse chunk (offset 0, count 0)."""
+        import struct as _struct
+
+        from floodsr_tpu.io import tiff as _t
+        from floodsr_tpu.io.tiff import _ifd_size, _sample_format_for, _serialize_ifd
+
+        offsets, counts, payload = [], [], b""
+        for blob in chunk_blobs:
+            if blob is None:
+                offsets.append(0)
+                counts.append(0)
+            else:
+                offsets.append(len(payload))  # relative; rebased below
+                counts.append(len(blob))
+                payload += blob
+        tags = [
+            (_t.TAG_IMAGE_WIDTH, 4, (arr.shape[1],)),
+            (_t.TAG_IMAGE_LENGTH, 4, (arr.shape[0],)),
+            (_t.TAG_BITS_PER_SAMPLE, 3, (32,)),
+            (_t.TAG_COMPRESSION, 3, (_t.COMPRESSION_NONE,)),
+            (_t.TAG_PHOTOMETRIC, 3, (1,)),
+            (_t.TAG_SAMPLES_PER_PIXEL, 3, (1,)),
+            (_t.TAG_PLANAR_CONFIG, 3, (1,)),
+            (_t.TAG_SAMPLE_FORMAT, 3, (_sample_format_for(arr.dtype),)),
+        ] + layout_tags(offsets, counts)
+        # Two serialization passes: sizes are value-independent, so pass 1
+        # yields the data offset and pass 2 writes rebased chunk offsets.
+        tags.sort(key=lambda t: t[0])
+        payload_base = 8 + _ifd_size(tags, False)
+        probe_ifd, probe_payloads = _serialize_ifd(
+            tags, bigtiff=False, payload_base=payload_base
+        )
+        data0 = payload_base + len(probe_payloads)
+        rebased = [o + data0 if c else 0 for o, c in zip(offsets, counts)]
+        tags = [
+            (t, ft, tuple(rebased) if t in (_t.TAG_STRIP_OFFSETS, _t.TAG_TILE_OFFSETS) else v)
+            for (t, ft, v) in tags
+        ]
+        ifd, payloads = _serialize_ifd(tags, bigtiff=False, payload_base=payload_base)
+        with open(fp, "wb") as fh:
+            fh.write(_struct.pack("<2sHI", b"II", 42, 8))
+            fh.write(ifd)
+            fh.write(payloads)
+            fh.write(payload)
+        return fp
+
+    def test_sparse_strip_reads_as_zeros(self, tmp_path, rng):
+        from floodsr_tpu.io import tiff as _t
+        from floodsr_tpu.io.geotiff import open_raster_window_reader
+        from floodsr_tpu.io.tiff import decode_tiff
+
+        arr = rng.normal(3.0, 1.0, (64, 64)).astype(np.float32)
+        expected = arr.copy()
+        expected[32:] = 0.0
+        fp = self._write_classic(
+            tmp_path / "sparse_strips.tif",
+            arr,
+            [arr[:32].tobytes(), None],
+            lambda offs, cnts: [
+                (_t.TAG_STRIP_OFFSETS, 4, tuple(offs)),
+                (_t.TAG_ROWS_PER_STRIP, 4, (32,)),
+                (_t.TAG_STRIP_BYTE_COUNTS, 4, tuple(cnts)),
+            ],
+        )
+        out, _ = decode_tiff(fp.read_bytes())
+        np.testing.assert_array_equal(out, expected)
+        reader, _, _ = open_raster_window_reader(fp)
+        win = reader.read_window(16, 8, 32, 16)  # crosses the sparse seam
+        np.testing.assert_array_equal(win, expected[16:48, 8:24])
+
+    def test_sparse_tile_reads_as_zeros_and_fetches_nothing(self, tmp_path, rng):
+        from floodsr_tpu.io import tiff as _t
+        from floodsr_tpu.io.geotiff import open_raster_window_reader
+        from floodsr_tpu.io.tiff import decode_tiff
+
+        arr = rng.normal(3.0, 1.0, (32, 32)).astype(np.float32)
+        th = tw = 16
+        blobs = []
+        for ty in range(2):
+            for tx in range(2):
+                if (ty, tx) == (1, 1):
+                    blobs.append(None)  # sparse tile
+                else:
+                    blobs.append(
+                        np.ascontiguousarray(
+                            arr[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                        ).tobytes()
+                    )
+        expected = arr.copy()
+        expected[16:, 16:] = 0.0
+        fp = self._write_classic(
+            tmp_path / "sparse_tiles.tif",
+            arr,
+            blobs,
+            lambda offs, cnts: [
+                (_t.TAG_TILE_WIDTH, 4, (tw,)),
+                (_t.TAG_TILE_LENGTH, 4, (th,)),
+                (_t.TAG_TILE_OFFSETS, 4, tuple(offs)),
+                (_t.TAG_TILE_BYTE_COUNTS, 4, tuple(cnts)),
+            ],
+        )
+        out, _ = decode_tiff(fp.read_bytes())
+        np.testing.assert_array_equal(out, expected)
+        # Window entirely inside the sparse tile: zeros, zero extra fetches.
+        reader, _, _ = open_raster_window_reader(fp)
+        fetched_after_header = reader.bytes_fetched
+        win = reader.read_window(20, 20, 8, 8)
+        np.testing.assert_array_equal(win, np.zeros((8, 8), np.float32))
+        assert reader.bytes_fetched == fetched_after_header
