@@ -65,6 +65,12 @@ def _exchange_halos(
     return jnp.concatenate([top_halo, core, bot_halo], axis=0)
 
 
+# (mesh, shape, axis, k, cap) -> compiled fill; Mesh is hashable, and the
+# jitted function would otherwise be rebuilt (and re-traced/compiled) on
+# every mcp_fill_sharded call.
+_BUILD_CACHE: dict[tuple, object] = {}
+
+
 def build_banded_mcp_fill(
     mesh: Mesh,
     shape: tuple[int, int],
@@ -84,6 +90,10 @@ def build_banded_mcp_fill(
     n_bands = mesh.shape[batch_axis]
     if h % n_bands != 0:
         raise ValueError(f"height {h} not divisible by {n_bands} bands")
+    cache_key = (mesh, (h, w), batch_axis, relaxations_per_check, max_iters)
+    cached = _BUILD_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     # Information travels one row per relaxation: running more relaxations
     # per block than the halo holds would read stale neighbor state, so the
     # block size is clamped to the band height (= widest exchangeable halo).
@@ -123,7 +133,7 @@ def build_banded_mcp_fill(
         return filled, dist
 
     spec = P(batch_axis, None)
-    return jax.jit(
+    fn = jax.jit(
         shard_map(
             band_fn,
             mesh=mesh,
@@ -132,6 +142,8 @@ def build_banded_mcp_fill(
             check_rep=False,
         )
     )
+    _BUILD_CACHE[cache_key] = fn
+    return fn
 
 
 def mcp_fill_sharded(

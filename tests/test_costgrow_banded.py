@@ -132,3 +132,14 @@ class TestBandedEqualsUnsharded:
         assert np.isfinite(got_dist[:16]).all()
         assert not np.isfinite(got_dist[17:]).any()
         assert np.isnan(got_fill[17:]).all()
+
+
+class TestBuildCache:
+    def test_repeat_builds_reuse_the_compiled_fn(self, dp_mesh):
+        from floodsr_tpu.ops.costgrow_banded import build_banded_mcp_fill
+
+        a = build_banded_mcp_fill(dp_mesh, (64, 32))
+        b = build_banded_mcp_fill(dp_mesh, (64, 32))
+        assert a is b  # second call must not re-trace/compile
+        c = build_banded_mcp_fill(dp_mesh, (64, 32), relaxations_per_check=4)
+        assert c is not a
