@@ -86,6 +86,11 @@ def pack_banded_scene(
     h, w = dem_pad.shape
     plan = band_plan((h, w), n_bands, tile)
     band, halo = plan["band"], plan["halo"]
+    assert band % scale == 0, (
+        f"band height {band} must be a multiple of scale {scale}: band-"
+        f"relative tile origins are divided by scale to index the LR band, "
+        f"which silently misaligns otherwise"
+    )
 
     dem_bands = np.zeros((n_bands, band + halo, w), np.float32)
     lr_band = (band + halo) // scale
