@@ -133,6 +133,11 @@ def main() -> int:
         )
         out_mp = HR_SHAPE[0] * HR_SHAPE[1] / 1e6
         times = []
+        # The shared tunnel has pathological windows (measured: a tiny
+        # scene's D2H taking 197 s that elsewhere takes <1 s). The warm
+        # repeats exist to sample tunnel variance — never let them starve
+        # the primary device-pipeline measurement below.
+        e2e_budget_s = float(os.environ.get("FLOODSR_BENCH_E2E_BUDGET_S", "1500"))
         with worker:
             for i in range(repeats):
                 out_fp = root / f"pred_{i}.tif"
@@ -150,10 +155,17 @@ def main() -> int:
                     f"{result['preprocess']['tile_cache_size']} tiles)",
                     file=sys.stderr,
                 )
+                if i >= 1 and time.perf_counter() - t_start > e2e_budget_s:
+                    print(
+                        f"# stopping e2e repeats at {i + 1}/{repeats} "
+                        f"(wall past {e2e_budget_s:.0f}s budget)",
+                        file=sys.stderr,
+                    )
+                    break
 
             best = min(times)
             e2e_mps = out_mp / best
-            print(f"# e2e: {e2e_mps:.2f} MP/s (best of {repeats})", file=sys.stderr)
+            print(f"# e2e: {e2e_mps:.2f} MP/s (best of {len(times)})", file=sys.stderr)
 
             # Device-pipeline throughput: re-run the engine's ALREADY-COMPILED
             # scene executable (the exact production computation: normalize +
@@ -291,9 +303,19 @@ def _run_parity_gate(t_start: float) -> dict | None:
         except Exception as err:  # noqa: BLE001 - record, don't kill the bench
             reason = f"parity_gate error: {err}"
     print(f"# parity gate skipped: {reason}", file=sys.stderr)
-    PARITY_OUT.write_text(
-        json.dumps({"skipped": reason, "pass": None}, indent=1) + "\n"
-    )
+    # Never clobber a real (cases-bearing) artifact with a skip stub: ad-hoc
+    # bench runs with the gate disabled must not erase the round's parity
+    # evidence. Only write the stub when no real artifact exists yet.
+    existing_is_real = False
+    if PARITY_OUT.exists():
+        try:
+            existing_is_real = bool(json.loads(PARITY_OUT.read_text()).get("cases"))
+        except Exception:  # noqa: BLE001 - unreadable -> overwrite
+            existing_is_real = False
+    if not existing_is_real:
+        PARITY_OUT.write_text(
+            json.dumps({"skipped": reason, "pass": None}, indent=1) + "\n"
+        )
     return {"pass": None, "skipped": reason, "artifact": PARITY_OUT.name}
 
 
