@@ -64,9 +64,28 @@ def _rebuild(skeleton: Any, arrays: dict[str, np.ndarray]) -> Any:
     return walk(skeleton)
 
 
+# Fixed member timestamp (the zip epoch): artifact bytes must be a pure
+# function of the weights so the sha256 digest — which keys the registry
+# checksums AND the AOT executable cache — is reproducible across processes.
+# zipfile.writestr and np.savez both stamp wall-clock time otherwise.
+_ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def _zip_writestr(zf: zipfile.ZipFile, name: str, data: bytes | str, *, compress: int) -> None:
+    info = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
+    info.compress_type = compress
+    info.external_attr = 0o644 << 16
+    zf.writestr(info, data)
+
+
 def _npz_bytes(arrays: dict[str, np.ndarray]) -> bytes:
+    """np.savez-compatible bytes with deterministic (epoch) member headers."""
     buf = io.BytesIO()
-    np.savez(buf, **arrays)
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as zf:
+        for key, arr in arrays.items():
+            member = io.BytesIO()
+            np.lib.format.write_array(member, np.asarray(arr), allow_pickle=False)
+            _zip_writestr(zf, f"{key}.npy", member.getvalue(), compress=zipfile.ZIP_STORED)
     return buf.getvalue()
 
 
@@ -120,10 +139,15 @@ def save_artifact(
         "store_dtype": store_dtype or "float32",
         "metadata": metadata or {},
     }
-    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("manifest.json", json.dumps(manifest))
-        zf.writestr("params.npz", _npz_bytes(params_arrays))
-        zf.writestr("state.npz", _npz_bytes(state_arrays))
+    with zipfile.ZipFile(path, "w") as zf:
+        _zip_writestr(
+            zf,
+            "manifest.json",
+            json.dumps(manifest, sort_keys=True),
+            compress=zipfile.ZIP_DEFLATED,
+        )
+        _zip_writestr(zf, "params.npz", _npz_bytes(params_arrays), compress=zipfile.ZIP_DEFLATED)
+        _zip_writestr(zf, "state.npz", _npz_bytes(state_arrays), compress=zipfile.ZIP_DEFLATED)
     return path
 
 
