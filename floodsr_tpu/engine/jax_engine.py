@@ -1114,8 +1114,27 @@ class EngineJAX(EngineBase):
         else:
             bands = [(r, min(r + band_rows, crop_h)) for r in range(0, crop_h, band_rows)]
         # Slice the crop columns on device so bucket margin never rides the
-        # (slow) device→host link.
-        dev_bands = [out[a:b, :crop_w] for a, b in bands]
+        # (slow) device→host link. ONE dynamic-slice program serves every
+        # band: eager `out[a:b]` bakes each start offset into its own XLA
+        # executable, and on remote-compile backends those ~8 trivial
+        # compiles cost ~27 s EACH — they were the entire cold-scene tail
+        # after the scene executable itself became AOT-cached. The last
+        # band re-slices at `crop_h - band_rows` (same static shape) and
+        # the host skips the overlapping rows.
+        slice_fn = self._row_slice_fn(
+            out.shape, out.dtype, min(band_rows, crop_h) if len(bands) > 1 else crop_h,
+            crop_w,
+        )
+        dev_bands = []
+        skip_rows = []
+        for a, b in bands:
+            rows = b - a
+            if len(bands) > 1 and rows < band_rows:
+                start, skip = crop_h - band_rows, band_rows - rows
+            else:
+                start, skip = a, 0
+            dev_bands.append(slice_fn(out, np.int32(start)))
+            skip_rows.append(skip)
         for dev in dev_bands:
             dev.copy_to_host_async()
 
@@ -1134,8 +1153,8 @@ class EngineJAX(EngineBase):
                 row_sink(dst_rows)
 
         next_plain = 0
-        for (a, b), dev in zip(bands, dev_bands):
-            band_np = np.asarray(dev)[:, :crop_w]
+        for (a, b), dev, skip in zip(bands, dev_bands, skip_rows):
+            band_np = np.asarray(dev)[skip:, :crop_w]
             if dequant is not None:
                 band_np = band_np.astype(np.float32) * dequant
             else:
@@ -1155,6 +1174,53 @@ class EngineJAX(EngineBase):
         elif resampler is not None:
             assert resampler.complete, "streaming resample did not cover all rows"
         return final
+
+    def _row_slice_fn(self, src_shape, src_dtype, rows: int, cols: int):
+        """Jitted row-band slice with a RUNTIME start offset.
+
+        One executable serves every band of a geometry: eager ``x[a:b]``
+        bakes each start into a distinct XLA program, and on remote-compile
+        backends those trivial compiles dominate the cold scene (measured
+        ~27 s each — ~220 s of a first run). AOT-cached across processes
+        like the scene executable (the program is model-independent, so the
+        digest field is a constant).
+        """
+        key = ("d2h_slice", tuple(src_shape), str(src_dtype), int(rows), int(cols))
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        rows_i, cols_i = int(rows), int(cols)
+
+        @jax.jit
+        def slice_rows(x, r0):
+            return jax.lax.dynamic_slice(x, (r0, 0), (rows_i, cols_i))
+
+        fn = slice_rows
+        import os
+
+        if (
+            os.environ.get("FLOODSR_AOT_CACHE", "1") == "1"
+            and self.mesh is None
+            and len(jax.devices()) == 1
+        ):
+            from floodsr_tpu.engine import aot_cache
+
+            example = (
+                jax.ShapeDtypeStruct(tuple(src_shape), np.dtype(src_dtype)),
+                jax.ShapeDtypeStruct((), np.int32),
+            )
+            try:
+                fn = aot_cache.load_or_compile(
+                    slice_rows,
+                    example,
+                    artifact_digest="model-independent",
+                    config_repr=repr(key),
+                )
+            except Exception as err:  # noqa: BLE001 - cache must never break runs
+                self.log.info(f"AOT executable cache unavailable: {err}")
+                fn = slice_rows
+        self._jit_cache[key] = fn
+        return fn
 
     def _put_padded(self, arr, target_shape: tuple[int, int]):
         """Upload (or reuse) ``arr`` zero-padded to ``target_shape``.

@@ -54,6 +54,7 @@ _COMPRESS_TO_TIFF = {
     "NONE": _tiff.COMPRESSION_NONE,
     "LZW": _tiff.COMPRESSION_LZW,
     "DEFLATE": _tiff.COMPRESSION_DEFLATE_ADOBE,
+    "ZSTD": _tiff.COMPRESSION_ZSTD,
 }
 _TIFF_TO_COMPRESS = {
     _tiff.COMPRESSION_NONE: None,
@@ -61,6 +62,7 @@ _TIFF_TO_COMPRESS = {
     _tiff.COMPRESSION_DEFLATE_ADOBE: "DEFLATE",
     _tiff.COMPRESSION_DEFLATE_OLD: "DEFLATE",
     _tiff.COMPRESSION_PACKBITS: "PACKBITS",
+    _tiff.COMPRESSION_ZSTD: "ZSTD",
 }
 
 

@@ -4,11 +4,12 @@ This replaces the role GDAL's C++ raster I/O plays in the reference
 (reference: ``floodsr/io/rasterio_io.py``, ``floodsr/preprocessing.py:247-282``)
 — the image does not ship rasterio, so floodsr-tpu carries its own codec:
 
-- read: striped and tiled layouts; uncompressed, LZW, Deflate/zlib, PackBits;
+- read: striped and tiled layouts; uncompressed, LZW, Deflate/zlib, PackBits,
+  ZSTD (via :mod:`floodsr_tpu.io.zstd_codec` when libzstd is present);
   horizontal (2) and floating-point (3) predictors; II/MM byte orders; all
-  numeric sample formats.
-- write: little-endian, striped, uncompressed / LZW / Deflate, optional
-  horizontal predictor for integer data.
+  numeric sample formats; GDAL-style sparse chunks (zero byte count → zeros).
+- write: little-endian, striped, uncompressed / LZW / Deflate / ZSTD,
+  optional horizontal predictor for integer data.
 
 A C++ fast path for LZW + predictor lives in ``floodsr_tpu/io/_native`` and is
 used automatically when built (see :mod:`floodsr_tpu.io.native`); this module
@@ -49,6 +50,7 @@ COMPRESSION_LZW = 5
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_DEFLATE_OLD = 32946
 COMPRESSION_PACKBITS = 32773
+COMPRESSION_ZSTD = 50000  # GDAL COMPRESS=ZSTD (libtiff registered code)
 
 SAMPLEFORMAT_UINT = 1
 SAMPLEFORMAT_INT = 2
@@ -356,6 +358,15 @@ def _decompress_chunk(raw: bytes, compression: int, expected: int) -> bytes:
         return zlib.decompress(raw)
     if compression == COMPRESSION_PACKBITS:
         return packbits_decode(raw)
+    if compression == COMPRESSION_ZSTD:
+        from floodsr_tpu.io import zstd_codec
+
+        if not zstd_codec.available():
+            raise ValueError(
+                "TIFF uses ZSTD compression but libzstd is not available "
+                "on this system"
+            )
+        return zstd_codec.decompress(raw, expected)
     raise ValueError(f"unsupported TIFF compression: {compression}")
 
 
@@ -442,6 +453,14 @@ def _compress_chunk(raw: bytes, compression: int) -> bytes:
         return lzw_encode(raw)
     if compression == COMPRESSION_DEFLATE_ADOBE:
         return zlib.compress(raw, 6)
+    if compression == COMPRESSION_ZSTD:
+        from floodsr_tpu.io import zstd_codec
+
+        if not zstd_codec.available():
+            raise ValueError(
+                "ZSTD write requested but libzstd is not available on this system"
+            )
+        return zstd_codec.compress(raw)
     raise ValueError(f"unsupported TIFF write compression: {compression}")
 
 

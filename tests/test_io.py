@@ -728,3 +728,86 @@ class TestSparseChunks:
         win = reader.read_window(20, 20, 8, 8)
         np.testing.assert_array_equal(win, np.zeros((8, 8), np.float32))
         assert reader.bytes_fetched == fetched_after_header
+
+
+class TestZstd:
+    """ZSTD TIFF chunks (GDAL COMPRESS=ZSTD, tag 50000) via system libzstd.
+
+    The reference inherits this codec from GDAL (reference:
+    ``floodsr/io/rasterio_io.py:4-14``); modern cloud COGs — including DEM
+    mosaics of the kind the HRDEM fetcher reads — commonly use it.
+    """
+
+    @pytest.fixture(autouse=True)
+    def _require_libzstd(self):
+        from floodsr_tpu.io import zstd_codec
+
+        if not zstd_codec.available():
+            pytest.skip("libzstd not present on this system")
+
+    def test_codec_roundtrip_and_corrupt(self, rng):
+        from floodsr_tpu.io import zstd_codec
+
+        data = rng.integers(0, 256, 100000, dtype=np.uint8).tobytes()
+        enc = zstd_codec.compress(data)
+        assert zstd_codec.decompress(enc, len(data)) == data
+        # Magic check: a zstd frame starts with 28 B5 2F FD.
+        assert enc[:4] == bytes.fromhex("28b52ffd")
+        with pytest.raises(ValueError):
+            zstd_codec.decompress(b"not a zstd frame", 100)
+        # A frame larger than the declared chunk size must error, not truncate.
+        with pytest.raises(ValueError):
+            zstd_codec.decompress(enc, len(data) // 2)
+
+    def test_tiff_roundtrip_float32(self, rng):
+        from floodsr_tpu.io.tiff import COMPRESSION_ZSTD
+
+        arr = rng.normal(size=(70, 53)).astype(np.float32)
+        data = encode_tiff(arr, compression=COMPRESSION_ZSTD)
+        got, tags = decode_tiff(data)
+        np.testing.assert_array_equal(got, arr)
+        assert tags[259] == COMPRESSION_ZSTD  # single values are unwrapped
+
+    def test_tiff_roundtrip_integer_predictor(self, rng):
+        from floodsr_tpu.io.tiff import COMPRESSION_ZSTD
+
+        arr = rng.integers(-500, 4000, size=(40, 81)).astype(np.int16)
+        data = encode_tiff(arr, compression=COMPRESSION_ZSTD)
+        got, _ = decode_tiff(data)
+        np.testing.assert_array_equal(got, arr)
+
+    def test_window_reader_tiled_zstd(self, rng):
+        from floodsr_tpu.io.tiff import COMPRESSION_ZSTD
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        arr = rng.normal(size=(96, 128)).astype(np.float32)
+        data = encode_tiff(arr, compression=COMPRESSION_ZSTD, tile=(32, 32))
+        reader = TiffWindowReader(MemoryByteSource(data))
+        got = reader.read_window(17, 40, 43, 30)
+        np.testing.assert_array_equal(got, arr[17:60, 40:70])
+
+    def test_geotiff_profile_compress_string(self, tmp_path, rng):
+        arr = rng.normal(size=(24, 31)).astype(np.float32)
+        profile = dict(get_geotif_options())
+        profile.update(
+            height=24, width=31, count=1, dtype="float32",
+            crs="EPSG:32633", transform=from_origin(0, 24 * 2.0, 2.0, 2.0),
+            compress="ZSTD",
+        )
+        fp = tmp_path / "z.tif"
+        write_raster(fp, arr, profile)
+        got, _nodata, prof = read_raster(fp)
+        np.testing.assert_array_equal(got, arr)
+        assert prof["compress"] == "ZSTD"
+
+    def test_missing_library_error_names_zstd(self, rng, monkeypatch):
+        from floodsr_tpu.io import zstd_codec
+        from floodsr_tpu.io.tiff import COMPRESSION_ZSTD
+
+        arr = rng.normal(size=(8, 8)).astype(np.float32)
+        data = encode_tiff(arr, compression=COMPRESSION_ZSTD)
+        monkeypatch.setattr(zstd_codec, "available", lambda: False)
+        with pytest.raises(ValueError, match="libzstd"):
+            decode_tiff(data)
+        with pytest.raises(ValueError, match="libzstd"):
+            encode_tiff(arr, compression=COMPRESSION_ZSTD)

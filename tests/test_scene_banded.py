@@ -175,7 +175,10 @@ class TestBandedWarmup:
             max_depth=MAX_DEPTH, dem_pct_clip=PCT, crop_shape=BUCKET,
         )
         assert out.shape == BUCKET
-        assert len(eng._jit_cache) == 1
+        # No NEW scene executable was compiled (helper entries like the
+        # shared d2h row-slice program are expected and cheap).
+        scene_keys = [k for k in eng._jit_cache if k[0] in ("scene", "scene-banded")]
+        assert len(scene_keys) == 1
         eng.close()
 
     def test_sub_bucket_crop_reuses_warmed_trace(self, scene_inputs, tmp_path):
