@@ -181,6 +181,10 @@ long long fsr_lzw_encode(const unsigned char* src, long long src_len,
       w = c;
     }
     if (!emit(w, width)) return -2;
+    // Endgame early-change: the decoder adds its deferred entry on this
+    // final code (reaching next_code) and widens when that is 2^width - 1;
+    // EOI must follow at the new width (mirrors the Python twin).
+    if (next_code == (1 << width) - 1 && width < 12) ++width;
     if (!emit(kEoi, width)) return -2;
   }
   if (bitcnt > 0) {

@@ -25,6 +25,16 @@ def _load() -> ctypes.CDLL | None:
         # Not a terminal state: the library may be built later in this
         # process (tests/build_native do exactly that) — re-check next call.
         return None
+    src = _LIB_PATH.parent / "tiff_codec.cc"
+    if src.exists() and _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+        # Stale binary (source newer than the build): rebuild rather than
+        # load a library with potentially fixed bugs still in it. On build
+        # failure fall back to the pure-Python codec permanently.
+        from floodsr_tpu.io.build_native import build
+
+        if build(verbose=False) is None:
+            _load_failed = True
+            return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.fsr_lzw_decode.restype = ctypes.c_longlong

@@ -182,6 +182,14 @@ def lzw_encode(data: bytes) -> bytes:
         w = b
     if w >= 0:
         emit(w, width)
+        # Endgame early-change: on receiving this final code the decoder adds
+        # its deferred table entry (catching up to next_code) and widens when
+        # that lands on 2^width - 1 — EOI must then be emitted at the NEW
+        # width or the decoder misreads a spurious code before EOI (found by
+        # the window-reader differential fuzz on a 2048-byte tile whose last
+        # code pushed the decoder to 2047 entries).
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_LZW_EOI, width)
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)
@@ -352,7 +360,14 @@ def _decompress_chunk(raw: bytes, compression: int, expected: int) -> bytes:
         return raw
     if compression == COMPRESSION_LZW:
         if _native.available():
-            return _native.lzw_decode(raw, expected)
+            try:
+                return _native.lzw_decode(raw, expected)
+            except ValueError:
+                # Files written by the pre-fix encoder can carry one spurious
+                # code before EOI (endgame early-change bug), overflowing the
+                # exact-size native buffer. The Python decoder is lenient and
+                # callers truncate to `expected`.
+                return lzw_decode(raw)
         return lzw_decode(raw)
     if compression in (COMPRESSION_DEFLATE_ADOBE, COMPRESSION_DEFLATE_OLD):
         return zlib.decompress(raw)

@@ -811,3 +811,212 @@ class TestZstd:
             decode_tiff(data)
         with pytest.raises(ValueError, match="libzstd"):
             encode_tiff(arr, compression=COMPRESSION_ZSTD)
+
+
+class TestWindowReaderDifferential:
+    """Randomized differential: TiffWindowReader ≡ decode_tiff + numpy slice.
+
+    The windowed reader is the path real remote COGs take (HRDEM fetch);
+    this pins it to the in-memory codec across layouts × compressions ×
+    dtypes × window geometries, the way the LZW fuzz test pins the native
+    codec to the Python twin.
+    """
+
+    def test_random_layouts_and_windows(self):
+        from floodsr_tpu.io import zstd_codec
+        from floodsr_tpu.io.tiff import (
+            COMPRESSION_DEFLATE_ADOBE,
+            COMPRESSION_LZW,
+            COMPRESSION_NONE,
+            COMPRESSION_ZSTD,
+        )
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        rng = np.random.default_rng(20260818)
+        compressions = [COMPRESSION_NONE, COMPRESSION_LZW, COMPRESSION_DEFLATE_ADOBE]
+        if zstd_codec.available():
+            compressions.append(COMPRESSION_ZSTD)
+        dtypes = [np.float32, np.int16, np.uint8, np.float64]
+        for trial in range(40):
+            h = int(rng.integers(1, 180))
+            w = int(rng.integers(1, 180))
+            dtype = dtypes[trial % len(dtypes)]
+            if np.issubdtype(dtype, np.floating):
+                arr = rng.normal(size=(h, w)).astype(dtype)
+            else:
+                info = np.iinfo(dtype)
+                arr = rng.integers(info.min, info.max, size=(h, w)).astype(dtype)
+            comp = compressions[trial % len(compressions)]
+            if trial % 2:
+                kw = {"tile": (16 * int(rng.integers(1, 4)),) * 2}
+            else:
+                kw = {"rows_per_strip": int(rng.integers(1, h + 1))}
+            data = encode_tiff(arr, compression=comp, **kw)
+
+            full, _ = decode_tiff(data)
+            np.testing.assert_array_equal(full, arr, err_msg=f"trial {trial} full")
+
+            reader = TiffWindowReader(MemoryByteSource(data))
+            for _ in range(4):
+                r0 = int(rng.integers(0, h))
+                c0 = int(rng.integers(0, w))
+                rh = int(rng.integers(1, h - r0 + 1))
+                cw = int(rng.integers(1, w - c0 + 1))
+                got = reader.read_window(r0, c0, rh, cw)
+                np.testing.assert_array_equal(
+                    got,
+                    arr[r0 : r0 + rh, c0 : c0 + cw],
+                    err_msg=f"trial {trial} window {(r0, c0, rh, cw)} "
+                    f"comp={comp} kw={kw}",
+                )
+
+
+class TestLzwEndgameEarlyChange:
+    """Encoder endgame early-change (found by the differential fuzz).
+
+    When the FINAL data code lands the decoder's table on 2^width - 1
+    entries, the decoder widens before reading EOI; the encoder must emit
+    EOI at the new width. The pre-fix encoder emitted it at the old width:
+    depending on byte alignment the decoder then either read a spurious
+    code before EOI (junk bytes, silently truncated by the chunk reader)
+    or hit end-of-stream without ever seeing EOI. A strict decoder that
+    requires EOI catches both shapes.
+    """
+
+    @staticmethod
+    def _strict_decode(data: bytes) -> bytes:
+        """Reference decoder that REQUIRES the EOI code (no exhaustion exit)."""
+        out = bytearray()
+        nbits = len(data) * 8
+        bitpos = 0
+        width = 9
+        base = [bytes([i]) for i in range(256)] + [b"", b""]
+        table = list(base)
+        prev = None
+        while True:
+            if bitpos + width > nbits:
+                raise ValueError("stream ended without EOI")
+            byte_idx = bitpos >> 3
+            chunk = int.from_bytes(data[byte_idx : byte_idx + 4].ljust(4, b"\0"), "big")
+            code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+            bitpos += width
+            if code == 257:  # EOI
+                return bytes(out)
+            if code == 256:  # Clear
+                table = list(base)
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"code {code} beyond table {len(table)}")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+
+    @staticmethod
+    def _de_bruijn_prefix(n: int) -> bytes:
+        """First ``n`` bytes of a B(256, 2) de Bruijn walk: all adjacent
+        byte pairs distinct, so every byte adds one encoder table entry —
+        lets a test land the final code on any exact table count."""
+        # Martin's algorithm: always take the LARGEST unused out-edge —
+        # proven to trace a full Eulerian (de Bruijn) walk, so any prefix
+        # has all-distinct adjacent pairs.
+        out = bytearray([0])
+        used = set()
+        while len(out) < n:
+            a = out[-1]
+            for b in range(255, -1, -1):
+                if (a, b) not in used:
+                    used.add((a, b))
+                    out.append(b)
+                    break
+            else:
+                raise AssertionError("walk exhausted (n too large)")
+        return bytes(out)
+
+    def test_width_change_boundaries_strict(self):
+        from floodsr_tpu.io import native
+
+        # Boundary sizes: final next_code == 2^w - 1 for w = 9, 10, 11
+        # (n = 254 / 766 / 1790 with all-fresh pairs), swept ±2.
+        sizes = []
+        for center in (254, 766, 1790):
+            sizes += [center - 2, center - 1, center, center + 1, center + 2]
+        for n in sizes:
+            data = self._de_bruijn_prefix(n)
+            enc = lzw_encode(data)
+            assert self._strict_decode(enc) == data, f"n={n}"
+            assert lzw_decode(enc) == data, f"n={n} (lenient)"
+            if native.available():
+                assert native.lzw_encode(data) == enc, f"n={n} (native enc)"
+                assert native.lzw_decode(enc, n) == data, f"n={n} (native dec)"
+
+    def test_legacy_malformed_stream_still_reads(self):
+        """Files written by the pre-fix encoder must keep decoding.
+
+        The chunk reader falls back from the strict native decoder to the
+        lenient Python one and truncates to the expected size.
+        """
+        from floodsr_tpu.io import native
+        from floodsr_tpu.io.tiff import _decompress_chunk
+
+        data = self._de_bruijn_prefix(254)
+
+        # Re-create the pre-fix stream: EOI at the stale width.
+        out = bytearray()
+        bitbuf = 0
+        bitcnt = 0
+
+        def emit(code, width):
+            nonlocal bitbuf, bitcnt
+            bitbuf = (bitbuf << width) | code
+            bitcnt += width
+            while bitcnt >= 8:
+                bitcnt -= 8
+                out.append((bitbuf >> bitcnt) & 0xFF)
+
+        table = {}
+        next_code = 258
+        width = 9
+        emit(256, width)
+        w = -1
+        for b in data:
+            if w < 0:
+                w = b
+                continue
+            key = (w, b)
+            code = table.get(key)
+            if code is not None:
+                w = code
+                continue
+            emit(w, width)
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            w = b
+        emit(w, width)
+        emit(257, width)  # pre-fix: EOI at the stale width
+        if bitcnt:
+            out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+        legacy = bytes(out)
+
+        assert lzw_encode(data) != legacy  # the fixed encoder differs
+        got = _decompress_chunk(legacy, 5, len(data))[: len(data)]
+        assert got == data
+        if native.available():
+            # and the strict native path alone may reject it — that's the
+            # reason the fallback exists.
+            try:
+                native.lzw_decode(legacy, len(data))
+            except ValueError:
+                pass
