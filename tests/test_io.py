@@ -851,6 +851,8 @@ class TestWindowReaderDifferential:
                 kw = {"tile": (16 * int(rng.integers(1, 4)),) * 2}
             else:
                 kw = {"rows_per_strip": int(rng.integers(1, h + 1))}
+            if trial % 5 == 0:
+                kw["bigtiff"] = True  # 8-byte-offset container path
             data = encode_tiff(arr, compression=comp, **kw)
 
             full, _ = decode_tiff(data)
