@@ -8,4 +8,4 @@ abstraction — while the compute path (normalization, ResUNet forward, tile
 mosaicking) runs as batched, jit-compiled device code.
 """
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"

@@ -53,3 +53,37 @@ class TestLinks:
             if not resolved.exists():
                 broken.append(target)
         assert not broken, f"{doc.relative_to(REPO)} has broken links: {broken}"
+
+
+class TestContainerfile:
+    """The modular container build stays consistent with the tree.
+
+    The reference PLAN.md asked for a layered container (separate native /
+    deploy targets with a stable endpoint); no docker daemon exists in CI,
+    so this lints the stages and every path the Dockerfile references.
+    """
+
+    DOCKERFILE = REPO / "container" / "Dockerfile"
+
+    def test_stages_and_paths(self):
+        text = self.DOCKERFILE.read_text(encoding="utf-8")
+        stages = re.findall(r"^FROM\s+\S+\s+AS\s+(\w+)", text, re.MULTILINE)
+        assert stages == ["base", "native", "jax", "deploy"], stages
+        # Every source path in a plain COPY must exist in the repo.
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("COPY") or "--from=" in line:
+                continue
+            srcs = line.split()[1:-1]
+            for src in srcs:
+                assert (REPO / src).exists(), f"Dockerfile COPY source missing: {src}"
+        # The native stage must build the same artifact name the loader
+        # expects (floodsr_tpu/io/native.py) and the deploy stage must ship it.
+        assert text.count("libfloodsr_tiff.so") >= 2
+        from floodsr_tpu.io import native
+
+        assert native._LIB_PATH.name == "libfloodsr_tiff.so"
+
+    def test_entrypoint_unchanged(self):
+        text = self.DOCKERFILE.read_text(encoding="utf-8")
+        assert 'ENTRYPOINT ["floodsr"]' in text
