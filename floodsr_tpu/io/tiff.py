@@ -8,8 +8,9 @@ This replaces the role GDAL's C++ raster I/O plays in the reference
   ZSTD (via :mod:`floodsr_tpu.io.zstd_codec` when libzstd is present);
   horizontal (2) and floating-point (3) predictors; II/MM byte orders; all
   numeric sample formats; GDAL-style sparse chunks (zero byte count → zeros).
-- write: little-endian, striped, uncompressed / LZW / Deflate / ZSTD,
-  optional horizontal predictor for integer data.
+- write: little-endian, striped or tiled, uncompressed / LZW / Deflate / ZSTD,
+  optional predictors — horizontal (2, integer data) and floating-point
+  byte-split (3, float data).
 
 A C++ fast path for LZW + predictor lives in ``floodsr_tpu/io/_native`` and is
 used automatically when built (see :mod:`floodsr_tpu.io.native`); this module
@@ -247,8 +248,28 @@ def _apply_predictor_encode(chunk: np.ndarray, predictor: int) -> np.ndarray:
     if predictor == 1:
         return chunk
     if predictor == 2:
+        if chunk.dtype.kind not in "ui":
+            # Decode reverses predictor 2 with an integer cumsum; float data
+            # would round-trip lossily. The spec pairs 2 with integers.
+            raise ValueError("TIFF predictor 2 requires integer samples")
         out = chunk.copy()
         out[:, 1:] = chunk[:, 1:] - chunk[:, :-1]
+        return out
+    if predictor == 3:
+        if chunk.dtype.kind != "f":
+            raise ValueError("TIFF predictor 3 requires floating-point samples")
+        # Inverse of the decode path: split each row's samples into
+        # per-byte-position planes (big-endian order), then horizontally
+        # difference the plane bytes (mod 256). Returned as uint8 rows whose
+        # tobytes() is the predicted stream.
+        rows, cols, samples = chunk.shape
+        itemsize = chunk.dtype.itemsize
+        be = np.dtype(chunk.dtype).newbyteorder(">")
+        b = np.ascontiguousarray(chunk).astype(be).view(np.uint8)
+        b = b.reshape(rows, cols * samples, itemsize)
+        planes = np.transpose(b, (0, 2, 1)).reshape(rows, itemsize * cols * samples)
+        out = planes.copy()
+        out[:, 1:] = planes[:, 1:] - planes[:, :-1]
         return out
     raise ValueError(f"unsupported TIFF write predictor: {predictor}")
 
@@ -717,6 +738,7 @@ class StripStreamWriter:
         compression: int = COMPRESSION_LZW,
         rows_per_strip: int | None = None,
         bigtiff: bool | None = None,
+        predictor: int | None = None,
     ):
         self._handle = open(fp, "wb")
         self._height = int(height)
@@ -726,9 +748,11 @@ class StripStreamWriter:
             raise ValueError("StripStreamWriter is little-endian only")
         self._compression = compression
         self._extra_tags = list(extra_tags or [])
-        self._predictor = (
-            2 if (compression != COMPRESSION_NONE and self._dtype.kind in "ui") else 1
-        )
+        if predictor is None:
+            predictor = (
+                2 if (compression != COMPRESSION_NONE and self._dtype.kind in "ui") else 1
+            )
+        self._predictor = int(predictor)
         itemsize = self._dtype.itemsize
         if bigtiff is None:
             # Compressed strips can't be sized up front; the uncompressed

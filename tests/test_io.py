@@ -104,6 +104,50 @@ class TestTiffCodec:
         np.testing.assert_array_equal(got, arr)
         np.testing.assert_array_equal(np.array(Image.open(_io.BytesIO(data))), arr)
 
+    def test_float_predictor_roundtrip_and_libtiff_readable(self, rng):
+        """Predictor 3 (byte-split float) writes: our decode AND libtiff
+        (via Pillow's compressed-TIFF path) must both recover the array;
+        on smooth float fields it must actually shrink the LZW stream."""
+        x = np.linspace(0.0, 8.0, 160)
+        arr = (
+            np.sin(x)[None, :] * np.cos(x)[:, None] * 100.0
+            + rng.normal(0.0, 0.01, (160, 160))
+        ).astype(np.float32)
+        plain = encode_tiff(arr, compression=5)
+        p3 = encode_tiff(arr, compression=5, predictor=3)
+        got, _ = decode_tiff(p3)
+        np.testing.assert_array_equal(got, arr)
+        np.testing.assert_array_equal(np.array(Image.open(_io.BytesIO(p3))), arr)
+        assert len(p3) < 0.9 * len(plain), (len(p3), len(plain))
+
+    def test_float_predictor_float64_tiled(self, rng):
+        arr = rng.normal(size=(80, 70)).astype(np.float64).cumsum(axis=1)
+        data = encode_tiff(arr, compression=5, predictor=3, tile=(32, 48))
+        got, _ = decode_tiff(data)
+        np.testing.assert_array_equal(got, arr)
+
+    def test_predictor_kind_mismatches_raise(self, rng):
+        farr = rng.normal(size=(8, 9)).astype(np.float32)
+        iarr = rng.integers(0, 100, size=(8, 9)).astype(np.int16)
+        with pytest.raises(ValueError, match="predictor 2 requires integer"):
+            encode_tiff(farr, compression=5, predictor=2)
+        with pytest.raises(ValueError, match="predictor 3 requires floating"):
+            encode_tiff(iarr, compression=5, predictor=3)
+
+    def test_stream_writer_float_predictor(self, rng, tmp_path):
+        from floodsr_tpu.io.tiff import StripStreamWriter
+
+        arr = rng.normal(size=(90, 64)).astype(np.float32).cumsum(axis=0)
+        fp = tmp_path / "pred3_stream.tif"
+        with StripStreamWriter(
+            fp, 90, 64, np.float32, rows_per_strip=17, predictor=3
+        ) as w:
+            for r in range(0, 90, 30):
+                w.write_rows(arr[r : r + 30])
+        got, _ = decode_tiff(fp.read_bytes())
+        np.testing.assert_array_equal(got, arr)
+        np.testing.assert_array_equal(np.array(Image.open(fp)), arr)
+
     def test_pil_deflate_and_packbits_readable(self, rng):
         arr = rng.normal(size=(20, 30)).astype(np.float32)
         buf = _io.BytesIO()
@@ -853,6 +897,9 @@ class TestWindowReaderDifferential:
                 kw = {"rows_per_strip": int(rng.integers(1, h + 1))}
             if trial % 5 == 0:
                 kw["bigtiff"] = True  # 8-byte-offset container path
+            if trial % 3 == 0 and comp != COMPRESSION_NONE:
+                # spec-valid predictor for the sample kind
+                kw["predictor"] = 3 if np.issubdtype(dtype, np.floating) else 2
             data = encode_tiff(arr, compression=comp, **kw)
 
             full, _ = decode_tiff(data)
