@@ -66,6 +66,25 @@ _TIFF_TO_COMPRESS = {
 }
 
 
+def _profile_predictor(profile: dict, dtype: np.dtype) -> int | None:
+    """Predictor from an advisory profile, dropped when it can't apply.
+
+    Profiles are commonly copied from an input raster and re-used for an
+    output of a different dtype (e.g. int DEM profile → float depth
+    output); like GDAL's creation options, a kind-mismatched predictor is
+    ignored rather than fatal. Direct ``encode_tiff(predictor=...)`` calls
+    keep the hard validation.
+    """
+    predictor = profile.get("predictor")
+    if predictor is None:
+        return None
+    predictor = int(predictor)
+    kind = np.dtype(dtype).kind
+    if (predictor == 2 and kind not in "ui") or (predictor == 3 and kind != "f"):
+        return None
+    return predictor
+
+
 def _crs_from_geokeys(tags: dict[int, object]) -> CRS | None:
     directory = tags.get(TAG_GEO_KEY_DIRECTORY)
     if directory is None:
@@ -220,6 +239,9 @@ def read_raster(
             int(tags.get(_tiff.TAG_COMPRESSION, _tiff.COMPRESSION_NONE))
         ),
     }
+    predictor = int(tags.get(_tiff.TAG_PREDICTOR, 1))
+    if predictor != 1:
+        profile["predictor"] = predictor
     return arr, nodata, profile
 
 
@@ -234,7 +256,7 @@ def _profile_from_tags(
             nodata = float(str(nodata_text).strip())
         except ValueError:
             nodata = None
-    return nodata, {
+    profile = {
         "driver": "GTiff",
         "dtype": dtype_str,
         "nodata": nodata,
@@ -247,6 +269,10 @@ def _profile_from_tags(
             int(tags.get(_tiff.TAG_COMPRESSION, _tiff.COMPRESSION_NONE))
         ),
     }
+    predictor = int(tags.get(_tiff.TAG_PREDICTOR, 1))
+    if predictor != 1:
+        profile["predictor"] = predictor
+    return nodata, profile
 
 
 def open_raster_window_reader(
@@ -343,7 +369,7 @@ def write_raster(
     extra_tags = _geo_tags_for(transform, crs, nodata_f)
     data = _tiff.encode_tiff(
         arr, extra_tags=extra_tags, compression=compression,
-        tile=tile, bigtiff=bigtiff,
+        predictor=_profile_predictor(profile, arr.dtype), tile=tile, bigtiff=bigtiff,
     )
     path.write_bytes(data)
     return path
@@ -379,6 +405,7 @@ def open_raster_stream(fp: str | Path, profile: dict) -> "_tiff.StripStreamWrite
         dtype,
         extra_tags=extra_tags,
         compression=compression,
+        predictor=_profile_predictor(profile, dtype),
     )
 
 

@@ -920,6 +920,65 @@ class TestWindowReaderDifferential:
                 )
 
 
+class TestProfilePredictor:
+    """`predictor` rides the profile surface like `compress` does.
+
+    Read: recorded when a file carries one (omitted for 1). Write: applied
+    when valid for the output dtype; silently dropped on a kind mismatch —
+    profiles are commonly copied from an input of a different dtype (int
+    DEM profile → float depth output), and GDAL treats creation options
+    the same way.
+    """
+
+    def test_roundtrip_through_profile(self, rng, tmp_path):
+        from floodsr_tpu.io.geotiff import read_raster, write_raster
+
+        arr = rng.normal(size=(40, 50)).astype(np.float32).cumsum(axis=1)
+        src = tmp_path / "p3.tif"
+        src.write_bytes(encode_tiff(arr, compression=5, predictor=3))
+        got, _, prof = read_raster(src)
+        np.testing.assert_array_equal(got, arr)
+        assert prof["predictor"] == 3
+        prof["crs"] = "EPSG:32633"
+        prof["transform"] = (2.0, 0.0, 0.0, 0.0, -2.0, 0.0)
+        dst = tmp_path / "copy.tif"
+        write_raster(dst, arr, prof)
+        got2, _, prof2 = read_raster(dst)
+        np.testing.assert_array_equal(got2, arr)
+        assert prof2["predictor"] == 3
+
+    def test_kind_mismatch_dropped_not_fatal(self, rng, tmp_path):
+        from floodsr_tpu.io.geotiff import read_raster, write_raster
+
+        # int-predictor profile reused for a float output: predictor dropped
+        prof = {
+            "dtype": "float32", "nodata": None, "crs": "EPSG:32633",
+            "transform": (2.0, 0.0, 0.0, 0.0, -2.0, 0.0),
+            "compress": "LZW", "predictor": 2,
+            "height": 12, "width": 15,
+        }
+        arr = rng.normal(size=(12, 15)).astype(np.float32)
+        dst = tmp_path / "sanitized.tif"
+        write_raster(dst, arr, prof)
+        got, _, prof2 = read_raster(dst)
+        np.testing.assert_array_equal(got, arr)
+        assert "predictor" not in prof2
+
+    def test_default_writes_unchanged(self, rng, tmp_path):
+        from floodsr_tpu.io.geotiff import read_raster, write_raster
+
+        prof = {
+            "dtype": "float32", "nodata": -9999.0, "crs": "EPSG:32633",
+            "transform": (2.0, 0.0, 0.0, 0.0, -2.0, 0.0),
+            "compress": "LZW", "height": 9, "width": 9,
+        }
+        arr = rng.normal(size=(9, 9)).astype(np.float32)
+        fp = tmp_path / "plain.tif"
+        write_raster(fp, arr, prof)
+        _, _, prof2 = read_raster(fp)
+        assert "predictor" not in prof2  # float default remains predictor-free
+
+
 class TestLzwEndgameEarlyChange:
     """Encoder endgame early-change (found by the differential fuzz).
 
