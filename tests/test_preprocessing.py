@@ -336,3 +336,66 @@ class TestStreamingResampler:
         # Consumed rows are dropped: the retained window stays O(band),
         # never the whole accumulated prefix (quadratic-copy regression).
         assert max_retained < src.shape[0]
+
+
+class TestWarpTorchOracle:
+    """`reproject_bilinear` vs torch grid_sample as an EXTERNAL oracle.
+
+    Both implement pixel-center bilinear sampling between affine grids;
+    `grid_sample(align_corners=False)` places pixel centers at
+    ((2i+1)/N - 1), which is exactly this codebase's coordinate convention
+    (`ops/resample.py::_dst_center_coords_in_src`). Border semantics
+    differ by design (this repo renormalizes partial tap weights at the
+    edge; torch zero-pads), so the comparison is over strictly-interior
+    destination pixels — where every one of the 4 taps is in bounds.
+    """
+
+    def test_random_affine_pairs_match_grid_sample(self):
+        import torch
+        import torch.nn.functional as F
+
+        from floodsr_tpu.io.affine import Affine
+        from floodsr_tpu.ops.resample import reproject_bilinear
+
+        rng = np.random.default_rng(20260818)
+        compared = 0
+        for _ in range(25):
+            h_s, w_s = int(rng.integers(8, 90)), int(rng.integers(8, 90))
+            src = rng.normal(size=(h_s, w_s)).astype(np.float64)
+            a_s = float(rng.uniform(0.5, 5.0))
+            e_s = -float(rng.uniform(0.5, 5.0))
+            c_s = float(rng.uniform(-100, 100))
+            f_s = float(rng.uniform(-100, 100))
+            t_src = Affine(a_s, 0.0, c_s, 0.0, e_s, f_s)
+            hd, wd = int(rng.integers(8, 100)), int(rng.integers(8, 100))
+            a_d = float(rng.uniform(0.3, 3.0))
+            e_d = -float(rng.uniform(0.3, 3.0))
+            c_d = c_s + float(rng.uniform(0, 0.3)) * a_s * w_s
+            f_d = f_s + float(rng.uniform(0, 0.3)) * e_s * h_s
+            t_dst = Affine(a_d, 0.0, c_d, 0.0, e_d, f_d)
+
+            got = reproject_bilinear(src, t_src, (hd, wd), t_dst)
+
+            jj, ii = np.meshgrid(np.arange(wd), np.arange(hd))
+            u = (c_d + a_d * (jj + 0.5) - c_s) / a_s - 0.5
+            v = (f_d + e_d * (ii + 0.5) - f_s) / e_s - 0.5
+            grid = torch.from_numpy(
+                np.stack(
+                    [(2 * (u + 0.5) / w_s) - 1, (2 * (v + 0.5) / h_s) - 1], -1
+                )[None]
+            ).double()
+            ref = F.grid_sample(
+                torch.from_numpy(src)[None, None],
+                grid,
+                mode="bilinear",
+                padding_mode="zeros",
+                align_corners=False,
+            )[0, 0].numpy()
+            interior = (v >= 0) & (v <= h_s - 1) & (u >= 0) & (u <= w_s - 1)
+            if not interior.any():
+                continue
+            np.testing.assert_allclose(
+                got[interior], ref[interior], atol=1e-6, rtol=0
+            )
+            compared += int(interior.sum())
+        assert compared > 10_000, compared
