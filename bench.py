@@ -247,7 +247,20 @@ def main() -> int:
         # silently (a skip writes the artifact WITH the reason).
         parity = _run_parity_gate(t_start)
 
+        # Self-arming requalification: the real-artifact golden-metrics gate
+        # (released ONNX + LFS rasters) has never executed because this
+        # environment has no egress. Probe on every bench run; the moment
+        # network exists, the ONLINE requalification runs unattended and
+        # writes requalify_verdict.json with REAL metrics.
+        requalify = _maybe_requalify_online(t_start)
+
         payload = {
+            # Schema history: v1 (rounds 1-2) reported vs_baseline as the
+            # unique-output MP/s ratio; v2 (round 3+) reports vs_baseline as
+            # the job-level windows/s speedup and keeps the old accounting
+            # under vs_baseline_output_rate. Consumers comparing across
+            # rounds should key on this field.
+            "bench_schema": 2,
             "metric": (
                 "SR megapixels/sec/chip on 16x tohr (rss_mersch_A-shaped "
                 "scene): on-chip pipeline (normalize+forward+invert+"
@@ -268,6 +281,8 @@ def main() -> int:
         }
         if parity is not None:
             payload["parity_gate"] = parity
+        if requalify is not None:
+            payload["requalify"] = requalify
         if pipe_hard is not None:
             # Same gate-passing f32 numerics; hard windows (a reference
             # mode) skip the 2.15x overlap recompute — quality evidence in
@@ -290,7 +305,7 @@ def main() -> int:
     return 0
 
 
-PARITY_OUT = REPO / "PARITY_r03.json"
+PARITY_OUT = REPO / "PARITY_r04.json"
 
 
 def _run_parity_gate(t_start: float) -> dict | None:
@@ -345,6 +360,49 @@ def _run_parity_gate(t_start: float) -> dict | None:
             json.dumps({"skipped": reason, "pass": None}, indent=1) + "\n"
         )
     return {"pass": None, "skipped": reason, "artifact": PARITY_OUT.name}
+
+
+def _maybe_requalify_online(t_start: float) -> dict | None:
+    """Run the ONLINE real-artifact requalification iff network exists.
+
+    The dry-run rehearsal is already e2e-tested offline; the only untested
+    step is the egress itself, so a cheap DNS probe decides. Failure never
+    kills the bench — the outcome (or skip reason) is recorded in the
+    payload either way.
+    """
+    import socket
+    import subprocess
+
+    if os.environ.get("FLOODSR_BENCH_REQUALIFY", "1") != "1":
+        return {"ran": False, "skipped": "disabled via FLOODSR_BENCH_REQUALIFY=0"}
+    try:
+        socket.setdefaulttimeout(5)
+        socket.getaddrinfo("github.com", 443)
+    except OSError as err:
+        return {"ran": False, "skipped": f"no network ({err})"}
+    finally:
+        socket.setdefaulttimeout(None)
+    budget_s = float(os.environ.get("FLOODSR_BENCH_REQUALIFY_BUDGET_S", "1800"))
+    out_fp = REPO / "requalify_verdict.json"
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "bin" / "requalify_reference.py"),
+             "--out", str(out_fp)],
+            timeout=budget_s, capture_output=True, text=True,
+        )
+        print(proc.stderr[-2000:], file=sys.stderr)
+        verdict = json.loads(out_fp.read_text())
+        return {
+            "ran": True,
+            "pass": verdict.get("pass"),
+            "metrics_gate": verdict.get("metrics_gate"),
+            "artifact": out_fp.name,
+            "rc": proc.returncode,
+        }
+    except subprocess.TimeoutExpired:
+        return {"ran": False, "skipped": f"online requalify exceeded {budget_s:.0f}s"}
+    except Exception as err:  # noqa: BLE001 - record, don't kill the bench
+        return {"ran": False, "skipped": f"online requalify error: {err}"}
 
 
 def _measure_pipeline(

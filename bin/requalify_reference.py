@@ -205,11 +205,13 @@ def run_requalification(work: Path, *, transport=None, cases=None,
             case_name, case, case_dir, fsrz_fp, work
         )
 
-    verdict["pass"] = all(
+    verdict["workflow_ok"] = True  # every step above completed
+    verdict["metrics_gate"] = all(
         run.get("pass", False)
         for case in verdict["cases"].values()
         for run in case.values()
     )
+    verdict["pass"] = verdict["metrics_gate"]
     return verdict
 
 
@@ -267,25 +269,39 @@ def run_dry_run(work: Path) -> dict:
     verdict["steps"]["conversion_parity_max_abs_norm"] = conv_max_abs
 
     # Case workflow on the committed synthetic golden (LFS stand-in). The
-    # replica is untrained, so the gate is workflow-shaped: finite metrics.
+    # replica is untrained, so only the WORKFLOW is gated here (finite
+    # metrics through the full CLI path); the metrics gate itself stays
+    # null until the physical released artifact runs online — a dry-run
+    # must never print a per-case "pass" beside mismatched goldens.
     case_dir = REPO / "tests/data/synth_single_tile"
     spec = json.loads((case_dir / "case_spec.json").read_text())
     case = {"inputs": spec["inputs"], "expected": spec["expected"]}
     result = _run_case("synth_single_tile", case, case_dir, fsrz_fp, work)
     for run in result.values():
-        run["pass"] = all(
+        run.pop("pass", None)
+        run["workflow_ok"] = all(
             np.isfinite(v) for v in run.get("actual", {}).values()
         ) if "actual" in run else False
-        run["note"] = "dry-run: workflow gate (finite metrics), not goldens"
+        run["metrics_gate"] = None
+        run["note"] = (
+            "dry-run: workflow gate only (finite metrics through the real "
+            "CLI); golden-metric comparison requires the online run"
+        )
     verdict["cases"]["synth_single_tile"] = result
 
     # Gate at 1e-3 normalized: a converter BUG shows as O(0.1-1) divergence;
     # the untrained He-init replica legitimately amplifies f32 rounding to
     # ~2e-4 through its ~30-conv depth (trained weights are far tamer).
-    verdict["pass"] = conv_max_abs <= 1e-3 and all(
-        run.get("pass", False)
+    verdict["workflow_ok"] = conv_max_abs <= 1e-3 and all(
+        run.get("workflow_ok", False)
         for case in verdict["cases"].values()
         for run in case.values()
+    )
+    verdict["metrics_gate"] = None
+    verdict["pass"] = None
+    verdict["note"] = (
+        "dry-run: pass/metrics_gate are null by design — they are decided "
+        "only by the online run against the released ONNX + LFS goldens"
     )
     return verdict
 
@@ -313,7 +329,10 @@ def main() -> int:
             work_ctx.cleanup()
     args.out.write_text(json.dumps(verdict, indent=1) + "\n")
     print(json.dumps(verdict))
-    return 0 if verdict["pass"] else 1
+    # Dry-run exits on the workflow gate (pass is null until the online
+    # goldens run); online exits on the real metrics gate.
+    gate = verdict["pass"] if verdict["pass"] is not None else verdict["workflow_ok"]
+    return 0 if gate else 1
 
 
 if __name__ == "__main__":

@@ -58,9 +58,8 @@ def band_plan(
         f"(pick a bucket quantum divisible by dp)"
     )
     band = h // n_bands
-    assert band % tile == 0 or band >= tile, (
-        f"band height {band} must be at least one tile ({tile})"
-    )
+    if not (band % tile == 0 or band >= tile):
+        raise ValueError(f"band height {band} must be at least one tile ({tile})")
     return {"band": band, "halo": tile, "width": w, "n_bands": n_bands}
 
 
@@ -86,11 +85,14 @@ def pack_banded_scene(
     h, w = dem_pad.shape
     plan = band_plan((h, w), n_bands, tile)
     band, halo = plan["band"], plan["halo"]
-    assert band % scale == 0, (
-        f"band height {band} must be a multiple of scale {scale}: band-"
-        f"relative tile origins are divided by scale to index the LR band, "
-        f"which silently misaligns otherwise"
-    )
+    if band % scale != 0:
+        # Not an assert: under python -O a stripped assert would re-enable
+        # exactly the silent LR-band misalignment this guards against.
+        raise ValueError(
+            f"band height {band} must be a multiple of scale {scale}: band-"
+            f"relative tile origins are divided by scale to index the LR band, "
+            f"which silently misaligns otherwise"
+        )
 
     dem_bands = np.zeros((n_bands, band + halo, w), np.float32)
     lr_band = (band + halo) // scale

@@ -28,13 +28,14 @@ def _load() -> ctypes.CDLL | None:
     src = _LIB_PATH.parent / "tiff_codec.cc"
     if src.exists() and _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
         # Stale binary (source newer than the build): rebuild rather than
-        # load a library with potentially fixed bugs still in it. On build
-        # failure fall back to the pure-Python codec permanently.
+        # load a library with potentially fixed bugs still in it. A rebuild
+        # failure (no g++ at runtime, read-only install, or mere mtime skew
+        # from copy ordering) is NOT terminal: the existing .so may be
+        # perfectly valid, so fall through and load it — decode already has
+        # a lenient-Python fallback for the one known stale-binary bug.
         from floodsr_tpu.io.build_native import build
 
-        if build(verbose=False) is None:
-            _load_failed = True
-            return None
+        build(verbose=False)
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.fsr_lzw_decode.restype = ctypes.c_longlong
@@ -63,6 +64,15 @@ def available() -> bool:
     return _load() is not None
 
 
+class NativeLzwOverflow(ValueError):
+    """Native decode code -2: output exceeded the exact-size buffer.
+
+    Distinct from corruption (code -1) so callers can fall back to the
+    lenient Python decoder ONLY for the known legacy-encoder overflow case
+    (one spurious code before EOI) while letting corrupt streams propagate.
+    """
+
+
 def lzw_decode(data: bytes, expected_size: int) -> bytes:
     lib = _load()
     assert lib is not None, "native codec not available"
@@ -70,6 +80,8 @@ def lzw_decode(data: bytes, expected_size: int) -> bytes:
     # exactly expected_size too (callers pass the true uncompressed size).
     out = ctypes.create_string_buffer(expected_size)
     n = lib.fsr_lzw_decode(data, len(data), out, expected_size)
+    if n == -2:
+        raise NativeLzwOverflow("native LZW decode overflowed the output buffer")
     if n < 0:
         raise ValueError(f"native LZW decode failed with code {n}")
     return out.raw[:n]

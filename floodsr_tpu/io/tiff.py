@@ -383,11 +383,13 @@ def _decompress_chunk(raw: bytes, compression: int, expected: int) -> bytes:
         if _native.available():
             try:
                 return _native.lzw_decode(raw, expected)
-            except ValueError:
+            except _native.NativeLzwOverflow:
                 # Files written by the pre-fix encoder can carry one spurious
                 # code before EOI (endgame early-change bug), overflowing the
                 # exact-size native buffer. The Python decoder is lenient and
-                # callers truncate to `expected`.
+                # callers truncate to `expected`. Corrupt-stream errors
+                # (native code -1) propagate — the lenient decoder would
+                # mask them.
                 return lzw_decode(raw)
         return lzw_decode(raw)
     if compression in (COMPRESSION_DEFLATE_ADOBE, COMPRESSION_DEFLATE_OLD):

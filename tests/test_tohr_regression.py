@@ -107,4 +107,12 @@ def test_requalify_dry_run_workflow(tmp_path):
     assert verdict["steps"]["fetch_model"]["ok"]
     assert verdict["steps"]["convert_onnx_to_fsrz"]["ok"]
     assert verdict["steps"]["conversion_parity_max_abs_norm"] <= 1e-3
-    assert verdict["pass"], json.dumps(verdict, indent=1)
+    assert verdict["workflow_ok"], json.dumps(verdict, indent=1)
+    # Dry-run must never claim the golden-metrics gate: it is null until the
+    # physical released artifact runs online (so is every per-case gate).
+    assert verdict["pass"] is None
+    assert verdict["metrics_gate"] is None
+    for case in verdict["cases"].values():
+        for run in case.values():
+            assert "pass" not in run
+            assert run["metrics_gate"] is None
