@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -421,6 +422,9 @@ def _cmd_serve(args: argparse.Namespace) -> int:
     mesh_options = _resolve_mesh_options(args)
     if args.max_pending < 1:
         raise ValueError(f"--max-pending must be >= 1, got {args.max_pending}")
+    # Flag > env: tokens on command lines leak via process listings, so the
+    # env form is the recommended one.
+    auth_token = args.auth_token or os.environ.get("FLOODSR_SERVE_AUTH_TOKEN")
 
     if args.cache_dir is None and config.cache_dir:
         args.cache_dir = Path(config.cache_dir)
@@ -445,6 +449,8 @@ def _cmd_serve(args: argparse.Namespace) -> int:
         },
         run_defaults={"window_method": config.window_method},
         max_pending=args.max_pending,
+        auth_token=auth_token,
+        data_root=args.data_root,
         logger_=log,
     )
 
@@ -687,6 +693,23 @@ def _build_serve_parser(subparsers) -> None:
         help=(
             "Requests admitted to the device queue before the daemon "
             "answers 503 (backpressure instead of unbounded queueing)."
+        ),
+    )
+    p.add_argument(
+        "--auth-token", default=None, metavar="TOKEN",
+        help=(
+            "Require 'Authorization: Bearer TOKEN' on every endpoint except "
+            "/v1/healthz (constant-time compare). Prefer the "
+            "FLOODSR_SERVE_AUTH_TOKEN environment variable: command lines "
+            "leak via process listings."
+        ),
+    )
+    p.add_argument(
+        "--data-root", type=Path, default=None, metavar="DIR",
+        help=(
+            "Restrict every request-named filesystem path (inputs, DEM, "
+            "outputs, buildings, fetch destinations) to this directory "
+            "after symlink resolution; outside paths are rejected with 400."
         ),
     )
     _add_mesh_opts(p)

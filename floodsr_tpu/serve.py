@@ -25,10 +25,22 @@ This daemon is the thinnest possible network front for that worker:
   ``out`` is required on every request: a daemon writing files to a
   cwd-relative default would scatter outputs nobody asked for.
 
-Security posture: binds loopback by default and executes read/write on any
-path the request names, with no authentication — deploy behind a trusted
-boundary (localhost callers, a sidecar, or an authenticated reverse proxy),
-exactly like other file-path-oriented inference daemons.
+Security posture: binds loopback by default. Two opt-in hardening knobs cut
+the footgun when a trusted boundary is not available:
+
+- ``--auth-token TOKEN`` requires ``Authorization: Bearer TOKEN``
+  (constant-time compare) on every endpoint except ``/v1/healthz`` (load
+  balancers probe health without secrets); missing/invalid -> 401.
+- ``--data-root DIR`` restricts every request-named filesystem path
+  (inputs, DEM, buildings, outputs, fetch destinations) to that directory
+  prefix after symlink resolution; outside paths -> 400.
+
+Without them the daemon executes read/write on any path the request names —
+deploy behind a trusted boundary (localhost callers, a sidecar, or an
+authenticated reverse proxy), exactly like other file-path-oriented
+inference daemons. Request bodies are capped at 16 MiB (paths, scalars and
+optionally inline GeoJSON footprints; raster data never travels in the
+body).
 
 Endpoints::
 
@@ -93,6 +105,10 @@ class RequestError(ValueError):
     """Client-side request problem -> HTTP 400."""
 
 
+class AuthError(RuntimeError):
+    """Missing or invalid bearer token -> HTTP 401."""
+
+
 class BusyError(RuntimeError):
     """Device queue full -> HTTP 503 (caller should retry elsewhere/later)."""
 
@@ -136,12 +152,22 @@ class TohrService:
         engine_options: dict | None = None,
         run_defaults: dict | None = None,
         max_pending: int = 8,
+        auth_token: str | None = None,
+        data_root: str | Path | None = None,
         logger_: logging.Logger | None = None,
     ):
         self.model_version = model_version
         self.model_fp = Path(model_fp).expanduser().resolve()
         if not self.model_fp.exists():
             raise FileNotFoundError(f"model file does not exist: {self.model_fp}")
+        self.auth_token = auth_token or None
+        self.data_root = (
+            Path(data_root).expanduser().resolve() if data_root is not None else None
+        )
+        if self.data_root is not None and not self.data_root.is_dir():
+            raise NotADirectoryError(
+                f"--data-root must be an existing directory: {self.data_root}"
+            )
         self.log = logger_ or logger
         self._engine_options = dict(engine_options or {})
         self._run_defaults = {
@@ -185,6 +211,47 @@ class TohrService:
             self._worker = None
 
     # -- request handling ----------------------------------------------------
+
+    def check_auth(self, authorization: str | None) -> None:
+        """Constant-time bearer-token check (no-op when no token is set)."""
+        if self.auth_token is None:
+            return
+        import hmac
+
+        expected = f"Bearer {self.auth_token}"
+        if authorization is None or not hmac.compare_digest(
+            authorization.encode("utf-8", "replace"), expected.encode()
+        ):
+            raise AuthError("missing or invalid bearer token")
+
+    #: Request keys whose values are filesystem paths, subject to --data-root.
+    _PATH_RUN_KWARGS = ("depth_lr_fp", "dem_hr_fp", "output_fp", "buildings_fp")
+
+    def _check_data_root(self, run_kwargs: dict, fetch_out) -> None:
+        """Reject request-named paths outside the configured data root.
+
+        Resolution follows symlinks (a link inside the root pointing outside
+        it is rejected), so the prefix check is on real filesystem identity.
+        ``buildings`` may carry inline GeoJSON text instead of a path — the
+        same leading-brace rule :func:`features.footprints.load_footprints`
+        uses decides which it is.
+        """
+        if self.data_root is None:
+            return
+        named = [(k, run_kwargs[k]) for k in self._PATH_RUN_KWARGS if k in run_kwargs]
+        if fetch_out is not None:
+            named.append(("fetch_out", fetch_out))
+        for key, value in named:
+            if key == "buildings_fp" and isinstance(value, str) and value.lstrip()[
+                :1
+            ] in ("{", "["):
+                continue  # inline GeoJSON, not a path
+            resolved = Path(str(value)).expanduser().resolve()
+            if not resolved.is_relative_to(self.data_root):
+                raise RequestError(
+                    f"path for '{key}' is outside the served data root "
+                    f"{self.data_root}: {resolved}"
+                )
 
     @staticmethod
     def _unwrap(payload: dict, key: str) -> dict:
@@ -303,6 +370,7 @@ class TohrService:
         """Validate one machine-interface payload and run it on the worker."""
         body = self._unwrap(payload, "tohr")
         run_kwargs, f_dem, f_bld, f_out = self._translate_body(body)
+        self._check_data_root(run_kwargs, f_out)
         assert self._worker is not None, "service not started"
         self._acquire_slot()
         try:
@@ -349,6 +417,7 @@ class TohrService:
                 raise RequestError(f"jobs[{i}] must be a JSON object")
             merged = {**shared_body, **job_body}
             run_kwargs, f_dem, f_bld, f_out = self._translate_body(merged)
+            self._check_data_root(run_kwargs, f_out)
             if f_out is not None:
                 # Same rule as the multi-input CLI: one named DEM file per
                 # batch means every job's fetch would overwrite it.
@@ -465,8 +534,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib handler naming)
         if self.path in ("/v1/healthz", "/healthz"):
+            # Health stays token-free: load balancers probe it without
+            # secrets, and it exposes only coarse liveness counters.
             self._reply(200, self.service.health())
-        elif self.path in ("/v1/doctor", "/doctor"):
+            return
+        try:
+            self.service.check_auth(self.headers.get("Authorization"))
+        except AuthError as err:
+            self.service.note_failure()
+            self._reply(401, {"error": str(err)})
+            return
+        if self.path in ("/v1/doctor", "/doctor"):
             self._reply(200, self.service.doctor())
         elif self.path in ("/v1/metrics", "/metrics"):
             self._reply_raw(
@@ -485,6 +563,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path: {self.path}"})
             return
         try:
+            try:
+                self.service.check_auth(self.headers.get("Authorization"))
+            except AuthError:
+                # Reject BEFORE reading the body, and drop the connection:
+                # an unauthenticated caller does not get to stream 16 MiB.
+                self.close_connection = True
+                raise
             try:
                 length = int(self.headers.get("Content-Length", "0"))
             except ValueError:
@@ -516,6 +601,9 @@ class _Handler(BaseHTTPRequestHandler):
         except RequestError as err:
             self.service.note_failure()
             self._reply(400, {"error": str(err)})
+        except AuthError as err:
+            self.service.note_failure()
+            self._reply(401, {"error": str(err)})
         except BusyError as err:
             self.service.note_failure()
             self._reply(503, {"error": str(err)})
@@ -547,6 +635,8 @@ def serve(
     engine_options: dict | None = None,
     run_defaults: dict | None = None,
     max_pending: int = 8,
+    auth_token: str | None = None,
+    data_root: str | Path | None = None,
     logger_: logging.Logger | None = None,
 ) -> int:
     """Run the daemon until interrupted. Returns a process exit code."""
@@ -557,6 +647,8 @@ def serve(
         engine_options=engine_options,
         run_defaults=run_defaults,
         max_pending=max_pending,
+        auth_token=auth_token,
+        data_root=data_root,
         logger_=log,
     )
     service.start()

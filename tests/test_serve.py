@@ -41,11 +41,11 @@ def live_server(tiny_model_fp, logger):
         service.close()
 
 
-def _post(base: str, payload: dict) -> tuple[int, dict]:
+def _post(base: str, payload: dict, headers: dict | None = None) -> tuple[int, dict]:
     req = urllib.request.Request(
         base + "/v1/tohr",
         data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"},
+        headers={"Content-Type": "application/json", **(headers or {})},
         method="POST",
     )
     try:
@@ -476,3 +476,107 @@ class TestCliPlumbing:
             "serve", "--model-path", str(tiny_model_fp), "--warmup", "nope"
         ])
         assert code == 1  # CLI catch-all -> exit 1
+
+
+class TestHardening:
+    """Opt-in auth token + data-root path allowlist (serve hardening)."""
+
+    TOKEN = "test-secret-token"
+
+    @pytest.fixture(scope="class")
+    def hardened_server(self, tiny_model_fp, logger, tmp_path_factory):
+        # Both the synthetic-tile fixtures and per-test tmp_path live under
+        # pytest's base temp, so it doubles as the served data root.
+        data_root = tmp_path_factory.getbasetemp()
+        service = TohrService(
+            model_version="ResUNet_16x_DEM",
+            model_fp=tiny_model_fp,
+            auth_token=self.TOKEN,
+            data_root=data_root,
+            logger_=logger,
+        )
+        service.start()
+        server = make_server(service, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            yield f"http://127.0.0.1:{server.server_port}", service
+        finally:
+            server.shutdown()
+            server.server_close()
+            thread.join(timeout=10)
+            service.close()
+
+    def _auth(self):
+        return {"Authorization": f"Bearer {self.TOKEN}"}
+
+    def test_post_without_token_rejected_401(
+        self, hardened_server, synthetic_tohr_tiles, tmp_path
+    ):
+        base, _ = hardened_server
+        payload = {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+            "out": str(tmp_path / "noauth.tif"),
+        }
+        status, body = _post(base, payload)
+        assert status == 401
+        assert "bearer token" in body["error"]
+        status, body = _post(base, payload, headers={
+            "Authorization": "Bearer wrong-token"})
+        assert status == 401
+
+    def test_get_doctor_requires_token_healthz_does_not(self, hardened_server):
+        base, _ = hardened_server
+        status, health = _get(base, "/v1/healthz")  # LB probe: token-free
+        assert status == 200 and health["status"] == "ok"
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _get(base, "/v1/doctor")
+        assert err.value.code == 401
+        req = urllib.request.Request(
+            base + "/v1/doctor", headers=self._auth())
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+
+    def test_path_outside_data_root_rejected(
+        self, hardened_server, synthetic_tohr_tiles
+    ):
+        base, _ = hardened_server
+        status, body = _post(base, {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+            "out": "/tmp/outside-root.tif",
+        }, headers=self._auth())
+        assert status == 400
+        assert "data root" in body["error"] and "out" in body["error"]
+        # Symlink escape: a link inside the root pointing outside is caught
+        # by symlink resolution, not just a string-prefix check.
+        status, body = _post(base, {
+            "in": "/etc/hostname",
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+            "out": str(synthetic_tohr_tiles["dem_fp"].parent / "x.tif"),
+        }, headers=self._auth())
+        assert status == 400
+        assert "depth_lr_fp" in body["error"]
+
+    def test_valid_token_and_inside_paths_served(
+        self, hardened_server, synthetic_tohr_tiles, tmp_path
+    ):
+        base, _ = hardened_server
+        out_fp = tmp_path / "hardened-ok.tif"
+        status, result = _post(base, {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+            "out": str(out_fp),
+        }, headers=self._auth())
+        assert status == 200, result
+        assert out_fp.exists()
+
+    def test_data_root_must_exist(self, tiny_model_fp, logger):
+        with pytest.raises(NotADirectoryError):
+            TohrService(
+                model_version="ResUNet_16x_DEM",
+                model_fp=tiny_model_fp,
+                data_root="/nonexistent/data/root",
+                logger_=logger,
+            )
