@@ -38,22 +38,40 @@ def _load() -> ctypes.CDLL | None:
         build(verbose=False)
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.fsr_lzw_decode.restype = ctypes.c_longlong
-        lib.fsr_lzw_decode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_longlong,
-            ctypes.c_char_p,
-            ctypes.c_longlong,
-        ]
-        lib.fsr_lzw_encode_bound.restype = ctypes.c_longlong
-        lib.fsr_lzw_encode_bound.argtypes = [ctypes.c_longlong]
-        lib.fsr_lzw_encode.restype = ctypes.c_longlong
-        lib.fsr_lzw_encode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_longlong,
-            ctypes.c_char_p,
-            ctypes.c_longlong,
-        ]
+        c_ll = ctypes.c_longlong
+        c_llp = ctypes.POINTER(ctypes.c_longlong)
+        c_ubp = ctypes.POINTER(ctypes.c_ubyte)
+        lib.fsr_lzw_decode.restype = c_ll
+        lib.fsr_lzw_decode.argtypes = [ctypes.c_char_p, c_ll, ctypes.c_char_p, c_ll]
+        lib.fsr_lzw_encode_bound.restype = c_ll
+        lib.fsr_lzw_encode_bound.argtypes = [c_ll]
+        lib.fsr_lzw_encode.restype = c_ll
+        lib.fsr_lzw_encode.argtypes = [ctypes.c_char_p, c_ll, ctypes.c_char_p, c_ll]
+        # Strip-batch + predictor entry points are absent from pre-round-4
+        # builds; probe so a stale-but-valid library still serves the
+        # one-chunk paths.
+        try:
+            lib.fsr_lzw_decode_strips.restype = c_ll
+            lib.fsr_lzw_decode_strips.argtypes = [
+                ctypes.c_char_p, c_ll, c_llp, c_llp, c_llp, c_ll,
+                c_ll, ctypes.c_int, ctypes.c_int, c_ubp, c_ll,
+            ]
+            lib.fsr_lzw_encode_strips.restype = c_ll
+            lib.fsr_lzw_encode_strips.argtypes = [
+                c_ubp, c_ll, c_ll, c_ll,
+                c_ll, ctypes.c_int, ctypes.c_int, ctypes.c_char_p, c_ll, c_llp,
+            ]
+            for name in ("fsr_predictor2_undo", "fsr_predictor2_apply"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [c_ubp, c_ll, c_ll, ctypes.c_int]
+            for name in ("fsr_predictor3_undo", "fsr_predictor3_apply"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int
+                fn.argtypes = [c_ubp, c_ubp, c_ll, c_ll, ctypes.c_int]
+            lib._fsr_has_strips = True
+        except AttributeError:
+            lib._fsr_has_strips = False
         _lib = lib
     except OSError:
         _load_failed = True
@@ -96,3 +114,133 @@ def lzw_encode(data: bytes) -> bytes:
     if n < 0:
         raise ValueError(f"native LZW encode failed with code {n}")
     return out.raw[:n]
+
+
+def strips_available() -> bool:
+    """Whether the loaded library has the strip-batch + predictor entries."""
+    lib = _load()
+    return lib is not None and getattr(lib, "_fsr_has_strips", False)
+
+
+def lzw_decode_strips(
+    file_bytes,
+    offsets,
+    counts,
+    out_bytes,
+    *,
+    cols: int,
+    itemsize: int,
+    predictor: int,
+    dst,
+) -> None:
+    """Decode a whole striped LZW image into ``dst`` (1-D uint8 view).
+
+    One native call replaces the per-strip Python loop: LZW decode,
+    predictor undo (2/3) and destination assembly all happen in C++.
+    ``dst`` must be a C-contiguous writable uint8 array sized to the sum of
+    ``out_bytes``. Sparse strips (count 0) zero-fill.
+    """
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None and lib._fsr_has_strips, "native strips not available"
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    out_sizes = np.ascontiguousarray(out_bytes, np.int64)
+    c_llp = ctypes.POINTER(ctypes.c_longlong)
+    n = lib.fsr_lzw_decode_strips(
+        file_bytes, len(file_bytes),
+        offsets.ctypes.data_as(c_llp), counts.ctypes.data_as(c_llp),
+        out_sizes.ctypes.data_as(c_llp), len(offsets),
+        cols, itemsize, predictor,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), dst.nbytes,
+    )
+    if n == -2:
+        raise NativeLzwOverflow("native strip decode over/underflowed a strip")
+    if n < 0:
+        raise ValueError(f"native strip decode failed with code {n}")
+    if n != int(out_sizes.sum()):
+        raise ValueError("native strip decode wrote unexpected byte count")
+
+
+def lzw_encode_strips(
+    src,
+    *,
+    strip_bytes: int,
+    n_strips: int,
+    cols: int,
+    itemsize: int,
+    predictor: int,
+) -> tuple[bytes, list[int]]:
+    """Encode a contiguous array as LZW strips in one native call.
+
+    ``src`` is a C-contiguous uint8 view of the sample data (little-endian).
+    Returns the packed strip bytes and per-strip encoded sizes.
+    """
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None and lib._fsr_has_strips, "native strips not available"
+    bound = lib.fsr_lzw_encode_bound(src.nbytes) + 64 * n_strips
+    # np.empty, NOT a ctypes string buffer: zero-filling ~1.5x the input
+    # size per call measurably erased the batch path's win.
+    out = np.empty(bound, np.uint8)
+    sizes = np.zeros(n_strips, np.int64)
+    n = lib.fsr_lzw_encode_strips(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), src.nbytes,
+        strip_bytes, n_strips, cols, itemsize, predictor,
+        out.ctypes.data_as(ctypes.c_char_p), bound,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+    )
+    if n < 0:
+        raise ValueError(f"native strip encode failed with code {n}")
+    return out[:n], [int(v) for v in sizes]
+
+
+def _predictor_rows_args(arr):
+    """(ptr, rows, cols, itemsize) for a 2-D [rows, cols*samples] view."""
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    return ptr, arr.shape[0], arr.shape[1], arr.dtype.itemsize
+
+
+def predictor2_undo(arr) -> None:
+    """In-place horizontal-difference undo on [rows, cols] integer samples."""
+    lib = _load()
+    assert lib is not None and lib._fsr_has_strips
+    rc = lib.fsr_predictor2_undo(*_predictor_rows_args(arr))
+    if rc < 0:
+        raise ValueError(f"native predictor2 undo failed with code {rc}")
+
+
+def predictor2_apply(arr) -> None:
+    lib = _load()
+    assert lib is not None and lib._fsr_has_strips
+    rc = lib.fsr_predictor2_apply(*_predictor_rows_args(arr))
+    if rc < 0:
+        raise ValueError(f"native predictor2 apply failed with code {rc}")
+
+
+def predictor3_undo(src, dst) -> None:
+    """Float predictor undo: plane bytes [rows, cols*itemsize] -> LE samples."""
+    lib = _load()
+    assert lib is not None and lib._fsr_has_strips
+    ptr_in = src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    ptr_out = dst.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    itemsize = dst.dtype.itemsize
+    rows, cols = dst.shape[0], dst.shape[1]
+    rc = lib.fsr_predictor3_undo(ptr_in, ptr_out, rows, cols, itemsize)
+    if rc < 0:
+        raise ValueError(f"native predictor3 undo failed with code {rc}")
+
+
+def predictor3_apply(src, dst) -> None:
+    """Float predictor apply: LE samples [rows, cols] -> plane-diff bytes."""
+    lib = _load()
+    assert lib is not None and lib._fsr_has_strips
+    ptr_in = src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    ptr_out = dst.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    itemsize = src.dtype.itemsize
+    rows, cols = src.shape[0], src.shape[1]
+    rc = lib.fsr_predictor3_apply(ptr_in, ptr_out, rows, cols, itemsize)
+    if rc < 0:
+        raise ValueError(f"native predictor3 apply failed with code {rc}")

@@ -408,6 +408,80 @@ def _decompress_chunk(raw: bytes, compression: int, expected: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression: {compression}")
 
 
+def _strip_batch_native_ok(page: "TiffPage", samples: int) -> bool:
+    """Whether the one-call native strip decode can serve this page.
+
+    Gated to the layout the C++ implements: little-endian striped LZW with
+    predictor 1/2/3 on power-of-two sample widths; predictor 2 with multiple
+    samples per pixel needs per-channel differencing the flat C++ row loop
+    does not do.
+    """
+    return (
+        page.compression == COMPRESSION_LZW
+        and _native.strips_available()
+        and np.dtype(page.dtype).byteorder in ("<", "=", "|")
+        and page.dtype.itemsize in (1, 2, 4, 8)
+        and (
+            page.predictor == 1
+            or (page.predictor == 2 and samples == 1)
+            or (page.predictor == 3 and page.dtype.itemsize in (2, 4, 8))
+        )
+    )
+
+
+def _decode_strips_native(
+    data: bytes, page: "TiffPage", out: np.ndarray, rps: int
+) -> None:
+    """One native call: LZW + predictor + assembly for every strip.
+
+    Replaces the per-strip Python loop on the hot read path (the reference
+    delegates this to GDAL's C++ core; reference
+    ``floodsr/preprocessing.py:247-282``). Falls back to the lenient
+    per-strip path only for the legacy-encoder overflow case.
+    """
+    h, w, s = page.height, page.width, page.samples_per_pixel
+    itemsize = page.dtype.itemsize
+    out_bytes = []
+    row = 0
+    for _ in page.chunk_offsets:
+        nrows = min(rps, h - row)
+        out_bytes.append(nrows * w * s * itemsize)
+        row += nrows
+    if row != h:
+        raise ValueError(f"TIFF strip rows {row} do not cover height {h}")
+    try:
+        _native.lzw_decode_strips(
+            data,
+            page.chunk_offsets,
+            page.chunk_byte_counts,
+            out_bytes,
+            cols=w * s,
+            itemsize=itemsize,
+            predictor=page.predictor,
+            dst=out.reshape(-1).view(np.uint8),
+        )
+    except _native.NativeLzwOverflow:
+        # Legacy pre-fix encoder streams can carry one spurious code before
+        # EOI; re-run those through the lenient per-strip path.
+        row = 0
+        for off, cnt in zip(page.chunk_offsets, page.chunk_byte_counts):
+            nrows = min(rps, h - row)
+            if cnt == 0:
+                out[row : row + nrows] = 0
+            else:
+                expected = nrows * w * s * itemsize
+                decoded = _decompress_chunk(
+                    data[off : off + cnt], page.compression, expected
+                )
+                chunk = np.frombuffer(decoded[:expected], dtype=page.dtype).reshape(
+                    nrows, w, s
+                )
+                out[row : row + nrows] = _apply_predictor_decode(
+                    chunk, page.predictor
+                )
+            row += nrows
+
+
 def decode_tiff(data: bytes) -> tuple[np.ndarray, dict[int, object]]:
     """Decode the first IFD into ``[H, W]`` or ``[H, W, S]`` plus raw tags."""
     if len(data) < 8:
@@ -453,20 +527,27 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict[int, object]]:
             out[y0 : y0 + ny, x0 : x0 + nx] = chunk[:ny, :nx]
     else:
         rps = page.rows_per_strip or h
-        row = 0
-        for off, cnt in zip(page.chunk_offsets, page.chunk_byte_counts):
-            nrows = min(rps, h - row)
-            if cnt == 0:
-                out[row : row + nrows] = 0  # sparse strip: no data → zeros
+        if _strip_batch_native_ok(page, s):
+            _decode_strips_native(data, page, out, rps)
+        else:
+            row = 0
+            for off, cnt in zip(page.chunk_offsets, page.chunk_byte_counts):
+                nrows = min(rps, h - row)
+                if cnt == 0:
+                    out[row : row + nrows] = 0  # sparse strip: no data → zeros
+                    row += nrows
+                    continue
+                expected = nrows * w * s * itemsize
+                decoded = _decompress_chunk(
+                    data[off : off + cnt], page.compression, expected
+                )
+                chunk = np.frombuffer(decoded[:expected], dtype=page.dtype).reshape(
+                    nrows, w, s
+                )
+                out[row : row + nrows] = _apply_predictor_decode(chunk, page.predictor)
                 row += nrows
-                continue
-            expected = nrows * w * s * itemsize
-            decoded = _decompress_chunk(data[off : off + cnt], page.compression, expected)
-            chunk = np.frombuffer(decoded[:expected], dtype=page.dtype).reshape(nrows, w, s)
-            out[row : row + nrows] = _apply_predictor_decode(chunk, page.predictor)
-            row += nrows
-        if row != h:
-            raise ValueError(f"TIFF strip rows {row} do not cover height {h}")
+            if row != h:
+                raise ValueError(f"TIFF strip rows {row} do not cover height {h}")
 
     if s == 1:
         out = out[:, :, 0]
@@ -784,6 +865,56 @@ class StripStreamWriter:
         else:
             self._handle.write(struct.pack("<2sHI", b"II", 42, 0))
 
+    def _flush_strips_native(self, flush_all: bool) -> bool:
+        """Batch-encode every flushable strip in ONE native call.
+
+        Predictor + LZW + per-strip packing all happen in C++; Python only
+        records offsets and writes the packed bytes (byte-identical file to
+        the per-strip path — same deterministic per-strip streams, same
+        odd-length pad bytes). Returns False when the layout is not native-
+        eligible and the caller should use the per-strip path.
+        """
+        if not (
+            self._compression == COMPRESSION_LZW
+            and _native.strips_available()
+            and self._dtype.itemsize in (1, 2, 4, 8)
+            and (
+                self._predictor == 1
+                or (self._predictor == 2 and self._dtype.kind in "ui")
+                or (
+                    self._predictor == 3
+                    and self._dtype.kind == "f"
+                    and self._dtype.itemsize in (2, 4, 8)
+                )
+            )
+        ):
+            return False
+        n_rows = self._pending.shape[0]
+        n_full = n_rows // self._rps
+        rows_take = n_rows if flush_all else n_full * self._rps
+        if rows_take == 0:
+            return True
+        n_strips = -(-rows_take // self._rps)
+        src = np.ascontiguousarray(self._pending[:rows_take])
+        self._pending = self._pending[rows_take:]
+        blob, counts = _native.lzw_encode_strips(
+            src.reshape(-1).view(np.uint8),
+            strip_bytes=self._rps * self._width * self._dtype.itemsize,
+            n_strips=n_strips,
+            cols=self._width,
+            itemsize=self._dtype.itemsize,
+            predictor=self._predictor,
+        )
+        pos = 0
+        for cnt in counts:
+            self._offsets.append(self._handle.tell())
+            self._counts.append(cnt)
+            self._handle.write(blob[pos : pos + cnt])
+            if cnt % 2:
+                self._handle.write(b"\0")
+            pos += cnt
+        return True
+
     def write_rows(self, band: np.ndarray) -> None:
         band = np.ascontiguousarray(band, self._dtype)
         assert band.ndim == 2 and band.shape[1] == self._width, band.shape
@@ -793,6 +924,8 @@ class StripStreamWriter:
         self._rows_done += band.shape[0]
         assert self._rows_done <= self._height, "more rows than declared height"
         flush_all = self._rows_done == self._height
+        if self._flush_strips_native(flush_all):
+            return
         while self._pending.shape[0] >= self._rps or (
             flush_all and self._pending.shape[0] > 0
         ):

@@ -1,5 +1,6 @@
 """Raster I/O: affine math, TIFF codec, GeoTIFF profiles, native fast path."""
 
+import contextlib
 import io as _io
 
 import numpy as np
@@ -20,6 +21,10 @@ from floodsr_tpu.io import native
 from floodsr_tpu.io.affine import round_window, window_from_bounds, window_transform
 from floodsr_tpu.io.geotiff import pixel_size, raster_bounds
 from floodsr_tpu.io.tiff import (
+    StripStreamWriter,
+    TAG_STRIP_BYTE_COUNTS,
+    _apply_predictor_encode,
+    _read_ifd,
     decode_tiff,
     encode_tiff,
     lzw_decode,
@@ -1128,3 +1133,137 @@ class TestLzwEndgameEarlyChange:
                 native.lzw_decode(legacy, len(data))
             except ValueError:
                 pass
+
+
+class TestNativeStripBatch:
+    """Round-4 native fast paths: strip-batch codec + predictor transforms.
+
+    The C++ batch entry points (``fsr_lzw_{encode,decode}_strips``,
+    ``fsr_predictor{2,3}_{undo,apply}``) fold the per-strip Python loop into
+    one call — the reference delegates this work to GDAL's C++ core
+    (reference ``floodsr/preprocessing.py:247-282``). Every test pins the
+    native result against the pure-Python behavioral twin.
+    """
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        if not (native.available() and native.strips_available()):
+            pytest.skip("native strip codec unavailable")
+
+    def _force_python(self):
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            orig = native._lib._fsr_has_strips
+            native._lib._fsr_has_strips = False
+            try:
+                yield
+            finally:
+                native._lib._fsr_has_strips = orig
+
+        return ctx()
+
+    def test_run_fast_path_stream_identical_to_python_twin(self):
+        # Run-heavy payloads drive the encoder's byte-run fast path through
+        # chain growth, table resets mid-run, tails, and EOF-in-run.
+        rng = np.random.default_rng(11)
+        noise = rng.integers(0, 256, 6000).astype(np.uint8).tobytes()
+        payloads = [
+            b"\x00" * 9000,
+            bytes([5]) * 3 + noise[:100] + bytes([5]) * 5000,
+            noise + b"\x00" * 8000 + noise[:500] + b"\xff" * 3000,
+            (np.clip(rng.gamma(0.6, 0.8, (16, 512)), 0, 5)
+             * (rng.random((16, 512)) > 0.6)).astype(np.float32).tobytes(),
+            b"\x00" * 7,   # run shorter than a cycle
+            b"A" * 2,      # below the fast-path trigger
+        ]
+        for data in payloads:
+            enc = native.lzw_encode(data)
+            assert enc == lzw_encode(data)  # byte-identical stream
+            assert native.lzw_decode(enc, len(data)) == data
+
+    def test_stream_writer_batch_file_bytes_identical(self, tmp_path):
+        rng = np.random.default_rng(7)
+        for arr, pred in [
+            ((rng.gamma(0.5, 1, (300, 257)) * (rng.random((300, 257)) > 0.5))
+             .astype(np.float32), None),
+            (rng.integers(0, 50000, (300, 257)).astype(np.uint16), 2),
+            (np.cumsum(rng.normal(0, 0.01, (300, 257)), axis=1)
+             .astype(np.float32), 3),
+        ]:
+            fa, fb = tmp_path / "a.tif", tmp_path / "b.tif"
+            for fp, force in ((fa, False), (fb, True)):
+                ctx = self._force_python() if force else contextlib.nullcontext()
+                with ctx:
+                    w = StripStreamWriter(
+                        fp, arr.shape[0], arr.shape[1], arr.dtype, predictor=pred
+                    )
+                    w.write_rows(arr[:111])   # uneven bands: pending carry
+                    w.write_rows(arr[111:118])
+                    w.write_rows(arr[118:])
+                    w.close()
+            assert fa.read_bytes() == fb.read_bytes()
+            dec, _ = decode_tiff(fa.read_bytes())
+            np.testing.assert_array_equal(dec, arr)
+
+    def test_decode_strips_matches_python_loop(self):
+        rng = np.random.default_rng(5)
+        for arr, pred in [
+            (rng.normal(0, 1, (123, 77)).astype(np.float32), None),
+            (rng.integers(0, 60000, (123, 77)).astype(np.uint16), 2),
+            (np.cumsum(rng.normal(0, 0.01, (123, 77)), axis=0)
+             .astype(np.float32), 3),
+        ]:
+            blob = encode_tiff(arr, predictor=pred)
+            got_native, _ = decode_tiff(blob)
+            with self._force_python():
+                got_py, _ = decode_tiff(blob)
+            np.testing.assert_array_equal(got_native, got_py)
+            np.testing.assert_array_equal(got_native, arr)
+
+    def test_decode_strips_sparse_zero_count(self):
+        # A zero byte count marks a sparse strip (GDAL SPARSE_OK): the
+        # native batch path must zero-fill it, same as the Python loop.
+        arr = np.ones((64, 32), np.float32)
+        blob = bytearray(encode_tiff(arr, rows_per_strip=16))
+        page = _read_ifd(bytes(blob), "II")
+        assert len(page.chunk_offsets) == 4
+        # zero out the second strip's byte count in the IFD
+        import struct as _struct
+        (ifd_off,) = _struct.unpack_from("<I", blob, 4)
+        (n_entries,) = _struct.unpack_from("<H", blob, ifd_off)
+        for k in range(n_entries):
+            pos = ifd_off + 2 + 12 * k
+            tag, ftype, count = _struct.unpack_from("<HHI", blob, pos)
+            if tag == TAG_STRIP_BYTE_COUNTS:
+                (arr_off,) = _struct.unpack_from("<I", blob, pos + 8)
+                _struct.pack_into("<I", blob, arr_off + 4, 0)
+        got, _ = decode_tiff(bytes(blob))
+        expected = arr.copy()
+        expected[16:32] = 0.0
+        np.testing.assert_array_equal(got, expected)
+
+    def test_native_predictor_twins(self):
+        rng = np.random.default_rng(9)
+        # predictor 2 (integers): apply+undo against the numpy twins
+        for dt in (np.uint8, np.uint16, np.uint32):
+            a = rng.integers(0, np.iinfo(dt).max, (40, 33)).astype(dt)
+            buf = a.copy()
+            native.predictor2_apply(buf)
+            expected = _apply_predictor_encode(a[:, :, None], 2)[:, :, 0]
+            np.testing.assert_array_equal(buf, expected)
+            native.predictor2_undo(buf)
+            np.testing.assert_array_equal(buf, a)
+        # predictor 3 (floats): plane-split bytes against the numpy twin
+        for dt in (np.float32, np.float64):
+            a = rng.normal(0, 1, (17, 29)).astype(dt)
+            planes = np.empty(
+                (a.shape[0], a.shape[1] * a.dtype.itemsize), np.uint8
+            )
+            native.predictor3_apply(np.ascontiguousarray(a), planes)
+            expected = _apply_predictor_encode(a[:, :, None], 3)
+            np.testing.assert_array_equal(planes, expected)
+            back = np.empty_like(a)
+            native.predictor3_undo(np.ascontiguousarray(planes), back)
+            np.testing.assert_array_equal(back, a)
