@@ -108,10 +108,22 @@ def _make_scene(root: Path) -> dict[str, Path]:
 
 
 def _make_model(root: Path) -> Path:
+    """The committed TRAINED flagship (f=32, 32→512) — the artifact users run.
+
+    The reference's only e2e figure was measured with its released trained
+    ONNX; benching a random-init model would also skew the host codec stage
+    (untrained outputs are incompressible noise; trained outputs carry the
+    dry-region zero runs real flood rasters have). Falls back to a seeded
+    random init if the artifact is ever absent.
+    """
+    flagship = REPO / "tests/data/_artifacts/model_infer_flagship.fsrz"
+    if flagship.exists():
+        return flagship
+
     from floodsr_tpu.nn import ResUNetConfig, init_resunet
     from floodsr_tpu.nn.checkpoint import save_artifact
 
-    cfg = ResUNetConfig()  # flagship: f=32, 32→512 tiles
+    cfg = ResUNetConfig()  # flagship shape: f=32, 32→512 tiles
     params, state = init_resunet(20260816, cfg)
     fp = root / "model_infer.fsrz"
     save_artifact(fp, cfg, params, state, {"seed": 20260816, "purpose": "bench"})

@@ -596,3 +596,55 @@ class TestArtifactDeterminism:
         assert art["config"] == cfg
         for got, want in zip(jax.tree.leaves(art["params"]), jax.tree.leaves(params)):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestDevicePostprocess:
+    """Device-side crop→dequant→resample→clip→mask→requant (round 4).
+
+    The host streaming resample (ops.resample.StreamingSeparableResampler)
+    is the behavioral twin; both paths share the _axis_interp_indices plan,
+    so values agree to f32 lerp rounding plus one uint16 quantization
+    round-trip (max_depth/65535 ≈ 7.6e-5 m steps).
+    """
+
+    def _run(self, tiny_artifact, monkeypatch, enabled, transfer="float32"):
+        monkeypatch.setenv("FLOODSR_DEVICE_POSTPROC", "1" if enabled else "0")
+        from floodsr_tpu.io.affine import from_origin
+
+        rng = np.random.default_rng(21)
+        depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
+        dem = rng.uniform(300, 800, (64, 64)).astype(np.float32)
+        # model space 64x64 @1.875 m -> raw grid 60x60 @2.0 m (bench shape)
+        src_t = from_origin(0.0, 120.0, 1.875, 1.875)
+        dst_t = from_origin(0.0, 120.0, 2.0, 2.0)
+        eng = EngineJAX(tiny_artifact, max_batch=4, output_transfer=transfer)
+        out, _ = eng.run_scene(
+            depth, dem, stride_hr=24, overlap_hr=8,
+            max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, 64),
+            post_resample=((60, 60), src_t, dst_t),
+        )
+        eng.close()
+        return out
+
+    def test_device_postproc_matches_host_resampler_f32(
+        self, tiny_artifact, monkeypatch
+    ):
+        dev = self._run(tiny_artifact, monkeypatch, enabled=True)
+        host = self._run(tiny_artifact, monkeypatch, enabled=False)
+        assert dev.shape == host.shape == (60, 60)
+        np.testing.assert_allclose(dev, host, atol=1e-5, rtol=0)
+
+    def test_device_postproc_matches_host_resampler_uint16(
+        self, tiny_artifact, monkeypatch
+    ):
+        dev = self._run(tiny_artifact, monkeypatch, enabled=True, transfer="uint16")
+        host = self._run(tiny_artifact, monkeypatch, enabled=False, transfer="uint16")
+        # one extra quantization round-trip on the device path
+        np.testing.assert_allclose(dev, host, atol=2 * 5.0 / 65535.0, rtol=0)
+
+    def test_device_postproc_applies_low_depth_mask(
+        self, tiny_artifact, monkeypatch
+    ):
+        out = self._run(tiny_artifact, monkeypatch, enabled=True)
+        tiny = (out > 0) & (out < 1e-3)
+        assert not tiny.any()  # sub-threshold depths were zeroed on device

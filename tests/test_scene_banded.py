@@ -230,3 +230,87 @@ class TestBandedWarmup:
         )
         assert out.shape == crop
         eng.close()
+
+
+class TestWideSceneGuard:
+    def test_scene_too_wide_to_band_raises_with_hbm_math(self, tmp_path):
+        """Row banding on a wide, short scene must fail loudly, not silently
+        pad >=2x the content rows with dummy compute (VERDICT r3 weak #3)."""
+        from floodsr_tpu.engine import EngineJAX
+        from floodsr_tpu.nn.checkpoint import save_artifact
+
+        params, state = init_resunet(3, CFG)
+        fp = tmp_path / "tiny.fsrz"
+        save_artifact(fp, CFG, params, state, {"purpose": "wide-scene test"})
+        mesh = make_mesh(8, tp=1)
+        eng = EngineJAX(fp, max_batch=2, mesh=mesh, scene_mode="banded")
+        rng = np.random.default_rng(0)
+        h, w = CFG.hr_tile, CFG.hr_tile * 24  # 1 tile row, 24 tile cols
+        with pytest.raises(ValueError, match="too wide to band"):
+            eng.run_scene(
+                rng.uniform(0, 3, (h // CFG.scale, w // CFG.scale)).astype(np.float32),
+                rng.uniform(300, 800, (h, w)).astype(np.float32),
+                stride_hr=STRIDE, overlap_hr=OVERLAP,
+                max_depth=MAX_DEPTH, dem_pct_clip=PCT, crop_shape=(h, w),
+            )
+        eng.close()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("os").environ.get("FLOODSR_RUN_SLOW") != "1",
+    reason="set FLOODSR_RUN_SLOW=1: flagship-geometry banded equality "
+    "(minutes of CPU compile + compute)",
+)
+class TestFlagshipScaleBanded:
+    """Banded ≡ unsharded at REAL flagship geometry (VERDICT r3 next #2).
+
+    3840^2-class scene with the production 32→512 tile (scale 16, feather
+    overlap 128) on the virtual 8-device mesh — the band-capacity formula
+    and stats-slot reassembly only see these numbers at this scale. The
+    model is flagship-SHAPED but thin (f=8) so the equality check bounds on
+    geometry code, not conv throughput.
+    """
+
+    def test_banded_matches_unsharded_at_flagship_geometry(self, tmp_path):
+        from floodsr_tpu.engine import EngineJAX
+        from floodsr_tpu.nn.checkpoint import save_artifact
+
+        cfg = ResUNetConfig(
+            base_filters=8, levels=2, enc_blocks=1, dec_blocks=1,
+            fuse_filters=8, fuse_blocks=1, scale=16, lr_tile=32,
+        )
+        assert cfg.hr_tile == 512  # the production tile
+        params, state = init_resunet(11, cfg)
+        fp = tmp_path / "flagship_shaped.fsrz"
+        save_artifact(fp, cfg, params, state, {"purpose": "flagship-scale test"})
+
+        rng = np.random.default_rng(12)
+        crop = (3840, 3840)
+        depth = (
+            rng.gamma(0.6, 0.8, (crop[0] // 16, crop[1] // 16))
+            * (rng.random((crop[0] // 16, crop[1] // 16)) > 0.4)
+        ).clip(0, 5).astype(np.float32)
+        dem = (300 + rng.normal(0, 20, crop)).astype(np.float32)
+        overlap = 128            # worker default: lr_tile//4 * scale
+        stride = 512 - overlap   # feather stride, 121-window grid
+
+        def run(mesh, scene_mode):
+            eng = EngineJAX(
+                fp, max_batch=2, mesh=mesh, scene_mode=scene_mode,
+                output_transfer="float32",
+            )
+            out, stats = eng.run_scene(
+                depth, dem, stride_hr=stride, overlap_hr=overlap,
+                max_depth=5.0, dem_pct_clip=95.0, crop_shape=crop,
+            )
+            eng.close()
+            return out, stats
+
+        banded, stats_b = run(make_mesh(8, tp=1), "banded")
+        plain, stats_p = run(None, "replicated")
+        assert banded.shape == plain.shape == crop
+        np.testing.assert_allclose(banded, plain, atol=1e-4, rtol=0)
+        # Stats-slot reassembly: per-tile stats must land in grid order.
+        for k in stats_p:
+            np.testing.assert_allclose(stats_b[k], stats_p[k], atol=1e-4, rtol=0)
