@@ -72,21 +72,20 @@ CRS = "EPSG:32633"
 def _make_scene(root: Path) -> dict[str, Path]:
     from floodsr_tpu.io import from_origin, write_raster
 
-    rng = np.random.default_rng(20260816)
+    from floodsr_tpu.train.synth import box_mean, make_terrain, make_truth
+
     x0, y0 = 500000.0, 4000000.0
 
-    depth_lr = np.clip(
-        rng.gamma(0.6, 0.8, LR_SHAPE) * (rng.random(LR_SHAPE) > 0.4), 0, 5
-    ).astype(np.float32)
-    # Correlated synthetic terrain: smooth ramps + noise.
-    yy = np.linspace(0, 60, HR_SHAPE[0], dtype=np.float32)[:, None]
-    xx = np.linspace(0, 45, HR_SHAPE[1], dtype=np.float32)[None, :]
-    dem = (
-        300.0
-        + yy
-        + xx
-        + np.cumsum(rng.normal(0, 0.08, HR_SHAPE).astype(np.float32), axis=1)
-    )
+    # Draw the scene from the flagship's own training family (terrain with
+    # a carved channel, tilted water surface): the benched model is the
+    # committed TRAINED artifact, so the scene must be in-distribution —
+    # an arbitrary noise field would make the SR output meaningless AND
+    # unrepresentative for the host codec stage (real flood rasters are
+    # mostly dry; pure noise is incompressible). Held-out seed: not among
+    # the training seeds (0..n_scenes) of bin/train_flagship.py --full.
+    dem = make_terrain(HR_SHAPE, seed=20260816).astype(np.float32)
+    truth = make_truth(dem, seed=20260816)
+    depth_lr = box_mean(truth, HR_SHAPE[0] // LR_SHAPE[0])  # 15x: 30 m obs
 
     def profile(arr, res, top):
         return {

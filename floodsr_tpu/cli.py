@@ -128,6 +128,7 @@ _MACHINE_SCHEMA: dict[str, tuple[str, bool]] = {
     "dem": ("--dem", False),
     "fetch_hrdem": ("--fetch-hrdem", True),
     "fetch_out": ("--fetch-out", False),
+    "fetch_res": ("--fetch-res", False),
     "out": ("--out", False),
     "model_version": ("--model-version", False),
     "model_path": ("--model-path", False),
@@ -244,6 +245,11 @@ def _cmd_models_fetch(args: argparse.Namespace) -> int:
 def _cmd_tohr(args: argparse.Namespace) -> int:
     if args.fetch_out is not None and not args.fetch_hrdem:
         raise ValueError("--fetch-out requires --fetch-hrdem")
+    if args.fetch_res is not None:
+        if not args.fetch_hrdem:
+            raise ValueError("--fetch-res requires --fetch-hrdem")
+        if args.fetch_res <= 0:
+            raise ValueError(f"--fetch-res must be positive, got {args.fetch_res}")
 
     # Layered defaults (ADR-0011 pattern): CLI > env > user config file.
     from floodsr_tpu.config import load_config
@@ -287,6 +293,7 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
             depth_lr_fp=in_fp,
             output_fp=args.fetch_out,
             logger=log,
+            target_res=args.fetch_res,
         ).dem_fp
 
     def resolve_buildings(in_fp: Path):
@@ -556,6 +563,15 @@ def _build_tohr_parser(subparsers) -> None:
     p.add_argument(
         "--fetch-out", type=Path, default=None,
         help="Where to keep a fetched DEM (default: session temp dir).",
+    )
+    p.add_argument(
+        "--fetch-res", type=float, default=None, metavar="METERS",
+        help=(
+            "Coarsest acceptable fetched-DEM resolution (asset-CRS units). "
+            "Coarser targets are served from the asset's COG overview "
+            "levels, cutting remote bytes by roughly the squared "
+            "decimation. Default: the asset's native resolution."
+        ),
     )
     p.add_argument(
         "--out", type=Path, default=None,

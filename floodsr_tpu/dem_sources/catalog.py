@@ -46,8 +46,14 @@ def fetch_dem(
     depth_lr_fp: str | Path,
     output_fp: str | Path | None = None,
     logger: logging.Logger | None = None,
+    target_res: float | None = None,
 ) -> DemFetchResult:
-    """Resolve a DEM covering ``depth_lr_fp``'s footprint via one provider."""
+    """Resolve a DEM covering ``depth_lr_fp``'s footprint via one provider.
+
+    ``target_res``: coarsest acceptable DEM resolution (asset-CRS units);
+    providers with overview-capable assets serve coarse targets from
+    reduced-resolution levels, cutting remote bytes.
+    """
     key = str(source_id).strip().lower()
     assert key in _PROVIDERS, (
         f"unsupported DEM source_id='{source_id}' (known: {list_dem_sources()})"
@@ -55,4 +61,9 @@ def fetch_dem(
     log = logger if logger is not None else logging.getLogger(__name__)
     log.debug("DEM fetch via provider %r", key)
     provider = _PROVIDERS[key]()
-    return provider(depth_lr_fp=depth_lr_fp, output_fp=output_fp, logger=log)
+    kwargs = {}
+    if target_res is not None:
+        kwargs["target_res"] = float(target_res)
+    return provider(
+        depth_lr_fp=depth_lr_fp, output_fp=output_fp, logger=log, **kwargs
+    )

@@ -81,7 +81,10 @@ class _Footprint:
     nodata: float | None
     bbox_4326: tuple[float, float, float, float]
 
-    def cache_key(self, stac_url: str, collection: str, asset_key: str) -> str:
+    def cache_key(
+        self, stac_url: str, collection: str, asset_key: str,
+        target_res: float | None = None,
+    ) -> str:
         crs_text = self.crs.to_string() if self.crs is not None else "unknown"
         stamp = "|".join(
             (
@@ -90,6 +93,9 @@ class _Footprint:
                 stac_url,
                 collection,
                 asset_key,
+                # overview-served fetches land on a coarser grid — a
+                # different artifact, never a cache alias of the native one
+                "" if target_res is None else f"res={float(target_res):.6f}",
             )
         )
         return hashlib.sha256(stamp.encode("utf-8")).hexdigest()[:24]
@@ -168,15 +174,20 @@ def _open_asset_window(
     bounds: tuple[float, float, float, float] | None,
     logger: logging.Logger | None = None,
     expect_crs: str | None = None,
+    target_res: float | None = None,
 ) -> tuple[np.ndarray, float | None, dict] | None:
     """Read the part of an asset intersecting ``bounds`` (asset-CRS coords).
 
     Remote hrefs are served by HTTP ``Range`` requests through the transport
     hook — only the header/IFD plus the tiles/strips under the footprint are
     transferred, never the whole asset (reference behavior via GDAL:
-    ``/root/reference/floodsr/dem_sources/hrdem_stac.py:117-219``). Returns
-    ``(array, nodata, windowed profile)`` or ``None`` when the asset does
-    not overlap ``bounds``.
+    ``/root/reference/floodsr/dem_sources/hrdem_stac.py:117-219``). When
+    ``target_res`` is coarser than the asset's native resolution and the
+    asset carries internal overviews (COG), the window is served from the
+    coarsest overview still at least as fine as the target — GDAL's
+    overview rule — cutting the fetched bytes by roughly the squared
+    decimation. Returns ``(array, nodata, windowed profile)`` or ``None``
+    when the asset does not overlap ``bounds``.
     """
     from floodsr_tpu.io.affine import Affine
     from floodsr_tpu.io.geotiff import open_raster_window_reader
@@ -210,11 +221,25 @@ def _open_asset_window(
     row1 = min(profile["height"], math.ceil(rows[1]) + 2)
     if col1 <= col0 or row1 <= row0:
         return None
-    arr = reader.read_window(row0, col0, row1 - row0, col1 - col0)
+    dec_y = dec_x = 1.0
+    if target_res is not None and target_res > 0:
+        native_res = min(abs(float(t.a)), abs(float(t.e)))
+        max_dec = float(target_res) / native_res if native_res > 0 else 1.0
+        if max_dec > 1.0:
+            arr, (dec_y, dec_x), (pr0, pc0) = reader.read_window_decimated(
+                row0, col0, row1 - row0, col1 - col0, max_decimation=max_dec
+            )
+            row0, col0 = pr0 * dec_y, pc0 * dec_x  # back to full-res coords
+        else:
+            arr = reader.read_window(row0, col0, row1 - row0, col1 - col0)
+    else:
+        arr = reader.read_window(row0, col0, row1 - row0, col1 - col0)
     x0, y0 = t * (float(col0), float(row0))
     win_profile = dict(profile)
     win_profile["height"], win_profile["width"] = arr.shape[0], arr.shape[1]
-    win_profile["transform"] = Affine(t.a, t.b, x0, t.d, t.e, y0)
+    win_profile["transform"] = Affine(
+        t.a * dec_x, t.b, x0, t.d, t.e * dec_y, y0
+    )
     if logger is not None:
         logger.debug(
             "asset window %sx%s of %sx%s (%d bytes in %d range request(s)): %s",
@@ -230,11 +255,15 @@ def write_dem_from_asset_hrefs(
     output_fp: str | Path,
     *,
     logger: logging.Logger | None = None,
+    target_res: float | None = None,
 ) -> Path:
     """Warp + merge assets onto the depth footprint and write the DEM GeoTIFF.
 
     The output grid spans the depth bounds in the depth CRS at the first
-    asset's native resolution. Later assets only fill pixels still invalid
+    asset's SERVED resolution — its native grid, or, when ``target_res`` is
+    coarser and the asset carries COG overviews, the coarsest overview still
+    at least as fine as ``target_res`` (remote bytes then drop by roughly
+    the squared decimation). Later assets only fill pixels still invalid
     (first-valid-wins merge, matching the reference). Cross-CRS assets are
     rejected — the HRDEM mosaic serves per-CRS assets, and the offline warp
     does not chain CRS transforms.
@@ -248,7 +277,9 @@ def write_dem_from_asset_hrefs(
     out_path = Path(output_fp).expanduser().resolve()
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
-    lead = _open_asset_window(asset_hrefs[0], fp.bounds, log, expect_crs=fp.crs)
+    lead = _open_asset_window(
+        asset_hrefs[0], fp.bounds, log, expect_crs=fp.crs, target_res=target_res
+    )
     assert lead is not None, (
         f"lead asset does not overlap depth bounds {fp.bounds}: {asset_hrefs[0]}"
     )
@@ -270,7 +301,7 @@ def write_dem_from_asset_hrefs(
     pending = [(lead_arr, lead_nodata, lead_profile)] + [None] * (len(asset_hrefs) - 1)
     for i, href in enumerate(asset_hrefs):
         opened = pending[i] or _open_asset_window(
-            href, fp.bounds, log, expect_crs=fp.crs
+            href, fp.bounds, log, expect_crs=fp.crs, target_res=target_res
         )
         if opened is None:
             log.debug("asset outside depth bounds, skipped: %s", href)
@@ -338,8 +369,16 @@ def fetch_hrdem_for_lowres_tile(
     stac_url: str = STAC_URL,
     collection: str = COLLECTION,
     asset_key: str = DEFAULT_ASSET,
+    target_res: float | None = None,
 ) -> DemFetchResult:
-    """Resolve one HRDEM tile aligned to a depth raster footprint."""
+    """Resolve one HRDEM tile aligned to a depth raster footprint.
+
+    ``target_res``: coarsest acceptable DEM resolution (same units as the
+    asset CRS). When coarser than the asset's native grid and the asset has
+    COG overviews, reads are served from the matching overview level —
+    GDAL's behavior in the reference fetcher
+    (``/root/reference/floodsr/dem_sources/hrdem_stac.py:117-219``).
+    """
     log = logger or logging.getLogger(__name__)
     fp = _footprint_of(depth_lr_fp)
     log.info(
@@ -347,7 +386,7 @@ def fetch_hrdem_for_lowres_tile(
         SOURCE_ID, stac_url, collection, asset_key, fp.path,
     )
 
-    key = fp.cache_key(stac_url, collection, asset_key)
+    key = fp.cache_key(stac_url, collection, asset_key, target_res)
     memoized = _SESSION_FETCH_CACHE.get(key)
     if memoized is not None and memoized.exists():
         log.debug("HRDEM session memo hit (%s)", key)
@@ -374,7 +413,8 @@ def fetch_hrdem_for_lowres_tile(
         else Path(output_fp).expanduser().resolve()
     )
     written = write_dem_from_asset_hrefs(
-        depth_lr_fp=fp.path, asset_hrefs=hrefs, output_fp=target, logger=log
+        depth_lr_fp=fp.path, asset_hrefs=hrefs, output_fp=target, logger=log,
+        target_res=target_res,
     )
     _SESSION_FETCH_CACHE[key] = written
     return DemFetchResult(

@@ -19,6 +19,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -113,17 +114,20 @@ long long lzw_encode_one(const unsigned char* src, long long src_len,
   } else {
     long long i = 1;
     int w = src[0];
+    bool check_run = true;  // w is a fresh literal: a run may start here
     while (i < src_len) {
       const int c = src[i];
 
       // ---- byte-run fast path -------------------------------------------
-      // State "w is the literal c" (codes >= 256 can never equal a byte):
+      // State "w is the literal c" (codes >= 256 can never equal a byte;
+      // w is a literal ONLY at start / after a miss / after a fast-path
+      // exit — check_run tracks that, keeping this test off the hit path):
       // greedy LZW on a run of T c's (T includes the byte held in w)
       // emits Z_m, Z_{m+1}, ... where Z_j is the code of j consecutive
       // c's, retiring m bytes and growing the chain by one per cycle.
       // Only full cycles run here; the partial tail (< current m bytes)
       // falls through to the generic loop, whose table hits walk it.
-      if (w == c && i + 1 < src_len && src[i + 1] == c) {
+      if (check_run && w == c && i + 1 < src_len && src[i + 1] == c) {
         long long j = i;
         const uint64_t pat = 0x0101010101010101ull * static_cast<unsigned char>(c);
         while (j + 8 <= src_len) {
@@ -167,6 +171,7 @@ long long lzw_encode_one(const unsigned char* src, long long src_len,
         // remain unread; one of the T is held in w).
         i = run_end - (T - 1);
         w = c;
+        check_run = false;  // tail bytes are known hits; skip the rescan
         if (i >= src_len) break;
         continue;  // tail (< m run bytes) + following byte: generic path
       }
@@ -178,6 +183,7 @@ long long lzw_encode_one(const unsigned char* src, long long src_len,
       uint32_t e = slot[h];
       if (__builtin_expect((e >> 12) == key, 1) && (e & 0xFFFu)) {
         w = static_cast<int>(e & 0xFFFu);
+        check_run = false;
         ++i;
         continue;
       }
@@ -186,6 +192,7 @@ long long lzw_encode_one(const unsigned char* src, long long src_len,
         e = slot[h];
         if ((e >> 12) == key && (e & 0xFFFu)) {
           w = static_cast<int>(e & 0xFFFu);
+          check_run = false;
           goto matched;
         }
       }
@@ -207,6 +214,7 @@ long long lzw_encode_one(const unsigned char* src, long long src_len,
         width = 9;
       }
       w = c;
+      check_run = true;  // fresh literal: the next bytes may open a run
     matched:
       ++i;
     }
@@ -515,92 +523,174 @@ int fsr_predictor3_apply(const unsigned char* src, unsigned char* dst,
 //
 // Returns total bytes written, or <0: -1 corrupt, -2 overflow/short decode,
 // -3 bad arguments, -4 strip range outside the file buffer.
+static long long decode_one_strip(
+    const unsigned char* file, long long file_len, long long offset,
+    long long count, long long want, long long cols, int itemsize,
+    int predictor, unsigned char* dst) {
+  const long long row_bytes = cols * itemsize;
+  const long long rows = want / row_bytes;
+  if (count == 0) {  // sparse strip
+    std::memset(dst, 0, static_cast<size_t>(want));
+    return want;
+  }
+  if (offset < 0 || count < 0 || offset + count > file_len) return -4;
+  if (predictor == 3) {
+    // Decode planes into scratch, un-predict into dst.
+    g_scratch.resize(static_cast<size_t>(want) + row_bytes);
+    long long got = lzw_decode_one(file + offset, count, g_scratch.data(),
+                                   want);
+    if (got < 0) return got;
+    if (got < want) return -2;
+    const int rc = predictor3_undo_rows(g_scratch.data(), dst, rows, cols,
+                                        itemsize, g_scratch.data() + want);
+    if (rc < 0) return rc;
+  } else {
+    long long got = lzw_decode_one(file + offset, count, dst, want);
+    if (got < 0) return got;
+    if (got < want) return -2;
+    if (predictor == 2) {
+      const int rc = predictor2_undo_rows(dst, rows, cols, itemsize);
+      if (rc < 0) return rc;
+    } else if (predictor != 1) {
+      return -3;
+    }
+  }
+  return want;
+}
+
 long long fsr_lzw_decode_strips(
     const unsigned char* file, long long file_len, const long long* offsets,
     const long long* counts, const long long* out_bytes, long long n_strips,
     long long cols, int itemsize, int predictor, unsigned char* dst,
-    long long dst_cap) {
+    long long dst_cap, int n_threads) {
   if (cols <= 0 || itemsize <= 0) return -3;
   const long long row_bytes = cols * itemsize;
-  long long pos = 0;
+  // Destination offsets: strips land back to back.
+  std::vector<long long> dst_off(static_cast<size_t>(n_strips) + 1, 0);
   for (long long s = 0; s < n_strips; ++s) {
     const long long want = out_bytes[s];
-    if (want < 0 || pos + want > dst_cap) return -2;
-    if (want % row_bytes != 0) return -3;
-    const long long rows = want / row_bytes;
-    if (counts[s] == 0) {  // sparse strip
-      std::memset(dst + pos, 0, static_cast<size_t>(want));
-      pos += want;
-      continue;
-    }
-    if (offsets[s] < 0 || counts[s] < 0 || offsets[s] + counts[s] > file_len)
-      return -4;
-    if (predictor == 3) {
-      // Decode planes into scratch, un-predict into dst.
-      g_scratch.resize(static_cast<size_t>(want) + row_bytes);
-      long long got = lzw_decode_one(file + offsets[s], counts[s],
-                                     g_scratch.data(), want);
-      if (got < 0) return got;
-      if (got < want) return -2;
-      const int rc = predictor3_undo_rows(
-          g_scratch.data(), dst + pos, rows, cols, itemsize,
-          g_scratch.data() + want);
-      if (rc < 0) return rc;
-    } else {
-      long long got = lzw_decode_one(file + offsets[s], counts[s], dst + pos,
-                                     want);
-      if (got < 0) return got;
-      if (got < want) return -2;
-      if (predictor == 2) {
-        const int rc = predictor2_undo_rows(dst + pos, rows, cols, itemsize);
-        if (rc < 0) return rc;
-      } else if (predictor != 1) {
-        return -3;
-      }
-    }
-    pos += want;
+    if (want < 0 || want % row_bytes != 0) return -3;
+    dst_off[static_cast<size_t>(s) + 1] = dst_off[static_cast<size_t>(s)] + want;
   }
-  return pos;
+  if (dst_off[static_cast<size_t>(n_strips)] > dst_cap) return -2;
+
+  if (n_threads > 1 && n_strips > 1) {
+    const int workers =
+        static_cast<int>(n_threads < n_strips ? n_threads : n_strips);
+    std::vector<long long> rcs(static_cast<size_t>(n_strips), 0);
+    std::vector<std::thread> threads;
+    threads.reserve(workers);
+    for (int t = 0; t < workers; ++t) {
+      threads.emplace_back([&, t]() {
+        for (long long s = t; s < n_strips; s += workers) {
+          rcs[static_cast<size_t>(s)] = decode_one_strip(
+              file, file_len, offsets[s], counts[s], out_bytes[s], cols,
+              itemsize, predictor, dst + dst_off[static_cast<size_t>(s)]);
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+    for (long long s = 0; s < n_strips; ++s) {
+      if (rcs[static_cast<size_t>(s)] < 0) return rcs[static_cast<size_t>(s)];
+    }
+    return dst_off[static_cast<size_t>(n_strips)];
+  }
+
+  for (long long s = 0; s < n_strips; ++s) {
+    const long long rc = decode_one_strip(
+        file, file_len, offsets[s], counts[s], out_bytes[s], cols, itemsize,
+        predictor, dst + dst_off[static_cast<size_t>(s)]);
+    if (rc < 0) return rc;
+  }
+  return dst_off[static_cast<size_t>(n_strips)];
+}
+
+// Encode one strip (predictor + LZW) into dst; returns encoded bytes or <0.
+static long long encode_one_strip(
+    const unsigned char* src, long long src_len, long long strip_bytes,
+    long long s, long long cols, int itemsize, int predictor,
+    unsigned char* dst, long long dst_cap) {
+  const long long row_bytes = cols * itemsize;
+  const long long in_off = s * strip_bytes;
+  const long long want = (in_off + strip_bytes <= src_len)
+                             ? strip_bytes
+                             : src_len - in_off;
+  if (want <= 0 || want % row_bytes != 0) return -3;
+  const long long rows = want / row_bytes;
+  const unsigned char* chunk = src + in_off;
+  if (predictor == 2) {
+    g_scratch.resize(static_cast<size_t>(want));
+    std::memcpy(g_scratch.data(), chunk, static_cast<size_t>(want));
+    const int rc = predictor2_apply_rows(g_scratch.data(), rows, cols,
+                                         itemsize);
+    if (rc < 0) return rc;
+    chunk = g_scratch.data();
+  } else if (predictor == 3) {
+    g_scratch.resize(static_cast<size_t>(want));
+    const int rc = predictor3_apply_rows(chunk, g_scratch.data(), rows, cols,
+                                         itemsize);
+    if (rc < 0) return rc;
+    chunk = g_scratch.data();
+  } else if (predictor != 1) {
+    return -3;
+  }
+  return lzw_encode_one(chunk, want, dst, dst_cap);
 }
 
 // Encode the contiguous source array as `n_strips` LZW strips of
 // `strip_bytes` each (the final strip may be short), applying the predictor.
 // Encoded strips land back to back in `dst`; per-strip sizes in out_counts.
 // Returns total encoded bytes or <0 (-2 dst overflow, -3 bad arguments).
+//
+// `n_threads > 1` encodes strips in parallel (strips are independent; each
+// thread carries its own thread_local table/scratch), writing into bounded
+// per-strip regions of `dst` and compacting afterwards — dst_cap must then
+// be >= n_strips * (strip_bytes * 3/2 + 64). Strip payloads are
+// byte-identical to the sequential path (deterministic per-strip streams).
 long long fsr_lzw_encode_strips(
     const unsigned char* src, long long src_len, long long strip_bytes,
     long long n_strips, long long cols, int itemsize, int predictor,
-    unsigned char* dst, long long dst_cap, long long* out_counts) {
+    unsigned char* dst, long long dst_cap, long long* out_counts,
+    int n_threads) {
   if (strip_bytes <= 0 || cols <= 0 || itemsize <= 0) return -3;
-  const long long row_bytes = cols * itemsize;
-  if (strip_bytes % row_bytes != 0) return -3;
+  if (strip_bytes % (cols * itemsize) != 0) return -3;
+
+  if (n_threads > 1 && n_strips > 1) {
+    const long long bound = strip_bytes + (strip_bytes >> 1) + 64;
+    if (bound * n_strips > dst_cap) return -3;
+    const int workers =
+        static_cast<int>(n_threads < n_strips ? n_threads : n_strips);
+    std::vector<long long> rcs(static_cast<size_t>(n_strips), 0);
+    std::vector<std::thread> threads;
+    threads.reserve(workers);
+    for (int t = 0; t < workers; ++t) {
+      threads.emplace_back([&, t]() {
+        for (long long s = t; s < n_strips; s += workers) {
+          rcs[static_cast<size_t>(s)] = encode_one_strip(
+              src, src_len, strip_bytes, s, cols, itemsize, predictor,
+              dst + s * bound, bound);
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+    long long out_pos = 0;
+    for (long long s = 0; s < n_strips; ++s) {
+      const long long n = rcs[static_cast<size_t>(s)];
+      if (n < 0) return n;
+      if (out_pos != s * bound) {
+        std::memmove(dst + out_pos, dst + s * bound, static_cast<size_t>(n));
+      }
+      out_counts[s] = n;
+      out_pos += n;
+    }
+    return out_pos;
+  }
+
   long long out_pos = 0;
   for (long long s = 0; s < n_strips; ++s) {
-    const long long in_off = s * strip_bytes;
-    const long long want = (in_off + strip_bytes <= src_len)
-                               ? strip_bytes
-                               : src_len - in_off;
-    if (want <= 0 || want % row_bytes != 0) return -3;
-    const long long rows = want / row_bytes;
-    const unsigned char* chunk = src + in_off;
-    if (predictor == 2) {
-      g_scratch.resize(static_cast<size_t>(want));
-      std::memcpy(g_scratch.data(), chunk, static_cast<size_t>(want));
-      const int rc = predictor2_apply_rows(g_scratch.data(), rows, cols,
-                                           itemsize);
-      if (rc < 0) return rc;
-      chunk = g_scratch.data();
-    } else if (predictor == 3) {
-      g_scratch.resize(static_cast<size_t>(want));
-      const int rc = predictor3_apply_rows(chunk, g_scratch.data(), rows,
-                                           cols, itemsize);
-      if (rc < 0) return rc;
-      chunk = g_scratch.data();
-    } else if (predictor != 1) {
-      return -3;
-    }
-    const long long n = lzw_encode_one(chunk, want, dst + out_pos,
-                                       dst_cap - out_pos);
+    const long long n = encode_one_strip(src, src_len, strip_bytes, s, cols,
+                                         itemsize, predictor, dst + out_pos,
+                                         dst_cap - out_pos);
     if (n < 0) return n;
     out_counts[s] = n;
     out_pos += n;

@@ -20,7 +20,10 @@ def build(verbose: bool = True, retries: int = 1) -> Path | None:
     # half-written .so must never be visible to concurrent loaders (dlopen
     # of a truncated file fails hard).
     tmp = src_dir / f".libfloodsr_tiff.{os.getpid()}.so.tmp"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), str(src)]
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        "-o", str(tmp), str(src),
+    ]
     last_err = ""
     for attempt in range(retries + 1):
         try:

@@ -333,12 +333,16 @@ def write_raster(
     *,
     tile: tuple[int, int] | None = None,
     bigtiff: bool | None = None,
+    overviews: tuple[int, ...] | None = None,
 ) -> Path:
     """Write a single-band raster with the given rasterio-style profile.
 
     ``tile`` writes a tiled (COG-style) layout; ``bigtiff`` forces the
     8-byte-offset container (``None`` auto-switches past the classic 4 GiB
-    limit).
+    limit). ``overviews`` appends reduced-resolution pages (average-pooled
+    decimation levels, e.g. ``(2, 4, 8)``) — the internal-overview COG
+    layout GDAL builds, which :class:`~floodsr_tpu.io.tiff_window.
+    TiffWindowReader` serves coarse-target window reads from.
     """
     path = Path(fp).expanduser().resolve()
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -367,10 +371,18 @@ def write_raster(
         raise AssertionError(f"profile width {width} != array width {arr.shape[1]}")
 
     extra_tags = _geo_tags_for(transform, crs, nodata_f)
-    data = _tiff.encode_tiff(
-        arr, extra_tags=extra_tags, compression=compression,
-        predictor=_profile_predictor(profile, arr.dtype), tile=tile, bigtiff=bigtiff,
-    )
+    if overviews:
+        data = _tiff.encode_tiff_overviews(
+            arr, extra_tags=extra_tags, compression=compression,
+            predictor=_profile_predictor(profile, arr.dtype), tile=tile,
+            bigtiff=bool(bigtiff), overview_levels=tuple(overviews),
+        )
+    else:
+        data = _tiff.encode_tiff(
+            arr, extra_tags=extra_tags, compression=compression,
+            predictor=_profile_predictor(profile, arr.dtype), tile=tile,
+            bigtiff=bigtiff,
+        )
     path.write_bytes(data)
     return path
 

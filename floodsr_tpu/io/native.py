@@ -54,12 +54,13 @@ def _load() -> ctypes.CDLL | None:
             lib.fsr_lzw_decode_strips.restype = c_ll
             lib.fsr_lzw_decode_strips.argtypes = [
                 ctypes.c_char_p, c_ll, c_llp, c_llp, c_llp, c_ll,
-                c_ll, ctypes.c_int, ctypes.c_int, c_ubp, c_ll,
+                c_ll, ctypes.c_int, ctypes.c_int, c_ubp, c_ll, ctypes.c_int,
             ]
             lib.fsr_lzw_encode_strips.restype = c_ll
             lib.fsr_lzw_encode_strips.argtypes = [
                 c_ubp, c_ll, c_ll, c_ll,
                 c_ll, ctypes.c_int, ctypes.c_int, ctypes.c_char_p, c_ll, c_llp,
+                ctypes.c_int,
             ]
             for name in ("fsr_predictor2_undo", "fsr_predictor2_apply"):
                 fn = getattr(lib, name)
@@ -122,6 +123,21 @@ def strips_available() -> bool:
     return lib is not None and getattr(lib, "_fsr_has_strips", False)
 
 
+def default_codec_threads() -> int:
+    """Worker threads for strip-batch codec calls.
+
+    Strips are independent, so encode/decode parallelize across host cores
+    (the C++ releases the GIL via ctypes). Single-core hosts stay on the
+    sequential path. Override with FLOODSR_CODEC_THREADS.
+    """
+    import os
+
+    env = os.environ.get("FLOODSR_CODEC_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(8, os.cpu_count() or 1))
+
+
 def lzw_decode_strips(
     file_bytes,
     offsets,
@@ -132,13 +148,15 @@ def lzw_decode_strips(
     itemsize: int,
     predictor: int,
     dst,
+    threads: int | None = None,
 ) -> None:
     """Decode a whole striped LZW image into ``dst`` (1-D uint8 view).
 
     One native call replaces the per-strip Python loop: LZW decode,
     predictor undo (2/3) and destination assembly all happen in C++.
     ``dst`` must be a C-contiguous writable uint8 array sized to the sum of
-    ``out_bytes``. Sparse strips (count 0) zero-fill.
+    ``out_bytes``. Sparse strips (count 0) zero-fill. Strips decode in
+    parallel on multi-core hosts (disjoint destination regions).
     """
     import numpy as np
 
@@ -154,6 +172,7 @@ def lzw_decode_strips(
         out_sizes.ctypes.data_as(c_llp), len(offsets),
         cols, itemsize, predictor,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), dst.nbytes,
+        threads if threads is not None else default_codec_threads(),
     )
     if n == -2:
         raise NativeLzwOverflow("native strip decode over/underflowed a strip")
@@ -171,17 +190,26 @@ def lzw_encode_strips(
     cols: int,
     itemsize: int,
     predictor: int,
+    threads: int | None = None,
 ) -> tuple[bytes, list[int]]:
     """Encode a contiguous array as LZW strips in one native call.
 
     ``src`` is a C-contiguous uint8 view of the sample data (little-endian).
-    Returns the packed strip bytes and per-strip encoded sizes.
+    Returns the packed strip bytes and per-strip encoded sizes. Strips
+    encode in parallel on multi-core hosts (byte-identical payloads —
+    per-strip streams are deterministic).
     """
     import numpy as np
 
     lib = _load()
     assert lib is not None and lib._fsr_has_strips, "native strips not available"
-    bound = lib.fsr_lzw_encode_bound(src.nbytes) + 64 * n_strips
+    n_threads = threads if threads is not None else default_codec_threads()
+    # The threaded path writes into bounded per-strip regions first.
+    per_strip_bound = strip_bytes + (strip_bytes >> 1) + 64
+    bound = max(
+        lib.fsr_lzw_encode_bound(src.nbytes) + 64 * n_strips,
+        per_strip_bound * n_strips,
+    )
     # np.empty, NOT a ctypes string buffer: zero-filling ~1.5x the input
     # size per call measurably erased the batch path's win.
     out = np.empty(bound, np.uint8)
@@ -191,6 +219,7 @@ def lzw_encode_strips(
         strip_bytes, n_strips, cols, itemsize, predictor,
         out.ctypes.data_as(ctypes.c_char_p), bound,
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        n_threads,
     )
     if n < 0:
         raise ValueError(f"native strip encode failed with code {n}")

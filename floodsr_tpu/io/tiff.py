@@ -29,6 +29,7 @@ from floodsr_tpu.io import native as _native
 
 
 # TIFF tag ids used by this codec.
+TAG_NEW_SUBFILE_TYPE = 254  # bit 0: reduced-resolution (overview) page
 TAG_IMAGE_WIDTH = 256
 TAG_IMAGE_LENGTH = 257
 TAG_BITS_PER_SAMPLE = 258
@@ -603,6 +604,36 @@ def encode_tiff(
     automatically when the projected size approaches the classic 4 GiB limit
     (the capability GDAL gives the reference for arbitrary-size rasters).
     """
+    prep = _prepare_page(
+        array, extra_tags, compression, predictor, rows_per_strip, tile
+    )
+    if bigtiff is None:
+        # Auto: projected container size decides (chunk data dominates).
+        projected = (
+            sum(len(sb) + 1 for sb in prep["chunks"])
+            + 4096
+            + 16 * len(prep["chunks"])
+        )
+        bigtiff = projected > _CLASSIC_TIFF_LIMIT
+    header_size = 16 if bigtiff else 8
+    out = bytearray()
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    else:
+        out += struct.pack("<2sHI", b"II", 42, 8)
+    out += _emit_page(prep, bigtiff=bigtiff, base=header_size, next_ifd=0)
+    return bytes(out)
+
+
+def _prepare_page(
+    array: np.ndarray,
+    extra_tags,
+    compression: int,
+    predictor: int | None,
+    rows_per_strip: int | None,
+    tile: tuple[int, int] | None,
+) -> dict:
+    """Chunk data + offset-free tag list for one page (IFD) of a TIFF."""
     if array.ndim == 2:
         array = array[:, :, None]
     if array.ndim != 3:
@@ -638,7 +669,6 @@ def encode_tiff(
             chunk = arr[row : row + rows_per_strip]
             chunk = _apply_predictor_encode(chunk, predictor)
             chunks.append(_compress_chunk(chunk.tobytes(), compression))
-    strips = chunks
 
     tags: list[tuple[int, int, tuple | str]] = [
         (TAG_IMAGE_WIDTH, 4, (w,)),
@@ -661,23 +691,37 @@ def encode_tiff(
         tags.append((TAG_PREDICTOR, 3, (predictor,)))
     for tag, ftype, value in extra_tags or []:
         tags.append((tag, ftype, value))
+    return {"tags": tags, "chunks": chunks, "offsets_tag": offsets_tag,
+            "counts_tag": counts_tag}
 
-    num_strips = len(strips)
-    if bigtiff is None:
-        # Auto: projected container size decides (chunk data dominates).
-        projected = sum(len(sb) + 1 for sb in strips) + 4096 + 16 * num_strips
-        bigtiff = projected > _CLASSIC_TIFF_LIMIT
+
+def _page_size(prep: dict, bigtiff: bool) -> int:
+    """Exact byte length :func:`_emit_page` will produce (offset-free)."""
     off_ftype = 16 if bigtiff else 4
-    tags.append((offsets_tag, off_ftype, (0,) * num_strips))
-    tags.append((counts_tag, off_ftype, tuple(len(sb) for sb in strips)))
+    n = len(prep["chunks"])
+    tags = list(prep["tags"])
+    tags.append((prep["offsets_tag"], off_ftype, (0,) * n))
+    tags.append((prep["counts_tag"], off_ftype, (0,) * n))
+    size = _ifd_size(tags, bigtiff) + _payloads_size(tags, bigtiff)
+    size += size % 2  # data alignment pad
+    for sb in prep["chunks"]:
+        size += len(sb) + (len(sb) % 2)
+    return size
+
+
+def _emit_page(prep: dict, *, bigtiff: bool, base: int, next_ifd: int) -> bytes:
+    """Serialize one page (IFD | payloads | chunk data) at absolute ``base``."""
+    strips = prep["chunks"]
+    off_ftype = 16 if bigtiff else 4
+    tags = list(prep["tags"])
+    tags.append((prep["offsets_tag"], off_ftype, (0,) * len(strips)))
+    tags.append((prep["counts_tag"], off_ftype, tuple(len(sb) for sb in strips)))
     tags.sort(key=lambda t: t[0])
 
-    # Fixed layout: header | IFD | tag payloads | chunk data. Payload sizes
-    # are value-independent, so chunk offsets are computable up front and the
+    # Fixed layout: IFD | tag payloads | chunk data. Payload sizes are
+    # value-independent, so chunk offsets are computable up front and the
     # offsets tag gets its real values before serialization.
-    header_size = 16 if bigtiff else 8
-    ifd_size = _ifd_size(tags, bigtiff)
-    extra_offset = header_size + ifd_size
+    extra_offset = base + _ifd_size(tags, bigtiff)
     data_offset = extra_offset + _payloads_size(tags, bigtiff)
     if data_offset % 2:
         data_offset += 1
@@ -692,25 +736,97 @@ def encode_tiff(
             f"container size {pos} overflows classic TIFF; pass bigtiff=True"
         )
     tags = [
-        (t, ft, tuple(strip_offsets) if t == offsets_tag else v)
+        (t, ft, tuple(strip_offsets) if t == prep["offsets_tag"] else v)
         for (t, ft, v) in tags
     ]
-
-    endian = "<"
     out = bytearray()
-    if bigtiff:
-        out += struct.pack(endian + "2sHHHQ", b"II", 43, 8, 0, 16)
-    else:
-        out += struct.pack(endian + "2sHI", b"II", 42, 8)
-    ifd, payloads = _serialize_ifd(tags, bigtiff=bigtiff, payload_base=extra_offset)
+    ifd, payloads = _serialize_ifd(
+        tags, bigtiff=bigtiff, payload_base=extra_offset, next_ifd=next_ifd
+    )
     out += ifd
     out += payloads
-    while len(out) < data_offset:
+    while base + len(out) < data_offset:
         out += b"\0"
     for sb in strips:
         out += sb
         if len(sb) % 2:
             out += b"\0"
+    return bytes(out)
+
+
+def decimate_for_overview(arr: np.ndarray, factor: int) -> np.ndarray:
+    """Average-pooled ``factor``x decimation (GDAL ``AVERAGE`` overview
+    semantics for continuous rasters); edge remainders are edge-padded so
+    the overview covers the full extent (``ceil(dim/factor)``)."""
+    a = np.asarray(arr)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w, s = a.shape
+    ph, pw = -h % factor, -w % factor
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    hh, ww = a.shape[0] // factor, a.shape[1] // factor
+    pooled = a.reshape(hh, factor, ww, factor, s).astype(np.float64).mean((1, 3))
+    if np.issubdtype(arr.dtype, np.integer):
+        pooled = np.round(pooled)
+    pooled = pooled.astype(arr.dtype)
+    return pooled[:, :, 0] if squeeze else pooled
+
+
+def encode_tiff_overviews(
+    array: np.ndarray,
+    extra_tags: list[tuple[int, int, object]] | None = None,
+    *,
+    overview_levels: tuple[int, ...] = (2, 4, 8),
+    min_size: int = 64,
+    compression: int = COMPRESSION_LZW,
+    predictor: int | None = None,
+    rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
+    bigtiff: bool = False,
+) -> bytes:
+    """Encode a TIFF whose IFD chain carries reduced-resolution overviews.
+
+    The COG layout GDAL builds with internal overviews (reference role:
+    overview-aware windowed reads inside
+    ``/root/reference/floodsr/dem_sources/hrdem_stac.py:117-219``): page 0
+    is the full raster; each following page is an average-pooled
+    ``level``x decimation flagged ``NewSubfileType=1``
+    (reduced-resolution). Levels that would shrink below ``min_size`` in
+    both axes are dropped. Geo tags (``extra_tags``) land on page 0 only,
+    as GDAL does.
+    """
+    preps = [
+        _prepare_page(array, extra_tags, compression, predictor,
+                      rows_per_strip, tile)
+    ]
+    for level in overview_levels:
+        ov = decimate_for_overview(array, int(level))
+        oh = ov.shape[0]
+        owd = ov.shape[1]
+        if max(oh, owd) < int(min_size):
+            break
+        preps.append(
+            _prepare_page(
+                ov, [(TAG_NEW_SUBFILE_TYPE, 4, (1,))], compression,
+                predictor, rows_per_strip, tile,
+            )
+        )
+    header_size = 16 if bigtiff else 8
+    bases = [header_size]
+    for prep in preps[:-1]:
+        bases.append(bases[-1] + _page_size(prep, bigtiff))
+    out = bytearray()
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    else:
+        out += struct.pack("<2sHI", b"II", 42, 8)
+    for k, prep in enumerate(preps):
+        next_ifd = bases[k + 1] if k + 1 < len(preps) else 0
+        page = _emit_page(prep, bigtiff=bigtiff, base=bases[k], next_ifd=next_ifd)
+        assert len(page) == _page_size(prep, bigtiff), "page size plan mismatch"
+        out += page
     return bytes(out)
 
 
@@ -757,12 +873,14 @@ def _payloads_size(tags, bigtiff: bool) -> int:
 
 
 def _serialize_ifd(
-    tags, *, bigtiff: bool, payload_base: int, endian: str = "<"
+    tags, *, bigtiff: bool, payload_base: int, endian: str = "<",
+    next_ifd: int = 0,
 ) -> tuple[bytes, bytes]:
     """IFD table + out-of-line payload blob for FINAL tag values.
 
     ``payload_base`` is the absolute file offset where the payload blob will
-    land (immediately after the IFD in both writers).
+    land (immediately after the IFD in both writers). ``next_ifd`` chains
+    additional pages (overview IFDs); 0 terminates the chain.
     """
     cap = 8 if bigtiff else 4
     count_fmt = "Q" if bigtiff else "I"
@@ -796,7 +914,7 @@ def _serialize_ifd(
         ifd += struct.pack(endian + "H", len(entries))
     for e in entries:
         ifd += e
-    ifd += struct.pack(endian + ("Q" if bigtiff else "I"), 0)  # next IFD
+    ifd += struct.pack(endian + ("Q" if bigtiff else "I"), next_ifd)
     return bytes(ifd), bytes(payloads)
 
 

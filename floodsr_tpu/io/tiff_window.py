@@ -128,7 +128,8 @@ class TiffWindowReader:
         else:
             raise ValueError(f"not a TIFF file: bad magic {magic}")
         self._head = head
-        self.page = self._parse_ifd(ifd_offset)
+        self.page, self._next_ifd = self._parse_ifd(ifd_offset)
+        self._overviews: list[_tiff.TiffPage] | None = None
 
     # -- byte plumbing -------------------------------------------------------
 
@@ -148,7 +149,7 @@ class TiffWindowReader:
 
     # -- IFD parsing ---------------------------------------------------------
 
-    def _parse_ifd(self, ifd_offset: int) -> _tiff.TiffPage:
+    def _parse_ifd(self, ifd_offset: int) -> tuple[_tiff.TiffPage, int]:
         endian = self._endian
         if self.bigtiff:
             (num_entries,) = struct.unpack_from(
@@ -233,7 +234,87 @@ class TiffWindowReader:
             page.rows_per_strip = int(tags.get(_tiff.TAG_ROWS_PER_STRIP, height))
             page.chunk_offsets = tag_list(_tiff.TAG_STRIP_OFFSETS)
             page.chunk_byte_counts = tag_list(_tiff.TAG_STRIP_BYTE_COUNTS)
-        return page
+        # Next-IFD pointer sits immediately after the entry table.
+        tail_off = table_off + int(num_entries) * entry_size
+        if self.bigtiff:
+            (next_ifd,) = struct.unpack_from(endian + "Q", self._get(tail_off, 8), 0)
+        else:
+            (next_ifd,) = struct.unpack_from(endian + "I", self._get(tail_off, 4), 0)
+        return page, int(next_ifd)
+
+    # -- overviews -------------------------------------------------------------
+
+    _MAX_CHAIN_PAGES = 12
+
+    def overview_pages(self) -> list[_tiff.TiffPage]:
+        """Reduced-resolution pages from the IFD chain, coarse-parse once.
+
+        COG/GDAL internal overviews chain behind the main IFD with
+        ``NewSubfileType`` bit 0 set; pages without the flag are accepted
+        when strictly smaller than the main raster (older writers omit it).
+        Unrelated same-size multi-page content is ignored.
+        """
+        if self._overviews is not None:
+            return self._overviews
+        pages: list[_tiff.TiffPage] = []
+        next_ifd = self._next_ifd
+        seen = 0
+        while next_ifd and seen < self._MAX_CHAIN_PAGES:
+            page, next_ifd = self._parse_ifd(next_ifd)
+            seen += 1
+            subtype = int(page.tags.get(254, 0))
+            smaller = page.width < self.page.width and page.height < self.page.height
+            if (subtype & 1) or smaller:
+                pages.append(page)
+        self._overviews = pages
+        return pages
+
+    def select_page(
+        self, max_decimation: float
+    ) -> tuple[_tiff.TiffPage, float, float]:
+        """Coarsest page whose decimation is <= ``max_decimation``.
+
+        Returns ``(page, dec_y, dec_x)`` where decimation factors are the
+        full-resolution dimension ratios (1.0, 1.0 for the main page). The
+        GDAL rule: serve the read from the coarsest overview still at least
+        as fine as the target grid.
+        """
+        best = (self.page, 1.0, 1.0)
+        if max_decimation <= 1.0 + 1e-9:
+            return best
+        for page in self.overview_pages():
+            dec_x = self.page.width / page.width
+            dec_y = self.page.height / page.height
+            if max(dec_x, dec_y) <= max_decimation + 1e-9 and dec_x > best[1]:
+                best = (page, dec_y, dec_x)
+        return best
+
+    def read_window_decimated(
+        self,
+        row_off: int,
+        col_off: int,
+        height: int,
+        width: int,
+        *,
+        max_decimation: float,
+    ) -> tuple[np.ndarray, tuple[float, float]]:
+        """Window read served from the coarsest suitable overview.
+
+        The window is given in FULL-RESOLUTION pixel coordinates; the
+        returned array is on the chosen page's grid (its outer bounds cover
+        the requested window). Returns ``(array, (dec_y, dec_x), (r0, c0))``
+        where ``(r0, c0)`` is the array's origin in PAGE pixel coordinates
+        (callers scale by the decimation to anchor the geotransform).
+        """
+        import math
+
+        page, dec_y, dec_x = self.select_page(max_decimation)
+        r0 = max(0, int(math.floor(row_off / dec_y)))
+        c0 = max(0, int(math.floor(col_off / dec_x)))
+        r1 = min(page.height, math.ceil((row_off + height) / dec_y))
+        c1 = min(page.width, math.ceil((col_off + width) / dec_x))
+        arr = self.read_window(r0, c0, r1 - r0, c1 - c0, page=page)
+        return arr, (dec_y, dec_x), (r0, c0)
 
     @property
     def tags(self) -> dict[int, object]:
@@ -242,15 +323,19 @@ class TiffWindowReader:
     # -- pixel windows -------------------------------------------------------
 
     def read_window(
-        self, row_off: int, col_off: int, height: int, width: int
+        self, row_off: int, col_off: int, height: int, width: int,
+        page: _tiff.TiffPage | None = None,
     ) -> np.ndarray:
         """Decode the pixel window ``[row_off:+height, col_off:+width]``.
 
         Only the chunks (tiles or strips) intersecting the window are
         fetched; out-of-bounds parts of the request are clipped. Returns
         ``[h, w]`` for single-sample rasters, ``[h, w, s]`` otherwise.
+        ``page`` selects an overview page (coordinates are page-relative);
+        default is the full-resolution main page.
         """
-        page = self.page
+        if page is None:
+            page = self.page
         row0 = max(0, int(row_off))
         col0 = max(0, int(col_off))
         row1 = min(page.height, int(row_off) + int(height))

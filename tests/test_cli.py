@@ -325,7 +325,9 @@ class TestMeshCli:
     @pytest.mark.parametrize("extra", [
         ["--mesh", "auto"],
         ["--mesh", "dp=4,tp=2"],
-        ["--mesh", "8", "--scene-mode", "banded"],
+        # dp=2 so the 64-row scene holds >=1 tile row per band (the
+        # wide-scene guard loudly rejects dp=8 here; tested below).
+        ["--mesh", "2", "--scene-mode", "banded"],
     ])
     def test_tohr_mesh_output_matches_single_device(
         self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, extra
@@ -348,6 +350,23 @@ class TestMeshCli:
         single, _, _ = read_raster(base_fp)
         sharded, _, _ = read_raster(sharded_fp)
         np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=0)
+
+    def test_banded_too_wide_fails_loudly(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, caplog
+    ):
+        """Banding a scene with fewer content tile rows than bands must fail
+        with the HBM/padding math, not silently burn >=2x compute (VERDICT
+        r3 weak #3: wide scenes)."""
+        code = main([
+            "tohr",
+            "--in", str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "--dem", str(synthetic_tohr_tiles["dem_fp"]),
+            "--model-path", str(tiny_model_fp),
+            "--out", str(tmp_path / "x.tif"),
+            "--mesh", "8", "--scene-mode", "banded",
+        ])
+        assert code == 1
+        assert "scene too wide to band" in caplog.text
 
     def test_scene_mode_requires_mesh(self, tiny_model_fp, synthetic_tohr_tiles, tmp_path):
         code = main([

@@ -1267,3 +1267,106 @@ class TestNativeStripBatch:
             back = np.empty_like(a)
             native.predictor3_undo(np.ascontiguousarray(planes), back)
             np.testing.assert_array_equal(back, a)
+
+
+class TestOverviewReads:
+    """Internal-overview COGs: multi-page container + overview-served windows.
+
+    Reference role: GDAL serves windowed reads from reduced-resolution
+    overview levels when the target grid is coarser than the asset
+    (/root/reference/floodsr/dem_sources/hrdem_stac.py:117-219).
+    """
+
+    def _cog_with_overviews(self):
+        from floodsr_tpu.io.tiff import encode_tiff_overviews
+
+        rng = np.random.default_rng(13)
+        arr = np.cumsum(rng.normal(0, 1, (1024, 768)).astype(np.float32), axis=1)
+        blob = encode_tiff_overviews(
+            arr, overview_levels=(2, 4, 8), min_size=32, tile=(256, 256)
+        )
+        return arr, blob
+
+    def test_overview_chain_parsed_and_flagged(self):
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        arr, blob = self._cog_with_overviews()
+        reader = TiffWindowReader(MemoryByteSource(blob))
+        assert (reader.page.height, reader.page.width) == (1024, 768)
+        sizes = [(p.height, p.width) for p in reader.overview_pages()]
+        assert sizes == [(512, 384), (256, 192), (128, 96)]
+        assert all(int(p.tags.get(254, 0)) & 1 for p in reader.overview_pages())
+
+    def test_overview_values_match_decimation(self):
+        from floodsr_tpu.io.tiff import decimate_for_overview
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        arr, blob = self._cog_with_overviews()
+        reader = TiffWindowReader(MemoryByteSource(blob))
+        got, (dy, dx), (r0, c0) = reader.read_window_decimated(
+            100, 60, 300, 200, max_decimation=4.2
+        )
+        assert (dy, dx) == (4.0, 4.0)
+        want = decimate_for_overview(arr, 4)
+        np.testing.assert_array_equal(
+            got, want[r0 : r0 + got.shape[0], c0 : c0 + got.shape[1]]
+        )
+        # window covers the request: origin at/before, end at/after
+        assert r0 * dy <= 100 and c0 * dx <= 60
+        assert (r0 + got.shape[0]) * dy >= 400
+        assert (c0 + got.shape[1]) * dx >= 260
+
+    def test_decimation_below_two_serves_full_res(self):
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        arr, blob = self._cog_with_overviews()
+        reader = TiffWindowReader(MemoryByteSource(blob))
+        got, (dy, dx), (r0, c0) = reader.read_window_decimated(
+            10, 10, 50, 50, max_decimation=1.9
+        )
+        assert (dy, dx) == (1.0, 1.0)
+        np.testing.assert_array_equal(got, arr[r0:r0+got.shape[0], c0:c0+got.shape[1]])
+
+    def test_overview_read_fetches_fewer_bytes(self):
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        arr, blob = self._cog_with_overviews()
+        full = TiffWindowReader(MemoryByteSource(blob))
+        full.read_window(0, 0, 1024, 768)
+        ov = TiffWindowReader(MemoryByteSource(blob))
+        ov.read_window_decimated(0, 0, 1024, 768, max_decimation=4.0)
+        assert ov.bytes_fetched < full.bytes_fetched / 4
+
+
+class TestThreadedStripCodec:
+    def test_threaded_encode_decode_byte_identical(self):
+        if not (native.available() and native.strips_available()):
+            pytest.skip("native strip codec unavailable")
+        rng = np.random.default_rng(17)
+        arr = (np.clip(rng.gamma(0.6, 0.8, (700, 481)), 0, 5)
+               * (rng.random((700, 481)) > 0.5)).astype(np.float32)
+        src = np.ascontiguousarray(arr).reshape(-1).view(np.uint8)
+        kw = dict(strip_bytes=17 * 481 * 4, n_strips=-(-700 // 17),
+                  cols=481, itemsize=4, predictor=1)
+        b1, c1 = native.lzw_encode_strips(src, threads=1, **kw)
+        b4, c4 = native.lzw_encode_strips(src, threads=4, **kw)
+        assert c1 == c4 and bytes(b1) == bytes(b4)
+        blob = encode_tiff(arr)
+        page = _read_ifd(blob, "II")
+        ob, row = [], 0
+        for _ in page.chunk_offsets:
+            nr = min(page.rows_per_strip, 700 - row)
+            ob.append(nr * 481 * 4)
+            row += nr
+        outs = []
+        for threads in (1, 4):
+            dst = np.empty(700 * 481 * 4, np.uint8)
+            native.lzw_decode_strips(
+                blob, page.chunk_offsets, page.chunk_byte_counts, ob,
+                cols=481, itemsize=4, predictor=1, dst=dst, threads=threads,
+            )
+            outs.append(dst)
+        np.testing.assert_array_equal(outs[0], outs[1])
+        np.testing.assert_array_equal(
+            outs[0].view(np.float32).reshape(700, 481), arr
+        )
