@@ -360,6 +360,12 @@ def projection_for(crs: CRS | str | int):
     """Projection object for an EPSG code; raises for unsupported codes."""
     crs = CRS.from_user_input(crs)
     code = crs.epsg
+    if code is None:
+        raise ValueError(
+            "DEM-source coordinate transformation requires an EPSG-coded CRS; "
+            f"got a WKT-only CRS ({crs}). Re-run with rasters whose CRS "
+            "carries an EPSG authority code, or provide the DEM directly."
+        )
     if code in (4326, 4269, 4617, 4258):
         return Geographic()
     if code == 3857:

@@ -28,12 +28,16 @@ TAG_GDAL_NODATA = 42113
 
 GEOKEY_MODEL_TYPE = 1024
 GEOKEY_RASTER_TYPE = 1025
+GEOKEY_CITATION = 1026
 GEOKEY_GEOGRAPHIC_TYPE = 2048
+GEOKEY_GEOG_CITATION = 2049
 GEOKEY_PROJECTED_CS_TYPE = 3072
+GEOKEY_PCS_CITATION = 3073
 
 MODEL_TYPE_PROJECTED = 1
 MODEL_TYPE_GEOGRAPHIC = 2
 RASTER_PIXEL_IS_AREA = 1
+USER_DEFINED = 32767
 
 # Default GeoTIFF write options (reference: floodsr/io/rasterio_io.py:4-14).
 GEOTIF_OPTIONS = {
@@ -92,8 +96,10 @@ def _crs_from_geokeys(tags: dict[int, object]) -> CRS | None:
     vals = list(directory) if isinstance(directory, tuple) else [directory]
     if len(vals) < 4:
         return None
+    ascii_params = str(tags.get(TAG_GEO_ASCII_PARAMS, "") or "")
     num_keys = int(vals[3])
     keys: dict[int, int] = {}
+    texts: dict[int, str] = {}
     for k in range(num_keys):
         base = 4 + 4 * k
         if base + 3 >= len(vals):
@@ -101,10 +107,33 @@ def _crs_from_geokeys(tags: dict[int, object]) -> CRS | None:
         key_id, location, count, value = (int(v) for v in vals[base : base + 4])
         if location == 0:
             keys[key_id] = value
+        elif location == TAG_GEO_ASCII_PARAMS:
+            # value = char offset into GeoAsciiParams, count includes the
+            # "|" terminator the spec uses in place of NUL.
+            texts[key_id] = ascii_params[value : value + count].rstrip("|\x00")
     epsg = keys.get(GEOKEY_PROJECTED_CS_TYPE) or keys.get(GEOKEY_GEOGRAPHIC_TYPE)
-    if epsg is None or epsg in (0, 32767):  # user-defined
+    if epsg is not None and epsg not in (0, USER_DEFINED):
+        return CRS(epsg=epsg)
+    # User-defined / absent code: the reference (GDAL) still resolves such
+    # rasters from their WKT/citation keys (floodsr/preprocessing.py:304-331
+    # accepts any rasterio CRS). Recover an EPSG code if the citation embeds
+    # one; otherwise carry an opaque-but-comparable WKT identity with the
+    # projected flag taken from the model-type key.
+    citation = (
+        texts.get(GEOKEY_PCS_CITATION)
+        or texts.get(GEOKEY_GEOG_CITATION)
+        or texts.get(GEOKEY_CITATION)
+    )
+    if not citation:
         return None
-    return CRS(epsg=epsg)
+    model_type = keys.get(GEOKEY_MODEL_TYPE)
+    projected = {MODEL_TYPE_PROJECTED: True, MODEL_TYPE_GEOGRAPHIC: False}.get(
+        model_type if model_type is None else int(model_type)
+    )
+    crs = CRS.from_wkt(citation)
+    if projected is not None and crs.epsg is None:
+        crs = CRS(epsg=None, wkt=crs.wkt, projected=projected)
+    return crs
 
 
 def _transform_from_tags(tags: dict[int, object]) -> Affine | None:
@@ -157,22 +186,34 @@ def _geo_tags_for(
                 (TAG_MODEL_TIEPOINT, 12, (0.0, 0.0, 0.0, transform.c, transform.f, 0.0))
             )
     if crs is not None:
-        if crs.is_projected:
-            keys = [
-                (GEOKEY_MODEL_TYPE, 0, 1, MODEL_TYPE_PROJECTED),
-                (GEOKEY_RASTER_TYPE, 0, 1, RASTER_PIXEL_IS_AREA),
-                (GEOKEY_PROJECTED_CS_TYPE, 0, 1, crs.epsg),
-            ]
+        model_type = MODEL_TYPE_PROJECTED if crs.is_projected else MODEL_TYPE_GEOGRAPHIC
+        cs_type_key = (
+            GEOKEY_PROJECTED_CS_TYPE if crs.is_projected else GEOKEY_GEOGRAPHIC_TYPE
+        )
+        keys = [
+            (GEOKEY_MODEL_TYPE, 0, 1, model_type),
+            (GEOKEY_RASTER_TYPE, 0, 1, RASTER_PIXEL_IS_AREA),
+        ]
+        ascii_params: str | None = None
+        if crs.epsg is not None:
+            keys.append((cs_type_key, 0, 1, crs.epsg))
         else:
-            keys = [
-                (GEOKEY_MODEL_TYPE, 0, 1, MODEL_TYPE_GEOGRAPHIC),
-                (GEOKEY_RASTER_TYPE, 0, 1, RASTER_PIXEL_IS_AREA),
-                (GEOKEY_GEOGRAPHIC_TYPE, 0, 1, crs.epsg),
-            ]
+            # WKT-only CRS: user-defined code + the WKT as a citation in
+            # GeoAsciiParams ("|" is the spec's NUL stand-in), so identity
+            # survives a write→read round trip (GDAL reads this layout).
+            citation_key = (
+                GEOKEY_PCS_CITATION if crs.is_projected else GEOKEY_GEOG_CITATION
+            )
+            wkt = (crs.wkt or "").replace("|", " ")
+            ascii_params = wkt + "|"
+            keys.append((cs_type_key, 0, 1, USER_DEFINED))
+            keys.append((citation_key, TAG_GEO_ASCII_PARAMS, len(ascii_params), 0))
         directory = [1, 1, 0, len(keys)]
         for key in sorted(keys):
             directory.extend(key)
         extra.append((TAG_GEO_KEY_DIRECTORY, 3, tuple(directory)))
+        if ascii_params is not None:
+            extra.append((TAG_GEO_ASCII_PARAMS, 2, ascii_params))
     if nodata is not None:
         nodata_f = float(nodata)
         if np.isnan(nodata_f):  # GDAL writes GDAL_NODATA="nan" for floats
