@@ -12,15 +12,27 @@ activations through HBM — ~1.2 GB per 8-tile chunk at the flagship geometry
     out = y2 @ w_head + b_head                          [B, H, W, Ch]
 
 entirely in VMEM per row-band: inputs are read once (plus an 8-row halo
-band), the only HBM write is the small head output. Convolutions are 9
-tap-accumulated MXU matmuls per layer (``[rows·W, Cin] @ [Cin, Cout]``);
-column shifts are in-register ``pltpu.roll`` + edge masks (SAME zero
-padding), row halos come from extra block views with clamped index maps
-(same pattern as :mod:`floodsr_tpu.ops.pallas.costgrow_stencil`).
+band), the only HBM write is the small head output. Row halos come from
+extra block views with clamped index maps (same pattern as
+:mod:`floodsr_tpu.ops.pallas.costgrow_stencil`).
+
+Two convolution formulations are selectable (``formulation=``):
+
+- ``"im2col"`` (round-2/3 shape): each conv is one long-contraction MXU
+  matmul ``[rows·W, 9·Cin] @ [9·Cin, Cout]`` over a materialized 9-tap
+  expansion. Pipelines the systolic array well but pays a large VMEM
+  relayout (the im2col matrix is 9× the activation bytes, per bf16 half).
+- ``"preshift"`` (round-4): each bf16 half of the activation is
+  materialized exactly twice more (one copy per column shift, shared
+  across the three row taps); row taps are then free leading-dim slices of
+  contiguous arrays, so the 9 taps feed the MXU directly as
+  ``[rows·W, Cin] @ [Cin, Cout]`` accumulated in f32. ~4× less VMEM
+  relayout traffic at the same MAC count.
 
 Numerics match the unfused path at f32 (same BN-affine folding as inference
-``_batch_norm``; tap matmuls accumulate in f32). Exactness is pinned by
-tests in interpret mode; TPU A/B numbers land in ``docs/perf/``.
+``_batch_norm``; tap matmuls accumulate in f32) and are formulation-
+independent up to f32 summation order. Exactness is pinned by tests in
+interpret mode; TPU A/B numbers land in ``docs/perf/``.
 """
 
 from __future__ import annotations
@@ -43,16 +55,19 @@ WEIGHT_KEYS = (
     "head_w", "head_b",
 )
 
+# Weights that feed MXU matmuls. In the bf16-pass modes ("x3"/"x2"/"bf16")
+# these are split into (hi, lo) bf16 pairs OUTSIDE the kernel — one tiny XLA
+# op at trace time instead of a VPU split re-run on every band of every tile.
+MATMUL_KEYS = frozenset({"f1_w1", "f1_w2", "f1_pw", "f2_w1", "f2_w2", "head_w"})
 
-def _shift_cols(arr: jnp.ndarray, s: int) -> jnp.ndarray:
-    """out[..., c, :] = arr[..., c+s, :] with zero fill (SAME padding)."""
-    if s == 0:
-        return arr
-    w = arr.shape[-2]
-    rolled = pltpu.roll(arr, (-s) % w, axis=arr.ndim - 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 2)
-    mask = (col >= w - s) if s > 0 else (col < -s)
-    return jnp.where(mask, 0.0, rolled)
+FORMULATIONS = ("im2col", "preshift")
+
+
+def _split_hi_lo(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    v = v.astype(jnp.float32)
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 # MXU multiply precision for the f32 tap matmuls. DEFAULT (Mosaic's only
@@ -64,41 +79,30 @@ def _shift_cols(arr: jnp.ndarray, s: int) -> jnp.ndarray:
 # hi·hi + hi·lo + lo·hi) is built here explicitly from three DEFAULT-precision
 # MXU passes. ``FLOODSR_HR_TAIL_PRECISION=highest`` switches to Mosaic's
 # native fp32 contract for A/B runs.
-def _dot(a: jnp.ndarray, b: jnp.ndarray, mode: str) -> jnp.ndarray:
+#
+# ``w`` is the f32 weight in "f32"/"highest" modes and a pre-split
+# ``(w_hi, w_lo)`` bf16 pair in the bf16-pass modes.
+def _dot(a: jnp.ndarray, w, mode: str) -> jnp.ndarray:
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     if mode == "f32":
         # Exact float32 (interpret mode / CPU correctness tests).
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return d(a, w)
     if mode == "highest":
         return jnp.dot(
-            a, b,
+            a, w,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+    w_hi, w_lo = w
     if mode == "bf16":
-        return jnp.dot(
-            a.astype(jnp.bfloat16),
-            b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+        return d(a.astype(jnp.bfloat16), w_hi)
+    a_hi, a_lo = _split_hi_lo(a)
     if mode == "x2":
         # Study mode: two-pass product (drops the activation-low term).
         # Parity margin vs the gate is recorded in docs/perf/kernel_study.json.
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
-        a_hi = a.astype(jnp.bfloat16)
-        b_hi = b.astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-        return d(a_hi, b_hi) + d(a_hi, b_lo)
+        return d(a_hi, w_hi) + d(a_hi, w_lo)
     assert mode == "x3", mode
-    a = a.astype(jnp.float32)
-    b = b.astype(jnp.float32)
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    return d(a_hi, w_hi) + d(a_hi, w_lo) + d(a_lo, w_hi)
 
 
 def _im2col(x: jnp.ndarray, rows: int, width: int) -> jnp.ndarray:
@@ -118,60 +122,162 @@ def _im2col(x: jnp.ndarray, rows: int, width: int) -> jnp.ndarray:
     return jnp.concatenate(taps, axis=1)
 
 
-def _conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, mode: str) -> jnp.ndarray:
+def _conv3x3_im2col(x: jnp.ndarray, w, b: jnp.ndarray, mode: str) -> jnp.ndarray:
     """[R, W, Cin] -> [R-2, W, Cout]; SAME zero pad in W, VALID in rows.
 
     One im2col matmul per MXU pass ([rows·W, 9·Cin] @ [9·Cin, Cout]) instead
     of nine tap matmuls: the 9× longer contraction keeps the systolic array
     pipelined, and the bf16 hi/lo split happens once per tensor rather than
-    once per tap (27→1 VPU splits per conv). ``w.reshape(9C, Cout)``'s row
-    order (ky, kx, c) matches the tap-block order of :func:`_im2col`.
+    once per tap. ``w``'s reshape row order (ky, kx, c) matches the
+    tap-block order of :func:`_im2col`.
+    """
+    rows = x.shape[0] - 2
+    width = x.shape[1]
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if mode in ("f32", "highest"):
+        cout = w.shape[-1]
+        wm = w.reshape(9 * x.shape[2], cout)
+        if mode == "highest":
+            acc = jnp.dot(
+                _im2col(x, rows, width), wm,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            acc = d(_im2col(x, rows, width), wm)
+        return (acc + b.astype(jnp.float32)).reshape(rows, width, cout)
+    w_hi, w_lo = w
+    cout = w_hi.shape[-1]
+    wm_hi = w_hi.reshape(9 * x.shape[2], cout)
+    if mode == "bf16":
+        # Fast path: single MXU pass on the bf16-cast taps.
+        acc = d(_im2col(x.astype(jnp.bfloat16), rows, width), wm_hi)
+    else:
+        # Split into the bf16 hi/lo pair once, im2col each half (bf16 pads
+        # and slices are fine — only tpu.dynamic_rotate is 32-bit-limited).
+        wm_lo = w_lo.reshape(9 * x.shape[2], cout)
+        x_hi, x_lo = _split_hi_lo(x)
+        hi = _im2col(x_hi, rows, width)
+        if mode == "x2":
+            acc = d(hi, wm_hi) + d(hi, wm_lo)
+        else:
+            assert mode == "x3", mode
+            lo = _im2col(x_lo, rows, width)
+            acc = d(hi, wm_hi) + d(hi, wm_lo) + d(lo, wm_hi)
+    return (acc + b.astype(jnp.float32)).reshape(rows, width, cout)
+
+
+def _shifted_copies(a: jnp.ndarray, width: int) -> list[jnp.ndarray]:
+    """[kx] -> column-shifted tensors: out[kx][r, c, :] = a[r, c + kx - 1].
+
+    One W-pad concat, two materialized slice copies; the center tap reuses
+    ``a`` itself. SAME zero padding in W falls out of the pad.
+    """
+    zero = jnp.zeros((a.shape[0], 1, a.shape[2]), a.dtype)
+    xp = jnp.concatenate([zero, a, zero], axis=1)
+    return [xp[:, 0:width], a, xp[:, 2 : 2 + width]]
+
+
+def _conv3x3_preshift(x: jnp.ndarray, w, b: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """[R, W, Cin] -> [R-2, W, Cout]; 9 tap matmuls on pre-shifted copies.
+
+    Each bf16 half is materialized 3× total (original + one copy per column
+    shift, shared across the 3 row taps); the row taps are contiguous
+    leading-dim slices, so every tap matmul reads VMEM without further
+    relayout. Accumulation is a flat f32 sum of all tap/pass products;
+    the summation order differs from the im2col matmul's (which sums taps
+    inside each pass's matmul accumulator), so the formulations agree only
+    to f32 rounding of the tap partials (~1e-4 at unit-scale activations).
     """
     rows = x.shape[0] - 2
     width = x.shape[1]
     c = x.shape[2]
-    cout = w.shape[-1]
-    wm = w.reshape(9 * c, cout)
     d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    if mode == "x3":
-        # Split into the bf16 hi/lo pair once, im2col each half (bf16 pads
-        # and slices are fine — only tpu.dynamic_rotate is 32-bit-limited).
-        x = x.astype(jnp.float32)
-        x_hi = x.astype(jnp.bfloat16)
-        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        hi = _im2col(x_hi, rows, width)
-        lo = _im2col(x_lo, rows, width)
-        wm = wm.astype(jnp.float32)
-        w_hi = wm.astype(jnp.bfloat16)
-        w_lo = (wm - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = d(hi, w_hi) + d(hi, w_lo) + d(lo, w_hi)
-    elif mode == "bf16":
-        # Fast path: single MXU pass on the bf16-cast taps.
-        hi = _im2col(x.astype(jnp.bfloat16), rows, width)
-        acc = d(hi, wm.astype(jnp.bfloat16))
-    elif mode == "x2":
-        # Study mode: keep weight hi/lo, drop the activation-low pass.
-        hi = _im2col(x.astype(jnp.float32).astype(jnp.bfloat16), rows, width)
-        wm = wm.astype(jnp.float32)
-        w_hi = wm.astype(jnp.bfloat16)
-        w_lo = (wm - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = d(hi, w_hi) + d(hi, w_lo)
-    elif mode == "highest":
-        acc = jnp.dot(
-            _im2col(x, rows, width), wm,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+
+    if mode in ("f32", "highest"):
+        halves = [x.astype(jnp.float32)]
+        cout = w.shape[-1]
+
+        def passes(ky, kx):
+            wk = w[ky, kx]
+            if mode == "highest":
+                return [
+                    lambda a, wk=wk: jnp.dot(
+                        a, wk,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                ]
+            return [lambda a, wk=wk: d(a, wk)]
+
+        pass_half = [0]
     else:
-        assert mode == "f32", mode
-        acc = d(_im2col(x, rows, width), wm)
+        w_hi, w_lo = w
+        cout = w_hi.shape[-1]
+        if mode == "bf16":
+            halves = [x.astype(jnp.bfloat16)]
+
+            def passes(ky, kx):
+                return [lambda a, wk=w_hi[ky, kx]: d(a, wk)]
+
+            pass_half = [0]
+        else:
+            x_hi, x_lo = _split_hi_lo(x)
+            if mode == "x2":
+                halves = [x_hi]
+
+                def passes(ky, kx):
+                    return [
+                        lambda a, wk=w_hi[ky, kx]: d(a, wk),
+                        lambda a, wk=w_lo[ky, kx]: d(a, wk),
+                    ]
+
+                pass_half = [0, 0]
+            else:
+                assert mode == "x3", mode
+                halves = [x_hi, x_lo]
+
+                def passes(ky, kx):
+                    return [
+                        lambda a, wk=w_hi[ky, kx]: d(a, wk),
+                        lambda a, wk=w_lo[ky, kx]: d(a, wk),
+                        lambda a, wk=w_hi[ky, kx]: d(a, wk),
+                    ]
+
+                pass_half = [0, 0, 1]
+
+    shifted = [_shifted_copies(a, width) for a in halves]
+    acc = None
+    for ky in range(3):
+        for kx in range(3):
+            for fn, hi_ix in zip(passes(ky, kx), pass_half):
+                a = shifted[hi_ix][kx][ky : ky + rows].reshape(rows * width, c)
+                t = fn(a)
+                acc = t if acc is None else acc + t
     return (acc + b.astype(jnp.float32)).reshape(rows, width, cout)
 
 
-def _hr_tail_kernel(*refs, band: int, total_rows: int, mode: str):
+def _conv3x3(x, w, b, mode: str, formulation: str) -> jnp.ndarray:
+    if formulation == "preshift":
+        return _conv3x3_preshift(x, w, b, mode)
+    assert formulation == "im2col", formulation
+    return _conv3x3_im2col(x, w, b, mode)
+
+
+def _hr_tail_kernel(*refs, band: int, total_rows: int, mode: str, formulation: str):
     (a_up, a_mid, a_dn, d_up, d_mid, d_dn) = refs[:6]
-    w = dict(zip(WEIGHT_KEYS, refs[6:-1]))
+    wrefs = refs[6:-1]
     out_ref = refs[-1]
+    # Reassemble the weight dict: matmul weights arrive as (hi, lo) pairs in
+    # the bf16-pass modes (pre-split at trace time), single refs otherwise.
+    w: dict = {}
+    it = iter(wrefs)
+    paired = mode in ("x3", "x2", "bf16")
+    for k in WEIGHT_KEYS:
+        if paired and k in MATMUL_KEYS:
+            w[k] = (next(it)[:], next(it)[:])
+        else:
+            w[k] = next(it)[:]
 
     # Assemble the x band with 4-row halos from the 8-row halo views.
     def band_with_halo(up, mid, dn):
@@ -198,27 +304,29 @@ def _hr_tail_kernel(*refs, band: int, total_rows: int, mode: str):
         row = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1, 1), 0) + abs_start
         return jnp.where((row >= 0) & (row < total_rows), out, 0.0)
 
+    conv = functools.partial(_conv3x3, mode=mode, formulation=formulation)
+
     # fuse block 1 (projection shortcut): rows band+8 -> band+4
-    t = affine_relu(x, w["f1_a1"][:], w["f1_c1"][:], row0)
-    y = _conv3x3(t, w["f1_w1"][:], w["f1_b1"][:], mode)
-    t = affine_relu(y, w["f1_a2"][:], w["f1_c2"][:], row0 + 1)
-    y = _conv3x3(t, w["f1_w2"][:], w["f1_b2"][:], mode)
+    t = affine_relu(x, w["f1_a1"], w["f1_c1"], row0)
+    y = conv(t, w["f1_w1"], w["f1_b1"])
+    t = affine_relu(y, w["f1_a2"], w["f1_c2"], row0 + 1)
+    y = conv(t, w["f1_w2"], w["f1_b2"])
     cm = y.shape[-1]
     shortcut_in = x[2:-2].reshape((band + 4) * width, cin)
-    proj = _dot(shortcut_in, w["f1_pw"][:], mode) + w["f1_pb"][:]
+    proj = _dot(shortcut_in, w["f1_pw"], mode) + w["f1_pb"]
     y1 = y + proj.reshape(band + 4, width, cm)
 
     # fuse block 2 (identity shortcut): rows band+4 -> band
-    t = affine_relu(y1, w["f2_a1"][:], w["f2_c1"][:], row0 + 2)
-    y = _conv3x3(t, w["f2_w1"][:], w["f2_b1"][:], mode)
-    t = affine_relu(y, w["f2_a2"][:], w["f2_c2"][:], row0 + 3)
-    y = _conv3x3(t, w["f2_w2"][:], w["f2_b2"][:], mode)
+    t = affine_relu(y1, w["f2_a1"], w["f2_c1"], row0 + 2)
+    y = conv(t, w["f2_w1"], w["f2_b1"])
+    t = affine_relu(y, w["f2_a2"], w["f2_c2"], row0 + 3)
+    y = conv(t, w["f2_w2"], w["f2_b2"])
     y2 = y + y1[2:-2]
 
     # head (1x1) — stays high-precision even in bf16 mode, matching the
     # unfused path's bf16-body/f32-head policy (ADR-0005).
     head_mode = "x3" if mode == "bf16" else mode
-    out = _dot(y2.reshape(band * width, cm), w["head_w"][:], head_mode) + w["head_b"][:]
+    out = _dot(y2.reshape(band * width, cm), w["head_w"], head_mode) + w["head_b"]
     out_ref[0] = out.reshape(band, width, -1)
 
 
@@ -260,6 +368,7 @@ def hr_tail_pallas(
     band: int = 32,
     interpret: bool = False,
     mode: str | None = None,
+    formulation: str | None = None,
 ) -> jnp.ndarray:
     """Fused concat+resblock×2+head over NHWC features; returns [B,H,W,Ch].
 
@@ -269,6 +378,10 @@ def hr_tail_pallas(
     (single pass, f32 head), ``"highest"`` (Mosaic native fp32 contract),
     ``"x2"`` (two-pass study mode), or ``"f32"`` (plain dots — exact under
     interpret mode, where Mosaic precision attributes don't apply).
+
+    ``formulation`` selects the conv decomposition (module docstring);
+    default ``"preshift"``, env-overridable via
+    ``FLOODSR_HR_TAIL_FORMULATION``.
     """
     # Resolve the env-var default OUTSIDE the jit boundary: inside, the
     # first trace's value would stick in the cache for every later call
@@ -277,6 +390,10 @@ def hr_tail_pallas(
         mode = "f32" if interpret else os.environ.get(
             "FLOODSR_HR_TAIL_PRECISION", "x3"
         )
+    if formulation is None:
+        formulation = os.environ.get("FLOODSR_HR_TAIL_FORMULATION", "preshift")
+    if formulation not in FORMULATIONS:
+        raise ValueError(f"unknown formulation {formulation!r}; use {FORMULATIONS}")
     if mode == "f32" and not interpret:
         raise AssertionError(
             "mode='f32' is exact only under interpret mode; on hardware a "
@@ -285,11 +402,14 @@ def hr_tail_pallas(
             "Use 'x3' (HIGH semantics) or 'highest'."
         )
     return _hr_tail_pallas_jit(
-        sr_feat, dem_feat, *weights, band=band, interpret=interpret, mode=mode
+        sr_feat, dem_feat, *weights,
+        band=band, interpret=interpret, mode=mode, formulation=formulation,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret", "mode"))
+@functools.partial(
+    jax.jit, static_argnames=("band", "interpret", "mode", "formulation")
+)
 def _hr_tail_pallas_jit(
     sr_feat: jnp.ndarray,
     dem_feat: jnp.ndarray,
@@ -297,6 +417,7 @@ def _hr_tail_pallas_jit(
     band: int,
     interpret: bool,
     mode: str,
+    formulation: str,
 ) -> jnp.ndarray:
     assert sr_feat.ndim == 4 and dem_feat.ndim == 4
     assert band % HALO == 0, f"band {band} must be a multiple of {HALO}"
@@ -308,6 +429,16 @@ def _hr_tail_pallas_jit(
         raise AssertionError(f"height {h} not divisible by band {band}")
     n_bands = h // band
     halo_blocks_per_band = band // HALO
+
+    # Pre-split the matmul weights into bf16 (hi, lo) pairs at trace time so
+    # the kernel never burns VPU cycles re-splitting them per band.
+    kernel_weights: list[jnp.ndarray] = []
+    paired = mode in ("x3", "x2", "bf16")
+    for k, v in zip(WEIGHT_KEYS, weights):
+        if paired and k in MATMUL_KEYS:
+            kernel_weights.extend(_split_hi_lo(v))
+        else:
+            kernel_weights.append(v)
 
     def mid(bi, ri):
         return (bi, ri, 0, 0)
@@ -332,14 +463,17 @@ def _hr_tail_pallas_jit(
             pl.BlockSpec((1, HALO, width, c), dn, memory_space=pltpu.VMEM),
         ]
 
-    kernel = functools.partial(_hr_tail_kernel, band=band, total_rows=h, mode=mode)
+    kernel = functools.partial(
+        _hr_tail_kernel,
+        band=band, total_rows=h, mode=mode, formulation=formulation,
+    )
     return pl.pallas_call(
         kernel,
         grid=(b, n_bands),
         in_specs=[
             *views(ca),
             *views(cb),
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in WEIGHT_KEYS],
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in kernel_weights],
         ],
         out_specs=pl.BlockSpec((1, band, width, ch), mid, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, width, ch), jnp.float32),
@@ -351,7 +485,7 @@ def _hr_tail_pallas_jit(
     )(
         sr_feat.astype(jnp.float32), sr_feat.astype(jnp.float32), sr_feat.astype(jnp.float32),
         dem_feat.astype(jnp.float32), dem_feat.astype(jnp.float32), dem_feat.astype(jnp.float32),
-        *weights,
+        *kernel_weights,
     )
 
 

@@ -69,6 +69,59 @@ class TestHrTailKernel:
         assert float(np.abs(got - exact).max()) / scale < 0.15  # bf16-resolution drift
         assert float(np.sqrt(np.mean((got - exact) ** 2))) / scale < 0.02
 
+    def test_formulations_agree(self):
+        # im2col and preshift must agree to f32 rounding in every mode that
+        # runs on hardware, including the paired-weight bf16-pass modes and
+        # the whole-tile band (band == h: halo views clamp, affine_relu
+        # zeroes the out-of-image rows).
+        cfg, params, state = _setup(seed=7)
+        hr_w = cfg.base_filters * cfg.hr_s2d
+        rng = np.random.default_rng(3)
+        b, h, w = 1, 32, 128
+        sr = jnp.asarray(rng.normal(0, 1, (b, h, w, hr_w)).astype(np.float32))
+        dem = jnp.asarray(rng.normal(0, 1, (b, h, w, cfg.fuse_filters)).astype(np.float32))
+        weights = _pack(cfg, params, state)
+        want = np.asarray(_reference_tail(cfg, params, state, sr, dem))
+        for mode, tol in (("f32", 3e-5), ("x3", 3e-3), ("x2", 0.2), ("bf16", 0.5)):
+            outs = {}
+            for formulation in ("im2col", "preshift"):
+                for band in (8, h):
+                    got = np.asarray(
+                        hr_tail_pallas(
+                            sr, dem, *weights, band=band, interpret=True,
+                            mode=mode, formulation=formulation,
+                        )
+                    )
+                    np.testing.assert_allclose(
+                        got, want, atol=tol, rtol=tol,
+                        err_msg=f"{mode}/{formulation}/band={band} vs f32 chain",
+                    )
+                    outs[formulation, band] = got
+            # The formulations differ only in f32 summation order (im2col
+            # sums taps inside each pass's matmul accumulator; preshift
+            # accumulates tap partials) — in the non-compounding modes they
+            # must agree to that rounding, far tighter than the chain
+            # tolerance. The lossy x2/bf16 modes re-split activations per
+            # layer, so a 1-ulp order difference flips bf16 roundings whose
+            # dropped low terms land in the output — only the chain check
+            # above is meaningful there.
+            if mode in ("f32", "x3"):
+                np.testing.assert_allclose(
+                    outs["im2col", 8], outs["preshift", 8], atol=5e-4, rtol=5e-4,
+                    err_msg=f"formulation mismatch in mode {mode}",
+                )
+
+    def test_unknown_formulation_rejected(self):
+        cfg, params, state = _setup()
+        hr_w = cfg.base_filters * cfg.hr_s2d
+        sr = jnp.zeros((1, 16, 128, hr_w), jnp.float32)
+        dem = jnp.zeros((1, 16, 128, cfg.fuse_filters), jnp.float32)
+        with pytest.raises(ValueError, match="formulation"):
+            hr_tail_pallas(
+                sr, dem, *_pack(cfg, params, state),
+                band=16, interpret=True, formulation="winograd",
+            )
+
     def test_band_edges_and_single_band(self):
         # One band (no interior halo) and tall-many-bands must both match.
         cfg, params, state = _setup(seed=9)
