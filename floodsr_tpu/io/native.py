@@ -21,11 +21,21 @@ def _load() -> ctypes.CDLL | None:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB_PATH.exists():
-        # Not a terminal state: the library may be built later in this
-        # process (tests/build_native do exactly that) — re-check next call.
-        return None
     src = _LIB_PATH.parent / "tiff_codec.cc"
+    if not _LIB_PATH.exists():
+        # First use on a fresh checkout: build on demand when the source is
+        # present (a ~10 s g++ compile buys the 50-100x codec fast path —
+        # without this, every fresh install silently runs the pure-Python
+        # LZW encoder, minutes per 3840² float32 scene). A failed build is
+        # NOT terminal for the process (g++ may appear later), but don't
+        # retry on every call: build() itself retries transient failures.
+        if not src.exists():
+            return None
+        from floodsr_tpu.io.build_native import build
+
+        if build(verbose=False) is None:
+            _load_failed = True
+            return None
     if src.exists() and _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
         # Stale binary (source newer than the build): rebuild rather than
         # load a library with potentially fixed bugs still in it. A rebuild

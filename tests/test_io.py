@@ -190,6 +190,43 @@ class TestTiffCodec:
         assert lzw_decode(enc_c) == data
         assert native.lzw_decode(lzw_encode(data), len(data)) == data
 
+    def test_native_builds_on_demand_when_absent(self, tmp_path):
+        """A fresh checkout (no .so) must auto-build on first use.
+
+        Without this, every fresh install silently falls back to the
+        pure-Python LZW encoder (minutes per 3840² float32 scene — the
+        round-4 bench regression). Runs in a subprocess so this process's
+        cached ctypes handle is not disturbed.
+        """
+        import subprocess
+        import sys
+
+        from floodsr_tpu.io import native as native_mod
+
+        lib = native_mod._LIB_PATH
+        if not lib.exists():  # ensure there is a library to move aside
+            from floodsr_tpu.io.build_native import build
+
+            assert build() is not None, "g++ native codec build failed"
+        backup = tmp_path / lib.name
+        lib.rename(backup)
+        try:
+            code = (
+                "from floodsr_tpu.io import native; "
+                "import sys; sys.exit(0 if native.available() else 1)"
+            )
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=120,
+            )
+            assert proc.returncode == 0, proc.stderr
+            assert lib.exists(), "loader did not rebuild the missing library"
+        finally:
+            if not lib.exists():
+                backup.rename(lib)
+
     def test_native_decode_fuzz_matches_python(self, rng):
         """Random/corrupt streams: native decode agrees with the Python twin.
 
