@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any
 
@@ -572,7 +573,11 @@ def resunet_tail_apply(
             params["head"],
             bn_eps=cfg.bn_eps,
         )
-        band = 32 if tail_h % 32 == 0 else (16 if tail_h % 16 == 0 else 8)
+        band_env = os.environ.get("FLOODSR_HR_TAIL_BAND")
+        if band_env:
+            band = int(band_env)  # study knob (bin/hr_tail_study.py sweeps it)
+        else:
+            band = 32 if tail_h % 32 == 0 else (16 if tail_h % 16 == 0 else 8)
         out = hr_tail_pallas(
             x,
             dem_feat,
