@@ -162,6 +162,7 @@ def main() -> int:
         # repeats exist to sample tunnel variance — never let them starve
         # the primary device-pipeline measurement below.
         e2e_budget_s = float(os.environ.get("FLOODSR_BENCH_E2E_BUDGET_S", "1500"))
+        best_scene_timings = None
         with worker:
             for i in range(repeats):
                 out_fp = root / f"pred_{i}.tif"
@@ -173,6 +174,8 @@ def main() -> int:
                     window_method="feather",
                 )
                 times.append(time.perf_counter() - t0)
+                if times[-1] == min(times):
+                    best_scene_timings = result.get("scene_timings") or None
                 print(
                     f"# run {i}: {times[-1]:.3f}s "
                     f"({out_mp / times[-1]:.2f} MP/s, "
@@ -290,6 +293,20 @@ def main() -> int:
             "e2e_mps": round(e2e_mps, 3),
             "e2e_vs_baseline": round(e2e_mps / BASELINE_E2E_MPS, 2),
         }
+        if best_scene_timings:
+            # Budget decomposition of the best e2e run (see
+            # EngineJAX.run_scene docs): on this backend the e2e number is
+            # dominated by d2h_wait_s — the axon tunnel's ~25-35 MB/s
+            # device->host link, a harness artifact (PCIe on a real TPU
+            # host moves the same bands in milliseconds). host_post_s is
+            # the PRODUCT's host-side cost (dequant + resample + GeoTIFF
+            # encode), overlapped with later bands' async copies.
+            payload["e2e_scene_timings"] = best_scene_timings
+            d2h = float(best_scene_timings.get("d2h_wait_s", 0.0))
+            if d2h > 0:
+                payload["e2e_mps_excl_d2h_wait"] = round(
+                    out_mp / max(1e-9, best - d2h), 2
+                )
         if parity is not None:
             payload["parity_gate"] = parity
         if requalify is not None:

@@ -920,6 +920,19 @@ class EngineJAX(EngineBase):
             f"run_scene timings: h2d={t1 - t0:.3f}s exec={t2 - t1:.3f}s "
             f"d2h+post={t3 - t2:.3f}s tiles={n} bucket={bucket}"
         )
+        # Diagnostic-only breakdown of the last scene (read by the model
+        # worker into its diagnostics and by bench.py): separates device
+        # work from the host<->device transfers so tunnel/PCIe bandwidth is
+        # visible as its own budget line rather than folded into "e2e".
+        self.last_scene_timings = {
+            "h2d_s": round(t1 - t0, 4),
+            "exec_s": round(t2 - t1, 4),
+            "finish_s": round(t3 - t2, 4),
+            **{
+                k: round(v, 4)
+                for k, v in getattr(self, "_finish_timings", {}).items()
+            },
+        }
         return out_np, {
             "p_clip": stats_np[:, 0],
             "dem_min": stats_np[:, 1],
@@ -1112,6 +1125,7 @@ class EngineJAX(EngineBase):
         (``floodsr/models/ResUNet_16x_DEM.py:554-583``).
         """
         crop_h, crop_w = crop_shape
+        self._finish_timings = {}
         dequant = float(max_depth) / 65535.0 if self.output_transfer == "uint16" else None
 
         resampler = None
@@ -1202,8 +1216,13 @@ class EngineJAX(EngineBase):
                 row_sink(dst_rows)
 
         next_plain = 0
+        d2h_wait = 0.0
+        host_post = 0.0
         for (a, b), dev, skip in zip(bands, dev_bands, skip_rows):
+            tw0 = time.perf_counter()
             band_np = np.asarray(dev)[skip:, :crop_w]
+            tw1 = time.perf_counter()
+            d2h_wait += tw1 - tw0
             if dequant is not None:
                 band_np = band_np.astype(np.float32) * dequant
             else:
@@ -1215,6 +1234,13 @@ class EngineJAX(EngineBase):
             else:
                 emit(next_plain, band_np)
                 next_plain += band_np.shape[0]
+            host_post += time.perf_counter() - tw1
+        # Diagnostic split of the band loop: time blocked on the device→host
+        # copy (bandwidth-bound; a harness-tunnel artifact on the axon
+        # backend, PCIe-fast on a real TPU host) vs host compute (dequant +
+        # resample + row_sink encode, which OVERLAPS later bands' async
+        # copies). Stored for run_scene's last_scene_timings.
+        self._finish_timings = {"d2h_wait_s": d2h_wait, "host_post_s": host_post}
 
         if general_warp is not None:
             dst_shape, src_t, dst_t = general_warp

@@ -722,6 +722,14 @@ class ModelWorker(Model):
             "model_version": self.model_version,
             "model_fp": str(self.model_fp),
             "output_size_bytes": out_file_size,
+            # Device/transfer/host budget of the scene execution (see
+            # EngineJAX.run_scene): h2d_s, exec_s, finish_s, and finish's
+            # d2h_wait_s (blocked on the device->host copy — bandwidth-
+            # bound) vs host_post_s (dequant/resample/encode, overlapped
+            # with later bands' async copies).
+            "scene_timings": dict(
+                getattr(self.engine, "last_scene_timings", {}) or {}
+            ),
             "preprocess": {
                 "max_depth": float(preprocess_cfg["max_depth"]),
                 "dem_pct_clip": float(preprocess_cfg["dem_pct_clip"]),
