@@ -112,7 +112,8 @@ def main() -> int:
         if v == "xla":
             pallas = False
         else:
-            form = "im2col" if v.startswith("im2col") else "preshift"
+            form = next(f for f in ("im2col", "preshift", "winograd")
+                        if v.startswith(f))
             band = v[len(form):]
             os.environ["FLOODSR_HR_TAIL_FORMULATION"] = form
             os.environ["FLOODSR_HR_TAIL_BAND"] = band

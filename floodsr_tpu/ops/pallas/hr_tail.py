@@ -28,6 +28,17 @@ Two convolution formulations are selectable (``formulation=``):
   contiguous arrays, so the 9 taps feed the MXU directly as
   ``[rows·W, Cin] @ [Cin, Cout]`` accumulated in f32. ~4× less VMEM
   relayout traffic at the same MAC count.
+- ``"winograd"`` (round-4): F(2×2, 3×3) Winograd — 2.25× fewer MXU MACs.
+  Weights are transformed to the 16-position domain at trace time
+  (``G g Gᵀ``); inputs are transformed in-kernel with phase
+  (even/odd-polyphase) reshapes + static slices (no strided loads), each
+  position runs one ``[nH·nW, Cin] @ [Cin, Cout]`` matmul per bf16 pass,
+  and the 2×2 outputs accumulate through the ±1 inverse transform.
+  ``docs/perf/ceiling.md`` §3b rejected an XLA-level Winograd on HBM
+  traffic; this VMEM-resident form has no such traffic. Transforms are
+  exact in f32 (G's halves are exact in binary; Bᵀ/Aᵀ are ±1 sums), so
+  the bf16×3 product error grows only ~1.7× vs the direct conv
+  (measured; parity-gate margin is ~2.6×).
 
 Numerics match the unfused path at f32 (same BN-affine folding as inference
 ``_batch_norm``; tap matmuls accumulate in f32) and are formulation-
@@ -60,7 +71,7 @@ WEIGHT_KEYS = (
 # op at trace time instead of a VPU split re-run on every band of every tile.
 MATMUL_KEYS = frozenset({"f1_w1", "f1_w2", "f1_pw", "f2_w1", "f2_w2", "head_w"})
 
-FORMULATIONS = ("im2col", "preshift")
+FORMULATIONS = ("im2col", "preshift", "winograd")
 
 
 def _split_hi_lo(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -257,9 +268,94 @@ def _conv3x3_preshift(x: jnp.ndarray, w, b: jnp.ndarray, mode: str) -> jnp.ndarr
     return (acc + b.astype(jnp.float32)).reshape(rows, width, cout)
 
 
+def winograd_transform_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """``[3,3,Cin,Cout]`` → ``[16,Cin,Cout]``: ``U = G g Gᵀ`` per channel pair.
+
+    Trace-time (outside the kernel). G's entries are {0, ±0.5, 1} — the
+    halves are exact in binary floating point, so the transform itself adds
+    no rounding beyond f32 addition.
+    """
+    g = jnp.asarray(
+        [[1.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    u = jnp.einsum("ap,pqio,bq->abio", g, w.astype(jnp.float32), g)
+    return u.reshape(16, w.shape[2], w.shape[3])
+
+
+# Inverse-transform coefficients Aᵀ (F(2×2,3×3)): output row/col p takes
+# winograd positions a with these ±1 weights; zeros are skipped entirely.
+_AT = ((1, 1, 1, 0), (0, 1, -1, -1))
+
+
+def _conv3x3_winograd(x: jnp.ndarray, u, b: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """[R, W, Cin] -> [R-2, W, Cout] via F(2×2, 3×3).
+
+    ``u`` is the trace-time-transformed weight: ``[16, Cin, Cout]`` f32 in
+    the f32/highest modes, a ``(hi, lo)`` bf16 pair of that shape otherwise.
+    2.25× fewer MXU multiplies than the direct formulations; the input
+    transform is pure VPU adds over polyphase (even/odd) views built with
+    reshapes + static slices. Requires even R and W.
+    """
+    rr, width, c = x.shape
+    ro = rr - 2
+    assert ro % 2 == 0 and width % 2 == 0, (rr, width)
+    nh, nw = ro // 2, width // 2
+    x = x.astype(jnp.float32)
+
+    # SAME zero padding in W; xp has 2·(nw+1) columns, split into even/odd
+    # column phases so every Bᵀ column slice is a static slice (no strided
+    # loads in Mosaic).
+    zero = jnp.zeros((rr, 1, c), jnp.float32)
+    xp = jnp.concatenate([zero, x, zero], axis=1)  # [R, 2(nw+1), C]
+    ph = xp.reshape(rr, nw + 1, 2, c)
+    ce, co = ph[:, :, 0], ph[:, :, 1]  # even/odd column phases [R, nw+1, C]
+    s0, s1, s2, s3 = ce[:, :nw], co[:, :nw], ce[:, 1:], co[:, 1:]
+    # Column transform (Bᵀ · over the kx dim): [R, nw, C] each.
+    t_cols = (s0 - s2, s1 + s2, s2 - s1, s1 - s3)
+
+    cout = (u[0] if isinstance(u, tuple) else u).shape[-1]
+    y_acc: list[list] = [[None, None], [None, None]]
+    for b_ in range(4):
+        # Row phases of this column-transformed tensor: R = 2(nh+1) rows.
+        rph = t_cols[b_].reshape(nh + 1, 2, nw, c)
+        re, ro_ = rph[:, 0], rph[:, 1]  # [nh+1, nw, C]
+        p0, p1, p2, p3 = re[:nh], ro_[:nh], re[1:], ro_[1:]
+        v_rows = (p0 - p2, p1 + p2, p2 - p1, p1 - p3)
+        for a in range(4):
+            k = a * 4 + b_
+            wk = (u[0][k], u[1][k]) if isinstance(u, tuple) else u[k]
+            m = _dot(v_rows[a].reshape(nh * nw, c), wk, mode)
+            for p in range(2):
+                ca = _AT[p][a]
+                if ca == 0:
+                    continue
+                for q in range(2):
+                    cq = _AT[q][b_]
+                    if cq == 0:
+                        continue
+                    t = m if ca * cq == 1 else -m
+                    y_acc[p][q] = t if y_acc[p][q] is None else y_acc[p][q] + t
+
+    # Interleave the 2×2 output phases back to [ro, W, Cout]: columns first
+    # ([nh, nw, 2, C] reshape), then rows ([nh, 2, W, C] reshape).
+    def col_interleave(y0, y1):
+        z = jnp.stack(
+            [y0.reshape(nh, nw, cout), y1.reshape(nh, nw, cout)], axis=2
+        )
+        return z.reshape(nh, width, cout)
+
+    z0 = col_interleave(y_acc[0][0], y_acc[0][1])
+    z1 = col_interleave(y_acc[1][0], y_acc[1][1])
+    out = jnp.stack([z0, z1], axis=1).reshape(ro, width, cout)
+    return out + b.astype(jnp.float32)
+
+
 def _conv3x3(x, w, b, mode: str, formulation: str) -> jnp.ndarray:
     if formulation == "preshift":
         return _conv3x3_preshift(x, w, b, mode)
+    if formulation == "winograd":
+        return _conv3x3_winograd(x, w, b, mode)
     assert formulation == "im2col", formulation
     return _conv3x3_im2col(x, w, b, mode)
 
@@ -431,10 +527,15 @@ def _hr_tail_pallas_jit(
     halo_blocks_per_band = band // HALO
 
     # Pre-split the matmul weights into bf16 (hi, lo) pairs at trace time so
-    # the kernel never burns VPU cycles re-splitting them per band.
+    # the kernel never burns VPU cycles re-splitting them per band. In the
+    # winograd formulation the four 3×3 conv weights are first transformed
+    # to the 16-position domain (then split) — also at trace time.
+    conv3_keys = frozenset({"f1_w1", "f1_w2", "f2_w1", "f2_w2"})
     kernel_weights: list[jnp.ndarray] = []
     paired = mode in ("x3", "x2", "bf16")
     for k, v in zip(WEIGHT_KEYS, weights):
+        if formulation == "winograd" and k in conv3_keys:
+            v = winograd_transform_weights(v)
         if paired and k in MATMUL_KEYS:
             kernel_weights.extend(_split_hi_lo(v))
         else:
@@ -479,8 +580,10 @@ def _hr_tail_pallas_jit(
         out_shape=jax.ShapeDtypeStruct((b, h, width, ch), jnp.float32),
         # The fused intermediates (x/t/y per layer at band+halo rows) live on
         # the kernel's scoped-VMEM stack; the 16 MiB default rejects the
-        # flagship geometry. v5e has 128 MiB VMEM per core — allow most of it.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # flagship geometry. v5e has 128 MiB VMEM per core — allow most of it
+        # (the winograd formulation at band 32 needs 105+ MiB for its
+        # 16-position tensors).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=119 * 1024 * 1024),
         interpret=interpret,
     )(
         sr_feat.astype(jnp.float32), sr_feat.astype(jnp.float32), sr_feat.astype(jnp.float32),
