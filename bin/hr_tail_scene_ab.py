@@ -58,6 +58,11 @@ def main() -> int:
         help="tail-chunk override (0 = production choose_scene_chunk); "
         "e.g. 121 makes capacity exactly the feather grid (no dummy tiles)",
     )
+    ap.add_argument(
+        "--bucket", type=int, default=4096,
+        help="square scene bucket edge in HR px (default 4096 = the bench "
+        "scene; larger buckets measure scene-size throughput scaling)",
+    )
     args = ap.parse_args()
 
     from floodsr_tpu.engine.scene import (
@@ -76,7 +81,7 @@ def main() -> int:
     state = jax.device_put(state)
 
     tile, scale = cfg.hr_tile, cfg.scale
-    bucket = (4096, 4096)
+    bucket = (args.bucket, args.bucket)
     overlap = 8 * scale if args.mode == "feather" else 0
     stride = tile - overlap
     grid = build_window_grid(bucket[0], bucket[1], tile, stride)
@@ -90,7 +95,8 @@ def main() -> int:
     depth = jnp.asarray(
         rng.uniform(0, 3, (bucket[0] // scale, bucket[1] // scale)).astype(np.float32)
     )
-    out_mp = 3840 * 3840 / 1e6
+    content = args.bucket - 256 if args.bucket > 4096 else 3840
+    out_mp = content * content / 1e6
 
     def trunk(p, s, d, m):
         feat, _ = resunet_trunk_apply(
@@ -135,7 +141,7 @@ def main() -> int:
         print(
             json.dumps(
                 {
-                    "segment": f"scene_{args.mode}_{n_tiles}t_{v}#{i}",
+                    "segment": f"scene_{args.mode}_{args.bucket}px_{n_tiles}t_{v}#{i}",
                     "ms": round(dt * 1e3, 2),
                     "mp_per_s": round(out_mp / dt, 1),
                 }
