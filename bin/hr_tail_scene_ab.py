@@ -95,7 +95,9 @@ def main() -> int:
     depth = jnp.asarray(
         rng.uniform(0, 3, (bucket[0] // scale, bucket[1] // scale)).astype(np.float32)
     )
-    content = args.bucket - 256 if args.bucket > 4096 else 3840
+    # bench convention: 3840 content in the 4096 bucket; other sizes keep
+    # the same 256-px margin (never exceeding the bucket).
+    content = 3840 if args.bucket == 4096 else max(tile, args.bucket - 256)
     out_mp = content * content / 1e6
 
     def trunk(p, s, d, m):

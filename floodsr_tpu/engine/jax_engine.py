@@ -864,6 +864,9 @@ class EngineJAX(EngineBase):
         cfg = self.scene_config(tile_lr)
         tile, scale = cfg.hr_tile, cfg.scale
         crop_h, crop_w = int(crop_shape[0]), int(crop_shape[1])
+        # Cleared up front so a path that doesn't populate it (banded) never
+        # leaves a PREVIOUS scene's numbers in the diagnostics.
+        self.last_scene_timings = {}
         if self.mesh is not None and self.scene_mode == "banded":
             return self._run_scene_banded(
                 depth_raw, dem_raw,

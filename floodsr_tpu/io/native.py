@@ -14,7 +14,8 @@ from pathlib import Path
 
 _LIB_PATH = Path(__file__).parent / "_native" / "libfloodsr_tiff.so"
 _lib: ctypes.CDLL | None = None
-_load_failed = False
+_load_failed = False   # terminal: the .so exists but dlopen rejected it
+_build_failed = False  # non-terminal: skip re-running g++, still load if the .so appears
 
 
 def _load() -> ctypes.CDLL | None:
@@ -27,14 +28,19 @@ def _load() -> ctypes.CDLL | None:
         # present (a ~10 s g++ compile buys the 50-100x codec fast path —
         # without this, every fresh install silently runs the pure-Python
         # LZW encoder, minutes per 3840² float32 scene). A failed build is
-        # NOT terminal for the process (g++ may appear later), but don't
-        # retry on every call: build() itself retries transient failures.
+        # NOT terminal for the process: the library may still appear later
+        # (g++ installed, another worker builds it) and the exists() check
+        # above will load it then — but don't re-run the multi-second g++
+        # attempt on every call.
+        global _build_failed
         if not src.exists():
+            return None
+        if _build_failed:
             return None
         from floodsr_tpu.io.build_native import build
 
         if build(verbose=False) is None:
-            _load_failed = True
+            _build_failed = True
             return None
     if src.exists() and _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
         # Stale binary (source newer than the build): rebuild rather than

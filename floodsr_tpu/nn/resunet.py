@@ -573,10 +573,21 @@ def resunet_tail_apply(
             params["head"],
             bn_eps=cfg.bn_eps,
         )
+        # Study knob (bin/hr_tail_study.py sweeps it). Validated: a leaked
+        # or mistyped value must degrade to the auto band, not crash
+        # production inference inside the kernel's divisibility asserts.
+        # Read at trace time — like the formulation env, a change after the
+        # caller's executor is trace-cached has no effect.
+        band = 0
         band_env = os.environ.get("FLOODSR_HR_TAIL_BAND")
         if band_env:
-            band = int(band_env)  # study knob (bin/hr_tail_study.py sweeps it)
-        else:
+            try:
+                band = int(band_env)
+            except ValueError:
+                band = 0
+            if band <= 0 or band % 8 or tail_h % band:
+                band = 0
+        if not band:
             band = 32 if tail_h % 32 == 0 else (16 if tail_h % 16 == 0 else 8)
         out = hr_tail_pallas(
             x,

@@ -66,10 +66,25 @@ WEIGHT_KEYS = (
     "head_w", "head_b",
 )
 
-# Weights that feed MXU matmuls. In the bf16-pass modes ("x3"/"x2"/"bf16")
-# these are split into (hi, lo) bf16 pairs OUTSIDE the kernel — one tiny XLA
-# op at trace time instead of a VPU split re-run on every band of every tile.
+# Weights that feed MXU matmuls. In the bf16-pass modes these are split into
+# (hi, lo) bf16 pairs OUTSIDE the kernel — one tiny XLA op at trace time
+# instead of a VPU split re-run on every band of every tile.
 MATMUL_KEYS = frozenset({"f1_w1", "f1_w2", "f1_pw", "f2_w1", "f2_w2", "head_w"})
+
+
+def _weight_is_paired(key: str, mode: str) -> bool:
+    """Whether this weight ships as a (hi, lo) pair for ``mode``.
+
+    x3/x2 consume both halves of every matmul weight. Single-pass bf16
+    consumes only hi — shipping lo would DMA a dead tensor HBM→VMEM every
+    band — EXCEPT the head, which stays at x3 precision in bf16 mode
+    (ADR-0005 bf16-body/f32-head policy).
+    """
+    if key not in MATMUL_KEYS:
+        return False
+    if mode in ("x3", "x2"):
+        return True
+    return mode == "bf16" and key == "head_w"
 
 FORMULATIONS = ("im2col", "preshift", "winograd")
 
@@ -104,15 +119,20 @@ def _dot(a: jnp.ndarray, w, mode: str) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    w_hi, w_lo = w
     if mode == "bf16":
+        # Single-pass: only the hi half is consumed; the pre-split ships a
+        # bare bf16 weight (no dead lo half riding HBM→VMEM every band).
+        w_hi = w[0] if isinstance(w, tuple) else w
         return d(a.astype(jnp.bfloat16), w_hi)
-    a_hi, a_lo = _split_hi_lo(a)
+    w_hi, w_lo = w
     if mode == "x2":
-        # Study mode: two-pass product (drops the activation-low term).
-        # Parity margin vs the gate is recorded in docs/perf/kernel_study.json.
+        # Study mode: two-pass product (drops the activation-low term, so
+        # a_lo is never computed). Parity margin vs the gate is recorded in
+        # docs/perf/kernel_study.json.
+        a_hi = a.astype(jnp.float32).astype(jnp.bfloat16)
         return d(a_hi, w_hi) + d(a_hi, w_lo)
     assert mode == "x3", mode
+    a_hi, a_lo = _split_hi_lo(a)
     return d(a_hi, w_hi) + d(a_hi, w_lo) + d(a_lo, w_hi)
 
 
@@ -157,22 +177,23 @@ def _conv3x3_im2col(x: jnp.ndarray, w, b: jnp.ndarray, mode: str) -> jnp.ndarray
         else:
             acc = d(_im2col(x, rows, width), wm)
         return (acc + b.astype(jnp.float32)).reshape(rows, width, cout)
-    w_hi, w_lo = w
+    w_hi = w[0] if isinstance(w, tuple) else w
     cout = w_hi.shape[-1]
     wm_hi = w_hi.reshape(9 * x.shape[2], cout)
     if mode == "bf16":
-        # Fast path: single MXU pass on the bf16-cast taps.
+        # Fast path: single MXU pass on the bf16-cast taps (hi-only weight).
         acc = d(_im2col(x.astype(jnp.bfloat16), rows, width), wm_hi)
     else:
         # Split into the bf16 hi/lo pair once, im2col each half (bf16 pads
         # and slices are fine — only tpu.dynamic_rotate is 32-bit-limited).
-        wm_lo = w_lo.reshape(9 * x.shape[2], cout)
-        x_hi, x_lo = _split_hi_lo(x)
-        hi = _im2col(x_hi, rows, width)
+        wm_lo = w[1].reshape(9 * x.shape[2], cout)
         if mode == "x2":
+            hi = _im2col(x.astype(jnp.float32).astype(jnp.bfloat16), rows, width)
             acc = d(hi, wm_hi) + d(hi, wm_lo)
         else:
             assert mode == "x3", mode
+            x_hi, x_lo = _split_hi_lo(x)
+            hi = _im2col(x_hi, rows, width)
             lo = _im2col(x_lo, rows, width)
             acc = d(hi, wm_hi) + d(hi, wm_lo) + d(lo, wm_hi)
     return (acc + b.astype(jnp.float32)).reshape(rows, width, cout)
@@ -223,7 +244,7 @@ def _conv3x3_preshift(x: jnp.ndarray, w, b: jnp.ndarray, mode: str) -> jnp.ndarr
 
         pass_half = [0]
     else:
-        w_hi, w_lo = w
+        w_hi = w[0] if isinstance(w, tuple) else w
         cout = w_hi.shape[-1]
         if mode == "bf16":
             halves = [x.astype(jnp.bfloat16)]
@@ -233,9 +254,9 @@ def _conv3x3_preshift(x: jnp.ndarray, w, b: jnp.ndarray, mode: str) -> jnp.ndarr
 
             pass_half = [0]
         else:
-            x_hi, x_lo = _split_hi_lo(x)
+            w_lo = w[1]
             if mode == "x2":
-                halves = [x_hi]
+                halves = [x.astype(jnp.float32).astype(jnp.bfloat16)]
 
                 def passes(ky, kx):
                     return [
@@ -246,6 +267,7 @@ def _conv3x3_preshift(x: jnp.ndarray, w, b: jnp.ndarray, mode: str) -> jnp.ndarr
                 pass_half = [0, 0]
             else:
                 assert mode == "x3", mode
+                x_hi, x_lo = _split_hi_lo(x)
                 halves = [x_hi, x_lo]
 
                 def passes(ky, kx):
@@ -368,9 +390,8 @@ def _hr_tail_kernel(*refs, band: int, total_rows: int, mode: str, formulation: s
     # the bf16-pass modes (pre-split at trace time), single refs otherwise.
     w: dict = {}
     it = iter(wrefs)
-    paired = mode in ("x3", "x2", "bf16")
     for k in WEIGHT_KEYS:
-        if paired and k in MATMUL_KEYS:
+        if _weight_is_paired(k, mode):
             w[k] = (next(it)[:], next(it)[:])
         else:
             w[k] = next(it)[:]
@@ -532,12 +553,14 @@ def _hr_tail_pallas_jit(
     # to the 16-position domain (then split) — also at trace time.
     conv3_keys = frozenset({"f1_w1", "f1_w2", "f2_w1", "f2_w2"})
     kernel_weights: list[jnp.ndarray] = []
-    paired = mode in ("x3", "x2", "bf16")
     for k, v in zip(WEIGHT_KEYS, weights):
         if formulation == "winograd" and k in conv3_keys:
             v = winograd_transform_weights(v)
-        if paired and k in MATMUL_KEYS:
+        if _weight_is_paired(k, mode):
             kernel_weights.extend(_split_hi_lo(v))
+        elif mode == "bf16" and k in MATMUL_KEYS:
+            # Single-pass mode: ship the bf16 hi half only.
+            kernel_weights.append(v.astype(jnp.float32).astype(jnp.bfloat16))
         else:
             kernel_weights.append(v)
 

@@ -208,7 +208,9 @@ class TestTiffCodec:
             from floodsr_tpu.io.build_native import build
 
             assert build() is not None, "g++ native codec build failed"
-        backup = tmp_path / lib.name
+        # Back up within the same directory: a rename into pytest's tmp_path
+        # fails with EXDEV when /tmp is a different filesystem (tmpfs).
+        backup = lib.parent / (lib.name + ".test-backup")
         lib.rename(backup)
         try:
             code = (
@@ -224,7 +226,9 @@ class TestTiffCodec:
             assert proc.returncode == 0, proc.stderr
             assert lib.exists(), "loader did not rebuild the missing library"
         finally:
-            if not lib.exists():
+            if lib.exists():
+                backup.unlink(missing_ok=True)
+            else:
                 backup.rename(lib)
 
     def test_native_decode_fuzz_matches_python(self, rng):
