@@ -50,13 +50,24 @@ constexpr int kMaxCode = 4094;  // encoder resets before table overflows
 //      touching the hash once per EMITTED CODE instead of once per byte.
 //      The emitted stream stays byte-identical to the Python twin (pinned
 //      by the differential fuzz in tests/test_io.py).
+//   4. Length-2 strings live in a generation-stamped DIRECT 64K table
+//      (`two`): index (w<<8)|c, no hash compute, no probing. On noisy
+//      rasters (a trained SR output's wet cells) most lookups and most
+//      dictionary entries are 2-byte strings, so this removes the hash's
+//      collision pressure on the hot path and empties it for length>=3
+//      entries. Reset bumps the generation (no 256 KiB memset per dict
+//      reset; full clear only on 20-bit wrap). Measured on the real bench
+//      output (59 MB f32, 79% wet): 96 -> 130+ MB/s, byte-identical
+//      stream (docs/perf/encode_study.json, round 4).
 // ---------------------------------------------------------------------------
 
 constexpr int kHashBits = 13;
 constexpr int kHashSize = 1 << kHashBits;
 
 struct EncState {
-  uint32_t slot[kHashSize];   // [key:20 | code:12]; code 0 = empty
+  uint32_t slot[kHashSize];   // length>=3 strings: [key:20 | code:12]; 0 = empty
+  uint32_t two[65536];        // length==2 strings: [gen:20 | code:12]
+  uint32_t gen;               // current two[] generation stamp
   uint16_t run_code[256];     // code of the longest known run of byte b
   uint16_t run_len[256];      // its length (1 = just the literal)
 };
@@ -69,6 +80,11 @@ inline uint32_t enc_hash(uint32_t key) {
 
 inline void enc_reset(EncState* t) {
   std::memset(t->slot, 0, sizeof t->slot);
+  ++t->gen;
+  if (t->gen >= (1u << 20)) {  // stamp wrap: stale-gen entries could alias
+    std::memset(t->two, 0, sizeof t->two);
+    t->gen = 1;
+  }
   for (int b = 0; b < 256; ++b) {
     t->run_code[b] = static_cast<uint16_t>(b);
     t->run_len[b] = 1;
@@ -82,10 +98,12 @@ inline void store32be(unsigned char* p, uint32_t v) {
 
 long long lzw_encode_one(const unsigned char* src, long long src_len,
                          unsigned char* dst, long long dst_cap) {
-  if (g_enc == nullptr) g_enc = new EncState;
+  if (g_enc == nullptr) g_enc = new EncState();  // value-init zeroes two/gen
   EncState* t = g_enc;
   enc_reset(t);
   uint32_t* slot = t->slot;
+  uint32_t* two = t->two;
+  uint32_t gen = t->gen;
 
   uint64_t bitbuf = 0;
   int bitcnt = 0;
@@ -144,13 +162,18 @@ long long lzw_encode_one(const unsigned char* src, long long src_len,
         if (T <= m) goto generic;  // tail-only run: generic hits walk it
         while (T > m) {
           FSR_EMIT(zcode, width);
-          // Insert (Z_m, c) -> next_code into the hash so later generic
-          // lookups (shorter runs, other contexts) see it — the decoder
-          // creates this entry from the emitted stream either way.
-          const uint32_t key = (zcode << 8) | c;
-          uint32_t h = enc_hash(key);
-          while (slot[h] & 0xFFFu) h = (h + 1) & (kHashSize - 1);
-          slot[h] = (key << 12) | static_cast<uint32_t>(next_code);
+          // Insert (Z_m, c) -> next_code so later generic lookups (shorter
+          // runs, other contexts) see it — the decoder creates this entry
+          // from the emitted stream either way. Z_1 is the literal c, so
+          // the m==1 link is a length-2 string and lives in two[].
+          if (zcode < 256) {
+            two[(zcode << 8) | c] = (gen << 12) | static_cast<uint32_t>(next_code);
+          } else {
+            const uint32_t key = (zcode << 8) | c;
+            uint32_t h = enc_hash(key);
+            while (slot[h] & 0xFFFu) h = (h + 1) & (kHashSize - 1);
+            slot[h] = (key << 12) | static_cast<uint32_t>(next_code);
+          }
           zcode = static_cast<uint32_t>(next_code);
           ++next_code;
           if (next_code == (1 << width) && width < 12) ++width;
@@ -159,6 +182,7 @@ long long lzw_encode_one(const unsigned char* src, long long src_len,
           if (next_code == kMaxCode) {
             FSR_EMIT(kClear, width);
             enc_reset(t);
+            gen = t->gen;
             next_code = kFirst;
             width = 9;
             m = 1;
@@ -178,43 +202,76 @@ long long lzw_encode_one(const unsigned char* src, long long src_len,
 
       // ---- generic byte step --------------------------------------------
     generic:
-      const uint32_t key = (static_cast<uint32_t>(w) << 8) | c;
-      uint32_t h = enc_hash(key);
-      uint32_t e = slot[h];
-      if (__builtin_expect((e >> 12) == key, 1) && (e & 0xFFFu)) {
-        w = static_cast<int>(e & 0xFFFu);
-        check_run = false;
+      if (w < 256) {
+        // Length-2 string: direct-indexed, generation-stamped lookup.
+        const uint32_t idx = (static_cast<uint32_t>(w) << 8) | c;
+        const uint32_t e = two[idx];
+        if ((e >> 12) == gen) {
+          w = static_cast<int>(e & 0xFFFu);
+          check_run = false;
+          ++i;
+          continue;
+        }
+        FSR_EMIT(w, width);
+        two[idx] = (gen << 12) | static_cast<uint32_t>(next_code);
+        if (w == t->run_code[c]) {
+          t->run_code[c] = static_cast<uint16_t>(next_code);
+          t->run_len[c] = static_cast<uint16_t>(t->run_len[c] + 1);
+        }
+        ++next_code;
+        if (next_code == (1 << width) && width < 12) ++width;
+        if (next_code == kMaxCode) {
+          FSR_EMIT(kClear, width);
+          enc_reset(t);
+          gen = t->gen;
+          next_code = kFirst;
+          width = 9;
+        }
+        w = c;
+        check_run = true;  // fresh literal: the next bytes may open a run
         ++i;
         continue;
       }
-      while (e & 0xFFFu) {  // occupied by another key: linear probe
-        h = (h + 1) & (kHashSize - 1);
-        e = slot[h];
-        if ((e >> 12) == key && (e & 0xFFFu)) {
+      {
+        const uint32_t key = (static_cast<uint32_t>(w) << 8) | c;
+        uint32_t h = enc_hash(key);
+        uint32_t e = slot[h];
+        if (__builtin_expect((e >> 12) == key, 1) && (e & 0xFFFu)) {
           w = static_cast<int>(e & 0xFFFu);
           check_run = false;
-          goto matched;
+          ++i;
+          continue;
         }
+        while (e & 0xFFFu) {  // occupied by another key: linear probe
+          h = (h + 1) & (kHashSize - 1);
+          e = slot[h];
+          if ((e >> 12) == key && (e & 0xFFFu)) {
+            w = static_cast<int>(e & 0xFFFu);
+            check_run = false;
+            goto matched;
+          }
+        }
+        FSR_EMIT(w, width);
+        slot[h] = (key << 12) | static_cast<uint32_t>(next_code);
+        // Track pure-run chain extensions for the fast path: (Z_m, c) with
+        // w == current longest run of c extends that chain.
+        if (w == t->run_code[c]) {
+          t->run_code[c] = static_cast<uint16_t>(next_code);
+          t->run_len[c] = static_cast<uint16_t>(t->run_len[c] + 1);
+        }
+        ++next_code;
+        // Encoder is one entry ahead of the decoder; widen at 2^width.
+        if (next_code == (1 << width) && width < 12) ++width;
+        if (next_code == kMaxCode) {
+          FSR_EMIT(kClear, width);
+          enc_reset(t);
+          gen = t->gen;
+          next_code = kFirst;
+          width = 9;
+        }
+        w = c;
+        check_run = true;  // fresh literal: the next bytes may open a run
       }
-      FSR_EMIT(w, width);
-      slot[h] = (key << 12) | static_cast<uint32_t>(next_code);
-      // Track pure-run chain extensions for the fast path: (Z_m, c) with
-      // w == current longest run of c extends that chain.
-      if (w == t->run_code[c]) {
-        t->run_code[c] = static_cast<uint16_t>(next_code);
-        t->run_len[c] = static_cast<uint16_t>(t->run_len[c] + 1);
-      }
-      ++next_code;
-      // Encoder is one entry ahead of the decoder; widen at 2^width.
-      if (next_code == (1 << width) && width < 12) ++width;
-      if (next_code == kMaxCode) {
-        FSR_EMIT(kClear, width);
-        enc_reset(t);
-        next_code = kFirst;
-        width = 9;
-      }
-      w = c;
-      check_run = true;  // fresh literal: the next bytes may open a run
     matched:
       ++i;
     }
