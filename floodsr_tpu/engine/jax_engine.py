@@ -758,7 +758,7 @@ class EngineJAX(EngineBase):
             n_bands = int(self.mesh.shape[self.batch_axis])
             warmed = set()
             for shape in crop_shapes:
-                fn, bucket, chunk, cap = self.banded_scene_executor(
+                fn, bucket, chunk, cap, _transposed = self.banded_scene_executor(
                     (int(shape[0]), int(shape[1])),
                     stride_hr=stride_hr, overlap_hr=overlap_hr,
                     max_depth=max_depth, dem_pct_clip=dem_pct_clip,
@@ -952,11 +952,19 @@ class EngineJAX(EngineBase):
         dem_pct_clip: float,
         tile_lr: "int | None" = None,
     ):
-        """Get-or-build the banded executor for ``crop_shape``; ``(fn, bucket, chunk)``.
+        """Get-or-build the banded executor for ``crop_shape``.
 
-        Shared by :meth:`_run_scene_banded` and :meth:`warmup` so a
+        Returns ``(fn, bucket, chunk, cap, transposed)``. Shared by
+        :meth:`_run_scene_banded` and :meth:`warmup` so a
         ``scene_mode="banded"`` server warms the executable real requests
         actually hit (the replicated executor uses a different cache key).
+
+        ``transposed=True`` means the executor bands the scene by COLUMNS:
+        ``bucket`` (and the grid/pack the caller must build) live in the
+        TRANSPOSED scene space. Chosen automatically when row banding would
+        pad a wide scene's rows >=2x but column banding would not — the
+        executor restores tile orientation internally so numerics match the
+        replicated path exactly (see ``scene_banded.build_banded_scene_executor``).
         """
         from floodsr_tpu.engine.scene_banded import build_banded_scene_executor
 
@@ -964,31 +972,45 @@ class EngineJAX(EngineBase):
         cfg = self.scene_config(tile_lr)
         tile = cfg.hr_tile
         n_bands = int(self.mesh.shape[self.batch_axis])
-        bucket = self.scene_bucket_for(
-            (int(crop_shape[0]), int(crop_shape[1])), tile_lr
-        )
-        # Bands must divide the bucket rows and hold >= 1 tile each.
         quantum = n_bands * tile
-        bucket = (-(-bucket[0] // quantum) * quantum, bucket[1])
+
+        def banded_bucket(shape):
+            # Bands must divide the bucket rows and hold >= 1 tile each.
+            b = self.scene_bucket_for((int(shape[0]), int(shape[1])), tile_lr)
+            return (-(-b[0] // quantum) * quantum, b[1])
+
+        crop = (int(crop_shape[0]), int(crop_shape[1]))
+        bucket = banded_bucket(crop)
         # Banding is ROW-wise: a scene much wider than tall cannot use the
         # mesh efficiently — the row quantum pads H with dummy compute every
-        # band re-pays. Fail loudly with the numbers instead of silently
-        # burning >=2x HBM+FLOPs (VERDICT r3 weak #3: wide scenes).
-        content_h = -(-int(crop_shape[0]) // tile) * tile
+        # band re-pays. For those, band the COLUMNS instead by running the
+        # whole pipeline on the transposed scene (tiles are re-oriented
+        # inside the executor, so numerics are unchanged). Fail loudly with
+        # the numbers only when NEITHER orientation offers >=1 content tile
+        # row per band without >=2x padding (VERDICT r3 weak #3).
+        content_h = -(-crop[0] // tile) * tile
+        transposed = False
         if bucket[0] >= 2 * content_h:
-            n_useful = max(1, content_h // tile)
-            dem_gb = bucket[0] * bucket[1] * 4 / 1e9
-            raise ValueError(
-                f"scene too wide to band: row banding over {n_bands} bands "
-                f"needs a {quantum}-row quantum, padding the "
-                f"{crop_shape[0]}-row scene to {bucket[0]} rows "
-                f"({bucket[0] / content_h:.1f}x the content, "
-                f"~{dem_gb:.2f} GB DEM in HBM plus accumulators, and the "
-                f"same factor in dummy tile compute). Use "
-                f"scene_mode='replicated' (dp over tile chunks, no row "
-                f"quantum), or a mesh with dp<={n_useful} so each band "
-                f"holds >=1 content tile row."
-            )
+            bucket_t = banded_bucket((crop[1], crop[0]))
+            content_w = -(-crop[1] // tile) * tile
+            if bucket_t[0] < 2 * content_w:
+                transposed = True
+                bucket = bucket_t
+            else:
+                n_useful = max(1, max(content_h, content_w) // tile)
+                dem_gb = bucket[0] * bucket[1] * 4 / 1e9
+                raise ValueError(
+                    f"scene too small to band: banding over {n_bands} bands "
+                    f"needs a {quantum}-px quantum on the banded axis, "
+                    f"padding the {crop} scene to {bucket[0]} rows "
+                    f"({bucket[0] / content_h:.1f}x the content, "
+                    f"~{dem_gb:.2f} GB DEM in HBM plus accumulators, and the "
+                    f"same factor in dummy tile compute) in BOTH "
+                    f"orientations. Use scene_mode='replicated' (dp over "
+                    f"tile chunks, no row quantum), or a mesh with "
+                    f"dp<={n_useful} so each band holds >=1 content tile "
+                    f"row."
+                )
         chunk = max(1, int(self.max_batch))
         # Bucket-level tile capacity per band: every content grid within
         # the bucket packs to THIS shape, so one compiled executable serves
@@ -1007,7 +1029,7 @@ class EngineJAX(EngineBase):
 
         key = ("scene-banded", bucket, int(stride_hr), int(overlap_hr),
                float(max_depth), float(dem_pct_clip), self.output_transfer,
-               chunk, tile)
+               chunk, tile, transposed)
         fn = self._jit_cache.get(key)
         if fn is None:
             fn, _ = build_banded_scene_executor(
@@ -1017,9 +1039,10 @@ class EngineJAX(EngineBase):
                 batch_axis=self.batch_axis, compute_dtype=self.compute_dtype,
                 forward_fn=self.forward_callable(),
                 transfer_dtype=self.output_transfer,
+                transposed=transposed,
             )
             self._jit_cache[key] = fn
-        return fn, bucket, chunk, cap
+        return fn, bucket, chunk, cap, transposed
 
     def _run_scene_banded(
         self,
@@ -1052,14 +1075,20 @@ class EngineJAX(EngineBase):
         tile, scale = cfg.hr_tile, cfg.scale
         crop_h, crop_w = crop_shape
         n_bands = int(self.mesh.shape[self.batch_axis])
-        fn, bucket, chunk, cap = self.banded_scene_executor(
+        fn, bucket, chunk, cap, transposed = self.banded_scene_executor(
             (crop_h, crop_w),
             stride_hr=stride_hr, overlap_hr=overlap_hr,
             max_depth=max_depth, dem_pct_clip=dem_pct_clip, tile_lr=tile_lr,
         )
 
-        content_h = min(bucket[0], -(-crop_h // tile) * tile)
-        content_w = min(bucket[1], -(-crop_w // tile) * tile)
+        # Column banding (wide scenes): the whole banded pipeline — grid,
+        # pack, executor, band merge — runs in the TRANSPOSED scene space;
+        # the executor re-orients each tile internally and the merged scene
+        # is transposed back on device before _finish_scene, so results are
+        # identical to the replicated path.
+        eff_h, eff_w = (crop_w, crop_h) if transposed else (crop_h, crop_w)
+        content_h = min(bucket[0], -(-eff_h // tile) * tile)
+        content_w = min(bucket[1], -(-eff_w // tile) * tile)
         grid = build_window_grid(content_h, content_w, tile, int(stride_hr))
         n = len(grid["y0"])
 
@@ -1067,6 +1096,9 @@ class EngineJAX(EngineBase):
         dem_np = np.zeros(bucket, np.float32)
         depth_host = np.asarray(depth_raw, np.float32)
         dem_host = np.asarray(dem_raw, np.float32)
+        if transposed:
+            depth_host = np.ascontiguousarray(depth_host.T)
+            dem_host = np.ascontiguousarray(dem_host.T)
         depth_np[: depth_host.shape[0], : depth_host.shape[1]] = depth_host
         dem_np[: dem_host.shape[0], : dem_host.shape[1]] = dem_host
 
@@ -1085,6 +1117,11 @@ class EngineJAX(EngineBase):
         # round-trip the full bucket through the tunnel just for
         # _finish_scene to pull it down a second time.
         out = bands.reshape(bucket)
+        if transposed:
+            # Back to the original orientation for the crop/resample/stream
+            # finish. One device transpose of the merged bucket; XLA inserts
+            # the band-shard exchange (tile×W per seam-equivalent) here.
+            out = self._transpose_fn(out.shape, out.dtype)(out)
         stats_np = np.asarray(stats)  # [dp, cap, 3] band-grouped
 
         # Reassemble per-tile stats into grid order via the slot map.
@@ -1252,6 +1289,20 @@ class EngineJAX(EngineBase):
         elif resampler is not None:
             assert resampler.complete, "streaming resample did not cover all rows"
         return final
+
+    def _transpose_fn(self, src_shape, src_dtype):
+        """Jitted 2-D transpose, cached per geometry (column-banded finish).
+
+        Keeps the transposed→original re-orientation of a column-banded
+        scene as ONE compiled program per bucket geometry instead of an
+        eager op that would recompile per call site.
+        """
+        key = ("transpose", tuple(src_shape), str(src_dtype))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda x: jnp.swapaxes(x, 0, 1))
+            self._jit_cache[key] = fn
+        return fn
 
     def _row_slice_fn(self, src_shape, src_dtype, rows: int, cols: int):
         """Jitted row-band slice with a RUNTIME start offset.

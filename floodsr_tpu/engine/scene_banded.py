@@ -181,6 +181,7 @@ def build_banded_scene_executor(
     compute_dtype=jnp.float32,
     forward_fn=None,
     transfer_dtype: str = "float32",
+    transposed: bool = False,
 ):
     """Compile the banded executor for one bucket over ``mesh[batch_axis]``.
 
@@ -189,6 +190,17 @@ def build_banded_scene_executor(
     see :func:`banded_in_shardings`) and returns ``(bands, stats)`` where
     ``bands`` is ``[dp, band, W]`` (caller concatenates) and ``stats`` is
     ``[dp, cap, 3]`` per-band tile stats (dummy slots zero).
+
+    ``transposed=True`` is the COLUMN-banding mode for wide scenes (W >> H):
+    the caller feeds the TRANSPOSED scene (and a grid built on it), so "row"
+    bands shard the original scene's columns. Each gathered tile is a
+    transposed view of an original tile; it is swapped back to the original
+    orientation before the forward (convs are not transpose-equivariant) and
+    the prediction swapped again before the scatter, so per-tile numerics are
+    bit-identical to the unsharded executor and the caller's final
+    transpose-back reproduces it exactly. The feather weights need no
+    special-casing: the separable ramp construction is symmetric, so weights
+    built from the transposed grid's edge flags ARE the transposed weights.
     """
     tile = cfg.hr_tile
     lr_tile = cfg.lr_tile
@@ -210,6 +222,12 @@ def build_banded_scene_executor(
                 depth_local, y0c // scale, x0c // scale, lr_tile
             )
             dem_tiles = _gather_tiles(dem_local, y0c, x0c, tile)
+            if transposed:
+                # Column-banding: the scene is transposed, so gathered tiles
+                # are transposed views of the original tiles — restore the
+                # original orientation for the forward.
+                depth_tiles = jnp.swapaxes(depth_tiles, -2, -1)
+                dem_tiles = jnp.swapaxes(dem_tiles, -2, -1)
             depth_norm = scale_depth_log1p(depth_tiles, max_depth)
             dem_norm, stats = normalize_dem_batch(dem_tiles, dem_pct_clip)
             if forward_fn is not None:
@@ -223,6 +241,9 @@ def build_banded_scene_executor(
                     cfg, train=False, compute_dtype=compute_dtype,
                 )
             pred_m = invert_depth_log1p(pred_norm[..., 0], max_depth)
+            if transposed:
+                # Back to transposed-scene orientation for the scatter.
+                pred_m = jnp.swapaxes(pred_m, -2, -1)
             weights = _feather_weights_chunk(
                 tile, overlap_hr, ci["yf"], ci["yl"], ci["xf"], ci["xl"],
                 ci["valid"],

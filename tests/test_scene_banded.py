@@ -205,7 +205,7 @@ class TestBandedWarmup:
         )
         # The shapes that drive jit specialization: warmup's bucket grid and
         # the real request's content grid must pack identically.
-        _, bucket, chunk, cap = eng.banded_scene_executor(
+        _, bucket, chunk, cap, _transposed = eng.banded_scene_executor(
             crop, stride_hr=STRIDE, overlap_hr=OVERLAP,
             max_depth=MAX_DEPTH, dem_pct_clip=PCT,
         )
@@ -232,10 +232,12 @@ class TestBandedWarmup:
         eng.close()
 
 
-class TestWideSceneGuard:
-    def test_scene_too_wide_to_band_raises_with_hbm_math(self, tmp_path):
-        """Row banding on a wide, short scene must fail loudly, not silently
-        pad >=2x the content rows with dummy compute (VERDICT r3 weak #3)."""
+class TestWideSceneBanding:
+    def test_wide_scene_bands_by_columns_and_matches_replicated(self, tmp_path):
+        """A scene much wider than tall (1 tile row x 24 tile cols) bands by
+        COLUMNS (the whole banded pipeline runs on the transposed scene, tiles
+        re-oriented inside the executor) and must match the replicated path
+        numerically (VERDICT r3 weak #3: wide scenes)."""
         from floodsr_tpu.engine import EngineJAX
         from floodsr_tpu.nn.checkpoint import save_artifact
 
@@ -243,10 +245,55 @@ class TestWideSceneGuard:
         fp = tmp_path / "tiny.fsrz"
         save_artifact(fp, CFG, params, state, {"purpose": "wide-scene test"})
         mesh = make_mesh(8, tp=1)
-        eng = EngineJAX(fp, max_batch=2, mesh=mesh, scene_mode="banded")
         rng = np.random.default_rng(0)
         h, w = CFG.hr_tile, CFG.hr_tile * 24  # 1 tile row, 24 tile cols
-        with pytest.raises(ValueError, match="too wide to band"):
+        depth = rng.uniform(0, 3, (h // CFG.scale, w // CFG.scale)).astype(np.float32)
+        dem = rng.uniform(300, 800, (h, w)).astype(np.float32)
+        outs = {}
+        for mode in ("replicated", "banded"):
+            eng = EngineJAX(
+                fp, max_batch=4, mesh=mesh, scene_mode=mode,
+                output_transfer="float32",
+            )
+            if mode == "banded":
+                _, _, _, _, transposed = eng.banded_scene_executor(
+                    (h, w), stride_hr=STRIDE, overlap_hr=OVERLAP,
+                    max_depth=MAX_DEPTH, dem_pct_clip=PCT,
+                )
+                assert transposed, "wide scene should select column banding"
+            out, stats = eng.run_scene(
+                depth, dem, stride_hr=STRIDE, overlap_hr=OVERLAP,
+                max_depth=MAX_DEPTH, dem_pct_clip=PCT, crop_shape=(h, w),
+            )
+            outs[mode] = (out, stats)
+            eng.close()
+        np.testing.assert_allclose(
+            outs["banded"][0], outs["replicated"][0], atol=1e-4, rtol=0
+        )
+        # Per-tile stats come back in the transposed grid's enumeration
+        # order; compare as multisets.
+        for k in outs["replicated"][1]:
+            np.testing.assert_allclose(
+                np.sort(outs["banded"][1][k]),
+                np.sort(outs["replicated"][1][k]),
+                atol=1e-4,
+            )
+
+    def test_scene_too_small_to_band_raises_with_hbm_math(self, tmp_path):
+        """A scene with <1 content tile per band in BOTH orientations must
+        fail loudly with the padding/HBM math, not silently burn >=2x dummy
+        compute (VERDICT r3 weak #3)."""
+        from floodsr_tpu.engine import EngineJAX
+        from floodsr_tpu.nn.checkpoint import save_artifact
+
+        params, state = init_resunet(3, CFG)
+        fp = tmp_path / "tiny.fsrz"
+        save_artifact(fp, CFG, params, state, {"purpose": "small-scene test"})
+        mesh = make_mesh(8, tp=1)
+        eng = EngineJAX(fp, max_batch=2, mesh=mesh, scene_mode="banded")
+        rng = np.random.default_rng(0)
+        h = w = CFG.hr_tile * 3  # 3x3 tiles: 8-band quantum pads >=2x both ways
+        with pytest.raises(ValueError, match="too small to band"):
             eng.run_scene(
                 rng.uniform(0, 3, (h // CFG.scale, w // CFG.scale)).astype(np.float32),
                 rng.uniform(300, 800, (h, w)).astype(np.float32),
