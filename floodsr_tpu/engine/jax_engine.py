@@ -1264,7 +1264,8 @@ class EngineJAX(EngineBase):
             tw1 = time.perf_counter()
             d2h_wait += tw1 - tw0
             if dequant is not None:
-                band_np = band_np.astype(np.float32) * dequant
+                band_np = band_np.astype(np.float32)
+                band_np *= dequant  # in place: skip a second full-band temporary
             else:
                 band_np = np.asarray(band_np, np.float32)
             if resampler is not None:

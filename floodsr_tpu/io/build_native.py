@@ -20,23 +20,27 @@ def build(verbose: bool = True, retries: int = 1) -> Path | None:
     # half-written .so must never be visible to concurrent loaders (dlopen
     # of a truncated file fails hard).
     tmp = src_dir / f".libfloodsr_tiff.{os.getpid()}.so.tmp"
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        "-o", str(tmp), str(src),
-    ]
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+    # -march=native: the library is always built on the host that runs it
+    # (on-demand build in io/native.py), so host-specific codegen is safe —
+    # measured ~10% on the LZW encode core (A-B-A, real bench corpus). The
+    # no-march fallback covers toolchains that reject the flag.
+    flag_sets = [base + ["-march=native"], base]
     last_err = ""
     for attempt in range(retries + 1):
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-            tmp.replace(out)
-            if verbose:
-                print(f"built {out}")
-            return out
-        except (subprocess.CalledProcessError, FileNotFoundError, OSError) as err:
-            last_err = getattr(err, "stderr", "") or str(err)
-            tmp.unlink(missing_ok=True)
-            if attempt < retries:
-                time.sleep(1.0)  # transient (e.g. memory pressure): retry once
+        for flags in flag_sets:
+            cmd = flags + ["-o", str(tmp), str(src)]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, text=True)
+                tmp.replace(out)
+                if verbose:
+                    print(f"built {out}")
+                return out
+            except (subprocess.CalledProcessError, FileNotFoundError, OSError) as err:
+                last_err = getattr(err, "stderr", "") or str(err)
+                tmp.unlink(missing_ok=True)
+        if attempt < retries:
+            time.sleep(1.0)  # transient (e.g. memory pressure): retry once
     if verbose:
         print(f"native codec build failed: {last_err}", file=sys.stderr)
     return None

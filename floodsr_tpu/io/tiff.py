@@ -972,6 +972,12 @@ class StripStreamWriter:
         if rows_per_strip is None:
             target = 1 << 18
             rows_per_strip = max(1, min(self._height, target // max(1, width * itemsize)))
+            # Round down to a power of two: callers stream power-of-two row
+            # bands (the engine's 512-row D2H bands), and a divisor strip
+            # height lets write_rows flush every band with zero carry-over —
+            # no vstack copy of the pending remainder per band (~one full
+            # extra pass over the scene on the 1-core host budget).
+            rows_per_strip = 1 << (int(rows_per_strip).bit_length() - 1)
         self._rps = int(rows_per_strip)
         self._pending = np.empty((0, self._width), self._dtype)
         self._rows_done = 0
