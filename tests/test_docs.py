@@ -87,3 +87,33 @@ class TestContainerfile:
     def test_entrypoint_unchanged(self):
         text = self.DOCKERFILE.read_text(encoding="utf-8")
         assert 'ENTRYPOINT ["floodsr"]' in text
+
+
+@pytest.mark.sphinx
+class TestSphinxBuild:
+    """The RTD pipeline (.readthedocs.yaml + docs/conf.py) actually builds.
+
+    Plays the reference's ``sphinx``-marked docs gate
+    (reference: ``tests/test_docs.py:14-43``, CI runs ``-m "not sphinx"``):
+    skipped wherever Sphinx is not installed (it is a docs-only dependency,
+    ``docs/requirements.txt``), exercised on docs-building hosts and RTD.
+    """
+
+    def test_sphinx_html_build_succeeds(self, tmp_path):
+        pytest.importorskip("sphinx")
+        pytest.importorskip("myst_parser")
+        proc = subprocess.run(
+            [sys.executable, "-m", "sphinx", "-b", "html", "-W",
+             "--keep-going", str(REPO / "docs"), str(tmp_path / "html")],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert (tmp_path / "html" / "index.html").exists()
+
+    def test_rtd_config_points_at_existing_files(self):
+        text = (REPO / ".readthedocs.yaml").read_text(encoding="utf-8")
+        for needle in ("docs/conf.py", "docs/requirements.txt"):
+            assert needle in text
+            assert (REPO / needle).exists()
