@@ -146,6 +146,7 @@ _MACHINE_SCHEMA: dict[str, tuple[str, bool]] = {
     "fetch_buildings": ("--fetch-buildings", True),
     "mesh": ("--mesh", False),
     "scene_mode": ("--scene-mode", False),
+    "output_compress": ("--output-compress", False),
 }
 
 
@@ -273,6 +274,7 @@ def _cmd_tohr(args: argparse.Namespace) -> int:
         tile_overlap=args.tile_overlap,
         tile_size=args.tile_size,
         input_kind=args.input_kind,
+        output_compress=args.output_compress or config.output_compress,
         logger=log,
         engine_options={
             "compute_dtype": config.compute_dtype,
@@ -454,7 +456,10 @@ def _cmd_serve(args: argparse.Namespace) -> int:
             "input_transfer": config.input_transfer,
             **mesh_options,
         },
-        run_defaults={"window_method": config.window_method},
+        run_defaults={
+            "window_method": config.window_method,
+            "output_compress": config.output_compress,
+        },
         max_pending=args.max_pending,
         auth_token=auth_token,
         data_root=args.data_root,
@@ -626,6 +631,16 @@ def _build_tohr_parser(subparsers) -> None:
             "Resolve building footprints automatically from the NRCan "
             "automatically-extracted-buildings STAC collection for each "
             "input's footprint (like -f for the DEM)."
+        ),
+    )
+    p.add_argument(
+        "--output-compress", choices=("lzw", "zstd", "deflate", "packbits", "none"),
+        default=None,
+        help=(
+            "Output GeoTIFF compression. Default: lzw (the reference's "
+            "write profile). On single-core hosts the LZW encode dominates "
+            "per-scene host time; zstd or none trade file size for wall "
+            "time (docs/perf/encode_study.json)."
         ),
     )
     p.add_argument(

@@ -42,6 +42,12 @@ class Config:
     input_transfer: str = "uint16"       # "uint16" | "float32" (DEM upload encoding)
     max_batch: int = 8
     window_method: str = "feather"
+    # Output GeoTIFF compression. "lzw" mirrors the reference's default
+    # write profile (reference: floodsr/io/rasterio_io.py:4-14 — a default,
+    # not a contract); "zstd"/"none" trade file size for host encode time
+    # (the dominant per-scene host cost on 1-core hosts, see
+    # docs/perf/encode_study.json).
+    output_compress: str = "lzw"        # "lzw"|"zstd"|"deflate"|"packbits"|"none"
 
 
 def _field_types() -> dict[str, type]:
@@ -60,6 +66,8 @@ def _coerce(name: str, value: Any) -> Any:
         return None
     if name == "max_batch":
         return int(value)
+    if name == "output_compress":
+        return str(value).strip().lower()
     return str(value) if not isinstance(value, (int, float, bool)) else value
 
 
@@ -112,6 +120,11 @@ def load_config(
         raise ValueError(f"input_transfer must be uint16|float32; got {config.input_transfer}")
     if config.window_method not in {"feather", "hard"}:
         raise ValueError(f"window_method must be feather|hard; got {config.window_method}")
+    if config.output_compress not in {"lzw", "zstd", "deflate", "packbits", "none"}:
+        raise ValueError(
+            "output_compress must be lzw|zstd|deflate|packbits|none; "
+            f"got {config.output_compress}"
+        )
     if config.max_batch < 1:
         raise ValueError(f"max_batch must be >= 1; got {config.max_batch}")
     return config

@@ -58,6 +58,7 @@ _COMPRESS_TO_TIFF = {
     "NONE": _tiff.COMPRESSION_NONE,
     "LZW": _tiff.COMPRESSION_LZW,
     "DEFLATE": _tiff.COMPRESSION_DEFLATE_ADOBE,
+    "PACKBITS": _tiff.COMPRESSION_PACKBITS,
     "ZSTD": _tiff.COMPRESSION_ZSTD,
 }
 _TIFF_TO_COMPRESS = {

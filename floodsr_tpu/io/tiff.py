@@ -8,9 +8,9 @@ This replaces the role GDAL's C++ raster I/O plays in the reference
   ZSTD (via :mod:`floodsr_tpu.io.zstd_codec` when libzstd is present);
   horizontal (2) and floating-point (3) predictors; II/MM byte orders; all
   numeric sample formats; GDAL-style sparse chunks (zero byte count → zeros).
-- write: little-endian, striped or tiled, uncompressed / LZW / Deflate / ZSTD,
-  optional predictors — horizontal (2, integer data) and floating-point
-  byte-split (3, float data).
+- write: little-endian, striped or tiled, uncompressed / LZW / Deflate /
+  PackBits / ZSTD, optional predictors — horizontal (2, integer data) and
+  floating-point byte-split (3, float data).
 
 A C++ fast path for LZW + predictor lives in ``floodsr_tpu/io/_native`` and is
 used automatically when built (see :mod:`floodsr_tpu.io.native`); this module
@@ -215,6 +215,60 @@ def packbits_decode(data: bytes) -> bytes:
             out += data[i : i + 1] * count
             i += 1
         # header == 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes, row_bytes: int | None = None) -> bytes:
+    """Encode PackBits run-length encoding (TIFF 6.0 §9).
+
+    Rows are packed independently (``row_bytes`` = uncompressed bytes per
+    row) as the spec requires; ``None`` packs the whole buffer as one row
+    (the stream is self-delimiting, so decoders — including ours — accept
+    either). Replicate runs are emitted at length >= 3; 2-byte runs fold
+    into literals (the spec's own recommendation). Compatibility codec, not
+    a throughput path — LZW/ZSTD are the performance writers.
+    """
+    if row_bytes is None or row_bytes <= 0:
+        row_bytes = len(data)
+    arr = np.frombuffer(data, np.uint8)
+    out = bytearray()
+
+    def emit_literals(row_b: bytes, s: int, e: int) -> None:
+        while s < e:
+            take = min(e - s, 128)
+            out.append(take - 1)
+            out.extend(row_b[s : s + take])
+            s += take
+
+    for r0 in range(0, len(arr), row_bytes):
+        row = arr[r0 : r0 + row_bytes]
+        n = len(row)
+        if n == 0:
+            continue
+        row_b = row.tobytes()
+        change = np.flatnonzero(row[1:] != row[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        runs = ends - starts
+        big = np.flatnonzero(runs >= 3)
+        cursor = 0
+        for k in big:
+            s, e = int(starts[k]), int(ends[k])
+            if cursor < s:
+                emit_literals(row_b, cursor, s)
+            count = e - s
+            value = row_b[s]
+            while count > 0:
+                take = min(count, 128)
+                if take == 1:  # 1-byte tail: literal (header 0), not a run
+                    out.append(0)
+                else:
+                    out.append((257 - take) & 0xFF)
+                out.append(value)
+                count -= take
+            cursor = e
+        if cursor < n:
+            emit_literals(row_b, cursor, n)
     return bytes(out)
 
 
@@ -564,7 +618,7 @@ def _sample_format_for(dtype: np.dtype) -> int:
     return {"u": SAMPLEFORMAT_UINT, "i": SAMPLEFORMAT_INT, "f": SAMPLEFORMAT_IEEEFP}[dtype.kind]
 
 
-def _compress_chunk(raw: bytes, compression: int) -> bytes:
+def _compress_chunk(raw: bytes, compression: int, row_bytes: int | None = None) -> bytes:
     if compression == COMPRESSION_NONE:
         return raw
     if compression == COMPRESSION_LZW:
@@ -573,6 +627,8 @@ def _compress_chunk(raw: bytes, compression: int) -> bytes:
         return lzw_encode(raw)
     if compression == COMPRESSION_DEFLATE_ADOBE:
         return zlib.compress(raw, 6)
+    if compression == COMPRESSION_PACKBITS:
+        return packbits_encode(raw, row_bytes)
     if compression == COMPRESSION_ZSTD:
         from floodsr_tpu.io import zstd_codec
 
@@ -645,7 +701,12 @@ def _prepare_page(
     itemsize = arr.dtype.itemsize
 
     if predictor is None:
-        predictor = 2 if (compression != COMPRESSION_NONE and arr.dtype.kind in "ui") else 1
+        # Predictors pair with LZW/Deflate/ZSTD only; PackBits readers
+        # (GDAL included) do not expect a predictor tag.
+        predictor = 2 if (
+            compression not in (COMPRESSION_NONE, COMPRESSION_PACKBITS)
+            and arr.dtype.kind in "ui"
+        ) else 1
 
     chunks: list[bytes] = []
     if tile is not None:
@@ -660,7 +721,9 @@ def _prepare_page(
                     pad = ((0, th - block.shape[0]), (0, tw - block.shape[1]), (0, 0))
                     block = np.pad(block, pad, mode="edge")
                 block = _apply_predictor_encode(block, predictor)
-                chunks.append(_compress_chunk(block.tobytes(), compression))
+                chunks.append(
+                    _compress_chunk(block.tobytes(), compression, tw * s * itemsize)
+                )
     else:
         if rows_per_strip is None:
             target = 1 << 18  # ~256 KiB strips
@@ -668,7 +731,9 @@ def _prepare_page(
         for row in range(0, h, rows_per_strip):
             chunk = arr[row : row + rows_per_strip]
             chunk = _apply_predictor_encode(chunk, predictor)
-            chunks.append(_compress_chunk(chunk.tobytes(), compression))
+            chunks.append(
+                _compress_chunk(chunk.tobytes(), compression, w * s * itemsize)
+            )
 
     tags: list[tuple[int, int, tuple | str]] = [
         (TAG_IMAGE_WIDTH, 4, (w,)),
@@ -951,7 +1016,12 @@ class StripStreamWriter:
         self._extra_tags = list(extra_tags or [])
         if predictor is None:
             predictor = (
-                2 if (compression != COMPRESSION_NONE and self._dtype.kind in "ui") else 1
+                2
+                if (
+                    compression not in (COMPRESSION_NONE, COMPRESSION_PACKBITS)
+                    and self._dtype.kind in "ui"
+                )
+                else 1
             )
         self._predictor = int(predictor)
         itemsize = self._dtype.itemsize
@@ -1056,7 +1126,9 @@ class StripStreamWriter:
             chunk = self._pending[: self._rps]
             self._pending = self._pending[self._rps :]
             enc = _apply_predictor_encode(chunk[:, :, None], self._predictor)
-            blob = _compress_chunk(enc.tobytes(), self._compression)
+            blob = _compress_chunk(
+                enc.tobytes(), self._compression, self._width * self._dtype.itemsize
+            )
             self._offsets.append(self._handle.tell())
             self._counts.append(len(blob))
             self._handle.write(blob)

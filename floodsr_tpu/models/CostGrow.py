@@ -208,6 +208,7 @@ class ModelWorker(Model):
         tile_size: int | None = None,
         input_kind: str | None = None,
         buildings_fp: str | Path | None = None,
+        output_compress: str | None = None,
     ) -> dict[str, Any]:
         """Run CostGrow; the LR input is natively a WSE raster.
 
@@ -236,6 +237,10 @@ class ModelWorker(Model):
         assert output_kind in {"wse", "depth"}, f"unsupported output_kind={output_kind}"
         input_kind = (input_kind or "wse").strip().lower()
         assert input_kind in {"wse", "depth"}, f"unsupported input_kind={input_kind}"
+        output_compress = (output_compress or "lzw").strip().lower()
+        assert output_compress in {"lzw", "zstd", "deflate", "packbits", "none"}, (
+            f"unsupported output_compress={output_compress}"
+        )
 
         wse_raw, wse_nodata, wse_profile = read_raster(wse_lr_path)
         dem_raw, dem_nodata, dem_profile = read_raster(dem_path)
@@ -352,6 +357,12 @@ class ModelWorker(Model):
         out_arr = np.where(np.isfinite(result_arr), result_arr, nodata).astype(np.float32)
         profile = dict(dem_profile)
         profile.update(dtype="float32", count=1, nodata=nodata)
+        # Fixed output write profile (reference default LZW), never inherited
+        # from the input DEM's compression tags.
+        profile["compress"] = (
+            None if output_compress == "none" else output_compress.upper()
+        )
+        profile.pop("predictor", None)
         write_raster(out_path, out_arr, profile)
 
         runtime_s = time.perf_counter() - start

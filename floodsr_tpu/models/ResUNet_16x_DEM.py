@@ -406,8 +406,17 @@ class ModelWorker(Model):
         tile_size: int | None = None,
         input_kind: str | None = None,
         buildings_fp: str | Path | None = None,
+        output_compress: str | None = None,
     ) -> dict[str, Any]:
         """Run the model-specific ToHR workflow; returns output path + diagnostics.
+
+        ``output_compress`` selects the output GeoTIFF compression
+        (``lzw``/``zstd``/``deflate``/``packbits``/``none``; ``None`` =
+        ``lzw``, the reference's default write profile — reference
+        ``floodsr/io/rasterio_io.py:4-14``). On single-core hosts the LZW
+        encode is the dominant per-scene host cost (~0.5 s for the flagship
+        scene, docs/perf/encode_study.json); ``zstd``/``none`` trade file
+        size for wall time.
 
         ``input_kind="wse"`` ingests a water-surface-elevation raster and
         converts it to depth against the DEM on the LR grid
@@ -432,6 +441,10 @@ class ModelWorker(Model):
         input_kind = (input_kind or "depth").strip().lower()
         assert input_kind in {"depth", "wse"}, (
             f"unsupported input_kind={input_kind}"
+        )
+        output_compress = (output_compress or "lzw").strip().lower()
+        assert output_compress in {"lzw", "zstd", "deflate", "packbits", "none"}, (
+            f"unsupported output_compress={output_compress}"
         )
 
         log.info(
@@ -595,6 +608,12 @@ class ModelWorker(Model):
 
             output_profile = dict(prepped["dem_raw_profile"])
             output_profile.update(dtype="float32", count=1)
+            # The output compression is a fixed write profile (reference
+            # default: LZW), never inherited from the input DEM's tags.
+            output_profile["compress"] = (
+                None if output_compress == "none" else output_compress.upper()
+            )
+            output_profile.pop("predictor", None)
 
             # Building blocking (reference's planned feature, its ADR-0016):
             # zero depths inside footprints as the rows stream to disk, and

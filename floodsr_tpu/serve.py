@@ -89,6 +89,7 @@ _REQUEST_KEYS: dict[str, str] = {
     "tile_overlap": "tile_overlap",
     "tile_size": "tile_size",
     "input_kind": "input_kind",
+    "output_compress": "output_compress",
     "buildings": "buildings_fp",
     "fetch_hrdem": "fetch_hrdem",
     "fetch_out": "fetch_out",

@@ -27,6 +27,7 @@ _RUN_KEYS = (
     "tile_size",
     "input_kind",
     "buildings_fp",
+    "output_compress",
 )
 
 
@@ -59,10 +60,15 @@ def tohr(
     tile_size: int | None = None,
     input_kind: str | None = None,
     buildings_fp: str | Path | None = None,
+    output_compress: str | None = None,
     logger: logging.Logger | None = None,
     engine_options: dict | None = None,
 ) -> dict[str, object]:
     """Super-resolve one depth raster and return the worker diagnostics.
+
+    ``output_compress`` picks the output GeoTIFF compression
+    (``lzw``/``zstd``/``deflate``/``packbits``/``none``; default ``lzw``,
+    the reference's write profile).
 
     ``engine_options`` carries TPU-engine knobs (``compute_dtype``,
     ``max_batch``, ``output_transfer``, ... — see :mod:`floodsr_tpu.config`);
@@ -93,6 +99,7 @@ def tohr(
                 tile_size,
                 input_kind,
                 buildings_fp,
+                output_compress,
             ),
         )
     )
@@ -112,6 +119,7 @@ def tohr_many(
     tile_size: int | None = None,
     input_kind: str | None = None,
     buildings_fp: str | Path | None = None,
+    output_compress: str | None = None,
     logger: logging.Logger | None = None,
     engine_options: dict | None = None,
 ) -> list[dict[str, object]]:
@@ -144,6 +152,7 @@ def tohr_many(
         tile_size=tile_size,
         input_kind=input_kind,
         buildings_fp=buildings_fp,
+        output_compress=output_compress,
     )
     with worker_class(model_fp=artifact, logger=log, **extra) as worker:
         if hasattr(worker, "run_many"):

@@ -193,6 +193,24 @@ class TestTohrCli:
         assert main(["tohr", "--machine-json", str(mj)]) == 0
         assert out_fp.exists()
 
+    def test_tohr_machine_json_output_compress(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path
+    ):
+        from floodsr_tpu.io.geotiff import read_raster_header
+
+        out_fp = tmp_path / "mj_none.tif"
+        payload = {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+            "out": str(out_fp),
+            "model_path": str(tiny_model_fp),
+            "output_compress": "none",
+        }
+        mj = tmp_path / "machine.json"
+        mj.write_text(json.dumps(payload))
+        assert main(["tohr", "--machine-json", str(mj)]) == 0
+        assert read_raster_header(out_fp).get("compress") is None
+
     def test_machine_json_cli_precedence(self, tiny_model_fp, synthetic_tohr_tiles, tmp_path):
         cli_out = tmp_path / "cli_wins.tif"
         json_out = tmp_path / "json_loses.tif"

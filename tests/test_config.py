@@ -65,6 +65,7 @@ class TestLoadConfig:
             ("compute_dtype", "fp8"),
             ("output_transfer", "int4"),
             ("window_method", "blend"),
+            ("output_compress", "jpeg"),
             ("max_batch", 0),
         ],
     )

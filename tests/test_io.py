@@ -170,6 +170,48 @@ class TestTiffCodec:
         encoded = bytes([2, 1, 2, 3, 257 - 4, 0xAB])
         assert packbits_decode(encoded) == bytes([1, 2, 3]) + b"\xab" * 4
 
+    def test_packbits_encode_roundtrip_fuzz(self, rng):
+        from floodsr_tpu.io.tiff import packbits_encode
+
+        for trial in range(24):
+            n = int(rng.integers(1, 700))
+            row_bytes = int(rng.integers(1, n + 1))
+            # Mix of runs and literals: few distinct values → long runs.
+            vals = int(rng.integers(1, 6))
+            data = rng.integers(0, vals, size=n).astype(np.uint8).tobytes()
+            enc = packbits_encode(data, row_bytes)
+            assert packbits_decode(enc) == data, (trial, n, row_bytes)
+        # Degenerate shapes.
+        assert packbits_decode(packbits_encode(b"", 4)) == b""
+        assert packbits_decode(packbits_encode(b"\x00" * 1000, 100)) == b"\x00" * 1000
+        one = bytes(range(129))  # literal longer than one 128-byte group
+        assert packbits_decode(packbits_encode(one, None)) == one
+        run129 = b"\xcc" * 129  # run split 128+1: the 1-tail must be a literal
+        assert packbits_decode(packbits_encode(run129, None)) == run129
+
+    def test_packbits_encode_runs_compress(self):
+        from floodsr_tpu.io.tiff import packbits_encode
+
+        data = b"\x00" * 4096
+        assert len(packbits_encode(data, 512)) <= 2 * (4096 // 128)
+
+    def test_packbits_write_tiff_roundtrip_and_pil_readable(self, rng):
+        arr = rng.integers(0, 4, size=(40, 50)).astype(np.uint8)
+        data = encode_tiff(arr, compression=32773, rows_per_strip=16)
+        got, tags = decode_tiff(data)
+        np.testing.assert_array_equal(got, arr)
+        assert tags[259] == 32773
+        assert 317 not in tags  # no predictor tag with PackBits
+        np.testing.assert_array_equal(
+            np.array(Image.open(_io.BytesIO(data))), arr
+        )
+
+    def test_packbits_write_float_roundtrip(self, rng):
+        arr = rng.normal(size=(33, 21)).astype(np.float32)
+        data = encode_tiff(arr, compression=32773)
+        got, _ = decode_tiff(data)
+        np.testing.assert_array_equal(got, arr)
+
     def test_multi_strip_layout(self, rng):
         arr = rng.normal(size=(700, 300)).astype(np.float32)
         data = encode_tiff(arr, compression=5, rows_per_strip=64)

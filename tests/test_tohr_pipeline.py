@@ -234,6 +234,96 @@ class TestTohrNativeScale:
         assert float(np.median(diff)) < 0.5
 
 
+class TestOutputCompress:
+    """--output-compress: pixel-identical outputs, only the encoding differs."""
+
+    def test_every_codec_writes_identical_pixels(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        from floodsr_tpu.io import zstd_codec
+        from floodsr_tpu.io.geotiff import read_raster_header
+        from floodsr_tpu.io.tiff import (
+            COMPRESSION_DEFLATE_ADOBE,
+            COMPRESSION_LZW,
+            COMPRESSION_NONE,
+            COMPRESSION_PACKBITS,
+            COMPRESSION_ZSTD,
+        )
+        from floodsr_tpu.model_registry import resolve_model_worker_class
+
+        expected_tag = {
+            "lzw": COMPRESSION_LZW,
+            "deflate": COMPRESSION_DEFLATE_ADOBE,
+            "packbits": COMPRESSION_PACKBITS,
+            "none": COMPRESSION_NONE,
+            "zstd": COMPRESSION_ZSTD,
+        }
+        choices = ["lzw", "deflate", "packbits", "none"]
+        if zstd_codec.available():
+            choices.append("zstd")
+
+        worker_cls = resolve_model_worker_class("ResUNet_16x_DEM")
+        outs = {}
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            for choice in choices:
+                fp = tmp_path / f"pred_{choice}.tif"
+                worker.run(
+                    depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                    dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                    output_fp=fp,
+                    tile_overlap=1,
+                    output_compress=choice,
+                )
+                header = read_raster_header(fp)
+                want = expected_tag[choice]
+                got = header.get("compress")
+                # Header reports the profile name; map back for comparison.
+                from floodsr_tpu.io.geotiff import _COMPRESS_TO_TIFF
+
+                assert _COMPRESS_TO_TIFF[got] == want, (choice, got)
+                outs[choice], _, _ = read_raster(fp)
+        for choice in choices[1:]:
+            np.testing.assert_array_equal(outs[choice], outs["lzw"])
+
+    def test_default_is_lzw_even_for_non_lzw_dem_input(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        # Rewrite the DEM uncompressed; the OUTPUT write profile is fixed
+        # (reference default LZW), never inherited from input tags.
+        from floodsr_tpu.io.geotiff import read_raster_header, write_raster
+
+        dem, dem_nodata, dem_profile = read_raster(synthetic_tohr_tiles["dem_fp"])
+        dem_profile = dict(dem_profile)
+        dem_profile["compress"] = None
+        dem_fp = tmp_path / "dem_uncompressed.tif"
+        write_raster(dem_fp, dem, dem_profile)
+
+        out_fp = tmp_path / "pred_default.tif"
+        tohr(
+            model_version="ResUNet_16x_DEM",
+            model_fp=tiny_model_fp,
+            depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+            dem_hr_fp=dem_fp,
+            output_fp=out_fp,
+            tile_overlap=1,
+            logger=logger,
+        )
+        assert read_raster_header(out_fp).get("compress") == "LZW"
+
+    def test_bad_output_compress_raises(
+        self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        with worker_cls(model_fp=tiny_model_fp, logger=logger) as worker:
+            with pytest.raises(AssertionError, match="output_compress"):
+                worker.run(
+                    depth_lr_fp=synthetic_tohr_tiles["depth_lr_fp"],
+                    dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                    output_fp=tmp_path / "bad.tif",
+                    tile_overlap=1,
+                    output_compress="jpeg",
+                )
+
+
 class TestTohrNonNativeScale:
     def test_post_resample_path(self, tiny_model_fp, synthetic_nonnative_tiles, tmp_path, logger):
         out_fp = tmp_path / "pred_nonnative.tif"
