@@ -1239,6 +1239,7 @@ class EngineJAX(EngineBase):
 
         final = np.empty(final_shape, np.float32)
         src_full = np.empty((crop_h, crop_w), np.float32) if general_warp else None
+        sink_s = {"v": 0.0}
 
         def emit(dst_start: int, dst_rows: np.ndarray) -> None:
             if dst_rows.shape[0] == 0:
@@ -1253,11 +1254,15 @@ class EngineJAX(EngineBase):
             dst_rows = dst_rows.astype(np.float32, copy=False)
             final[dst_start : dst_start + dst_rows.shape[0]] = dst_rows
             if row_sink is not None:
+                ts = time.perf_counter()
                 row_sink(dst_rows)
+                sink_s["v"] += time.perf_counter() - ts
 
         next_plain = 0
         d2h_wait = 0.0
         host_post = 0.0
+        dequant_s = 0.0
+        resample_s = 0.0
         for (a, b), dev, skip in zip(bands, dev_bands, skip_rows):
             tw0 = time.perf_counter()
             band_np = np.asarray(dev)[skip:, :crop_w]
@@ -1268,8 +1273,13 @@ class EngineJAX(EngineBase):
                 band_np *= dequant  # in place: skip a second full-band temporary
             else:
                 band_np = np.asarray(band_np, np.float32)
+            td = time.perf_counter()
+            dequant_s += td - tw1
             if resampler is not None:
-                emit(*resampler.feed(band_np))
+                tr0 = time.perf_counter()
+                fed = resampler.feed(band_np)
+                resample_s += time.perf_counter() - tr0
+                emit(*fed)
             elif general_warp is not None:
                 src_full[a:b] = band_np
             else:
@@ -1280,8 +1290,22 @@ class EngineJAX(EngineBase):
         # copy (bandwidth-bound; a harness-tunnel artifact on the axon
         # backend, PCIe-fast on a real TPU host) vs host compute (dequant +
         # resample + row_sink encode, which OVERLAPS later bands' async
-        # copies). Stored for run_scene's last_scene_timings.
-        self._finish_timings = {"d2h_wait_s": d2h_wait, "host_post_s": host_post}
+        # copies). host_post_s itemizes as dequant (uint16→f32 in place) +
+        # resample (streaming separable bilinear) + sink (output encode +
+        # write via row_sink) + other (clip/mask + final-array copy).
+        # sink_s counts only in-loop sink time; the general-warp tail path
+        # emits after the loop and reports under neither (it has its own
+        # wall in finish_s). Stored for run_scene's last_scene_timings.
+        self._finish_timings = {
+            "d2h_wait_s": d2h_wait,
+            "host_post_s": host_post,
+            "host_dequant_s": dequant_s,
+            "host_resample_s": resample_s,
+            "host_sink_s": sink_s["v"],
+            "host_other_s": max(
+                0.0, host_post - dequant_s - resample_s - sink_s["v"]
+            ),
+        }
 
         if general_warp is not None:
             dst_shape, src_t, dst_t = general_warp
