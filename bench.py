@@ -333,7 +333,7 @@ def main() -> int:
     return 0
 
 
-PARITY_OUT = REPO / "PARITY_r04.json"
+PARITY_OUT = REPO / "PARITY_r05.json"
 
 
 def _run_parity_gate(t_start: float) -> dict | None:
