@@ -356,14 +356,166 @@ _NATIONAL_GRIDS: dict[int, object] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# WKT projection-parameter fallback
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_WKT_PARAM_RE = _re.compile(
+    r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', _re.IGNORECASE
+)
+_WKT_METHOD_RE = _re.compile(
+    r'(?:PROJECTION|METHOD)\s*\[\s*"([^"]+)"', _re.IGNORECASE
+)
+_WKT_ELLIPSOID_RE = _re.compile(
+    r'(?:SPHEROID|ELLIPSOID)\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)',
+    _re.IGNORECASE,
+)
+_WKT_TOWGS84_RE = _re.compile(r"TOWGS84\s*\[([^\]]*)\]", _re.IGNORECASE)
+_WKT_FOOT_UNIT_RE = _re.compile(r'UNIT\s*\[\s*"[^"]*foot', _re.IGNORECASE)
+
+#: Normalized WKT parameter name -> canonical key.
+_WKT_PARAM_KEYS = {
+    "latitude of origin": "lat0",
+    "latitude of natural origin": "lat0",
+    "latitude of center": "lat0",
+    "latitude of false origin": "lat0",
+    "central meridian": "lon0",
+    "longitude of natural origin": "lon0",
+    "longitude of center": "lon0",
+    "longitude of false origin": "lon0",
+    "standard parallel 1": "lat1",
+    "latitude of 1st standard parallel": "lat1",
+    "standard parallel 2": "lat2",
+    "latitude of 2nd standard parallel": "lat2",
+    "scale factor": "k0",
+    "scale factor at natural origin": "k0",
+    "false easting": "fe",
+    "easting at false origin": "fe",
+    "false northing": "fn",
+    "northing at false origin": "fn",
+}
+
+
+def _wkt_norm_name(name: str) -> str:
+    return " ".join(name.replace("_", " ").split()).strip().lower()
+
+
+def _projection_from_wkt(wkt: str, projected: bool | None):
+    """Build a projection directly from WKT parameters (no EPSG resolution).
+
+    Covers the methods this module implements (TM/UTM, LCC 2SP, Web
+    Mercator, geographic), with the SPHEROID/ELLIPSOID node supplying the
+    ellipsoid and a TOWGS84 node (when present) the Helmert datum shift —
+    the reference gets the same breadth from rasterio accepting any CRS
+    object (reference: ``floodsr/dem_sources/hrdem_stac.py:45-74``).
+    Raises ``ValueError`` with a named reason for unsupported methods.
+    """
+    ell = GRS80
+    m = _WKT_ELLIPSOID_RE.search(wkt)
+    if m:
+        a, inv_f = float(m.group(1)), float(m.group(2))
+        # WKT encodes a sphere as inverse-flattening 0; represent it as an
+        # (effectively) unflattened ellipsoid.
+        ell = Ellipsoid(a, inv_f if inv_f > 0 else 1e12)
+    datum = _NO_SHIFT
+    m = _WKT_TOWGS84_RE.search(wkt)
+    if m:
+        vals = [float(v) for v in m.group(1).split(",") if v.strip()][:7]
+        vals += [0.0] * (7 - len(vals))
+        if any(vals):
+            datum = DatumShift(*vals)
+
+    method_match = _WKT_METHOD_RE.search(wkt)
+    if method_match is None:
+        if projected:
+            raise ValueError("projected WKT carries no PROJECTION/METHOD node")
+        return Geographic(ellipsoid=ell, datum=datum)
+    method = _wkt_norm_name(method_match.group(1))
+
+    params: dict[str, float] = {}
+    for name, value in _WKT_PARAM_RE.findall(wkt):
+        key = _WKT_PARAM_KEYS.get(_wkt_norm_name(name))
+        if key is not None:
+            params[key] = float(value)
+
+    if _WKT_FOOT_UNIT_RE.search(wkt):
+        raise ValueError(
+            "projected WKT uses a foot-based unit; only metre grids are "
+            "supported by the built-in projection math"
+        )
+
+    if method in (
+        "transverse mercator",
+        "gauss kruger",
+        "gauss-kruger",
+    ):
+        return TransverseMercator(
+            lon0_deg=params.get("lon0", 0.0),
+            lat0_deg=params.get("lat0", 0.0),
+            k0=params.get("k0", 1.0),
+            false_easting=params.get("fe", 0.0),
+            false_northing=params.get("fn", 0.0),
+            ellipsoid=ell,
+            datum=datum,
+        )
+    if method in (
+        "lambert conformal conic 2sp",
+        "lambert conic conformal (2sp)",
+        "lambert conformal conic",
+    ):
+        if "lat1" not in params:
+            raise ValueError(
+                f"WKT LCC ({method!r}) carries no standard parallel parameters"
+            )
+        return LambertConformalConic2SP(
+            lat1_deg=params["lat1"],
+            lat2_deg=params.get("lat2", params["lat1"]),
+            lat0_deg=params.get("lat0", 0.0),
+            lon0_deg=params.get("lon0", 0.0),
+            false_easting=params.get("fe", 0.0),
+            false_northing=params.get("fn", 0.0),
+            ellipsoid=ell,
+            datum=datum,
+        )
+    if method in (
+        "popular visualisation pseudo mercator",
+        "popular visualisation pseudo-mercator",
+        "mercator auxiliary sphere",
+    ):
+        return WebMercator()
+    raise ValueError(
+        f"unsupported WKT projection method: {method!r}. Supported from WKT "
+        "parameters: Transverse Mercator, Lambert Conformal Conic (2SP), "
+        "Popular Visualisation Pseudo Mercator, geographic."
+    )
+
+
 def projection_for(crs: CRS | str | int):
-    """Projection object for an EPSG code; raises for unsupported codes."""
+    """Projection for an EPSG code — or, failing that, from WKT parameters.
+
+    Precedence: a recognized EPSG code wins (exact published grid
+    definitions); a WKT-only CRS falls back to building the converter from
+    its own PROJECTION/PARAMETER/SPHEROID/TOWGS84 nodes. Unsupported
+    methods raise with a named reason rather than a parse error.
+    """
     crs = CRS.from_user_input(crs)
     code = crs.epsg
     if code is None:
+        if crs.wkt:
+            try:
+                return _projection_from_wkt(crs.wkt, crs.projected)
+            except ValueError as err:
+                raise ValueError(
+                    "DEM-source coordinate transformation could not use this "
+                    f"WKT-only CRS: {err}. Re-run with rasters whose CRS "
+                    "carries an EPSG authority code or a supported "
+                    "projection method, or provide the DEM directly."
+                ) from None
         raise ValueError(
-            "DEM-source coordinate transformation requires an EPSG-coded CRS; "
-            f"got a WKT-only CRS ({crs}). Re-run with rasters whose CRS "
+            "DEM-source coordinate transformation requires an EPSG-coded CRS "
+            f"or projection WKT; got {crs}. Re-run with rasters whose CRS "
             "carries an EPSG authority code, or provide the DEM directly."
         )
     if code in (4326, 4269, 4617, 4258):

@@ -143,11 +143,29 @@ class TestWktGeoTiffRoundTrip:
 
 
 class TestGeodesyGuard:
-    def test_wkt_only_crs_raises_clearly(self):
+    def test_wkt_only_tm_builds_converter_from_parameters(self):
+        # Round 4 raised for any WKT-only CRS; the fetch path now builds
+        # TM/LCC/WebMercator converters directly from WKT parameters.
+        from floodsr_tpu.dem_sources.geodesy import (
+            TransverseMercator,
+            projection_for,
+        )
+
+        proj = projection_for(CRS.from_wkt(WKT1_NO_TOP_AUTHORITY))
+        assert isinstance(proj, TransverseMercator)
+        assert proj.lon0_deg == -74.5
+        assert proj.k0 == 0.9999
+        lon, lat = proj.inverse(*proj.forward(-74.2, 41.0))
+        assert abs(lon - -74.2) < 1e-9 and abs(lat - 41.0) < 1e-9
+
+    def test_wkt_only_unsupported_method_raises_named(self):
         from floodsr_tpu.dem_sources.geodesy import projection_for
 
-        with pytest.raises(ValueError, match="EPSG-coded CRS"):
-            projection_for(CRS.from_wkt(WKT1_NO_TOP_AUTHORITY))
+        wkt = WKT1_NO_TOP_AUTHORITY.replace(
+            'PROJECTION["Transverse_Mercator"]', 'PROJECTION["Sinusoidal"]'
+        )
+        with pytest.raises(ValueError, match="unsupported WKT projection method"):
+            projection_for(CRS.from_wkt(wkt))
 
 
 @pytest.mark.e2e
