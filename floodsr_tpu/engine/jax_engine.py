@@ -764,9 +764,14 @@ class EngineJAX(EngineBase):
                     max_depth=max_depth, dem_pct_clip=dem_pct_clip,
                     tile_lr=tile_lr,
                 )
-                if bucket in warmed:
+                # Key on (bucket, transposed): a tall and a wide shape can
+                # map to the SAME bucket in opposite orientations, and the
+                # executor cache keys them separately — deduping on bucket
+                # alone would leave the second (column-banded) executable
+                # un-warmed.
+                if (bucket, _transposed) in warmed:
                     continue
-                warmed.add(bucket)
+                warmed.add((bucket, _transposed))
                 if execute:
                     # jit is lazy: run once on zeros so the first real
                     # request pays neither compile nor first dispatch.
@@ -841,6 +846,12 @@ class EngineJAX(EngineBase):
         ``row_sink(band)``: optional consumer of finished output row bands
         (top to bottom) called while later bands are still in flight from the
         device — the worker plugs streaming GeoTIFF strip writes in here.
+
+        Returns ``(scene, stats)``; ``stats`` arrays (``p_clip``/``dem_min``/
+        ``dem_max``) are per-tile in the window grid's ROW-MAJOR order over
+        the original scene orientation — identical across the replicated,
+        row-banded, and column-banded executors (the column-banded path
+        remaps from its transposed enumeration before returning).
 
         ``depth_raw``/``dem_raw`` are UNPADDED LR/HR scenes — numpy arrays or
         jax arrays already resident on device (e.g. straight from the device
@@ -1130,6 +1141,14 @@ class EngineJAX(EngineBase):
             sel = grid_slot[d]
             live = sel >= 0
             grid_stats[sel[live]] = stats_np[d][live]
+        if transposed:
+            # The transposed grid enumerates tiles in TRANSPOSED row-major
+            # order; re-sort into the ORIGINAL orientation's row-major order
+            # (primary: original y = transposed x0, secondary: original
+            # x = transposed y0) so run_scene's per-tile stats contract is
+            # identical across replicated/banded/column-banded executors.
+            order = np.lexsort((np.asarray(grid["y0"]), np.asarray(grid["x0"])))
+            grid_stats = grid_stats[order]
 
         out_np = self._finish_scene(
             out,

@@ -21,11 +21,19 @@ def build(verbose: bool = True, retries: int = 1) -> Path | None:
     # of a truncated file fails hard).
     tmp = src_dir / f".libfloodsr_tiff.{os.getpid()}.so.tmp"
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
-    # -march=native: the library is always built on the host that runs it
-    # (on-demand build in io/native.py), so host-specific codegen is safe —
-    # measured ~10% on the LZW encode core (A-B-A, real bench corpus). The
-    # no-march fallback covers toolchains that reject the flag.
-    flag_sets = [base + ["-march=native"], base]
+    # -march policy (FLOODSR_NATIVE_MARCH): "native" (default) is safe and
+    # ~10% faster on the LZW encode core (A-B-A, real bench corpus) when
+    # the library is built on the host that runs it — the on-demand build
+    # in io/native.py. BUILD-ONCE-DEPLOY-ELSEWHERE builds (container image
+    # stages) must set FLOODSR_NATIVE_MARCH=portable: a .so compiled with
+    # the builder's ISA extensions (e.g. AVX-512) SIGILLs at RUNTIME on a
+    # narrower CPU — the no-march fallback below only covers compile-time
+    # flag rejection. Any other value passes through as -march=<value>.
+    march = os.environ.get("FLOODSR_NATIVE_MARCH", "native").strip().lower()
+    if march in ("portable", "baseline", "none", ""):
+        flag_sets = [base]
+    else:
+        flag_sets = [base + [f"-march={march}"], base]
     last_err = ""
     for attempt in range(retries + 1):
         for flags in flag_sets:

@@ -537,13 +537,55 @@ def _decode_strips_native(
             row += nrows
 
 
+#: Known raster-format signatures → human-readable name. Used to turn a
+#: non-TIFF input into a NAMED capability error instead of a parse error
+#: (the reference reads these through GDAL; this build's I/O boundary is
+#: the TIFF family — reference breadth: floodsr/preprocessing.py:247-282).
+_KNOWN_RASTER_MAGICS: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "PNG"),
+    (b"\xff\xd8\xff", "JPEG"),
+    (b"GIF8", "GIF"),
+    (b"BM", "BMP"),
+    (b"EHFA_HEADER_TAG", "ERDAS Imagine (.img)"),
+    (b"\x00\x00\x00\x0cjP  ", "JPEG 2000"),
+    (b"\x89HDF\r\n\x1a\n", "HDF5/netCDF-4"),
+    (b"CDF\x01", "netCDF (classic)"),
+    (b"CDF\x02", "netCDF (64-bit offset)"),
+    (b"DSAA", "Surfer ASCII grid"),
+    (b"DSBB", "Surfer binary grid"),
+    (b"P5", "PGM"),
+    (b"P6", "PPM"),
+]
+
+
+def sniff_raster_format(head: bytes) -> str | None:
+    """Name a known non-TIFF raster format from its leading bytes, else None."""
+    for magic, name in _KNOWN_RASTER_MAGICS:
+        if head[: len(magic)] == magic:
+            return name
+    if head[:6].lower() in (b"ncols ", b"ncols\t"):
+        return "ESRI ASCII grid"
+    return None
+
+
+def _not_a_tiff(head: bytes, detail: str) -> ValueError:
+    name = sniff_raster_format(head)
+    if name is not None:
+        return ValueError(
+            f"unsupported raster format: {name}. This build reads the TIFF "
+            "family only (GeoTIFF, BigTIFF, COG); convert the input with "
+            "e.g. `gdal_translate -of GTiff` first."
+        )
+    return ValueError(f"not a TIFF file: {detail}")
+
+
 def decode_tiff(data: bytes) -> tuple[np.ndarray, dict[int, object]]:
     """Decode the first IFD into ``[H, W]`` or ``[H, W, S]`` plus raw tags."""
     if len(data) < 8:
-        raise ValueError("not a TIFF file: too short")
+        raise _not_a_tiff(data, "too short")
     order = data[:2].decode("ascii", "replace")
     if order not in ("II", "MM"):
-        raise ValueError(f"not a TIFF file: bad byte order {order!r}")
+        raise _not_a_tiff(data, f"bad byte order {order!r}")
     endian = "<" if order == "II" else ">"
     (magic,) = struct.unpack_from(endian + "H", data, 2)
     if magic == 43:
@@ -553,7 +595,7 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict[int, object]]:
         reader = TiffWindowReader(MemoryByteSource(data))
         return reader.read_full(), reader.page.tags
     if magic != 42:
-        raise ValueError(f"not a TIFF file: bad magic {magic}")
+        raise _not_a_tiff(data, f"bad magic {magic}")
 
     page = _read_ifd(data, order)
     h, w, s = page.height, page.width, page.samples_per_pixel

@@ -108,10 +108,10 @@ class TiffWindowReader:
         self._source = source
         head = source.read(0, _HEAD_BYTES)
         if len(head) < 16:
-            raise ValueError("not a TIFF file: too short")
+            raise _tiff._not_a_tiff(head, "too short")
         order = head[:2].decode("ascii", "replace")
         if order not in ("II", "MM"):
-            raise ValueError(f"not a TIFF file: bad byte order {order!r}")
+            raise _tiff._not_a_tiff(head, f"bad byte order {order!r}")
         self._endian = "<" if order == "II" else ">"
         (magic,) = struct.unpack_from(self._endian + "H", head, 2)
         if magic == 42:
@@ -126,7 +126,7 @@ class TiffWindowReader:
                 )
             (ifd_offset,) = struct.unpack_from(self._endian + "Q", head, 8)
         else:
-            raise ValueError(f"not a TIFF file: bad magic {magic}")
+            raise _tiff._not_a_tiff(head, f"bad magic {magic}")
         self._head = head
         self.page, self._next_ifd = self._parse_ifd(ifd_offset)
         self._overviews: list[_tiff.TiffPage] | None = None

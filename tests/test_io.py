@@ -220,7 +220,35 @@ class TestTiffCodec:
 
     def test_not_a_tiff_raises(self):
         with pytest.raises(ValueError):
-            decode_tiff(b"PNG xxxxxxxxxxxx")
+            decode_tiff(b"XYZ xxxxxxxxxxxx")
+
+    @pytest.mark.parametrize(
+        "head,name",
+        [
+            (b"\x89PNG\r\n\x1a\n" + b"\0" * 64, "PNG"),
+            (b"\xff\xd8\xff\xe0" + b"\0" * 64, "JPEG"),
+            (b"EHFA_HEADER_TAG" + b"\0" * 64, "ERDAS Imagine"),
+            (b"\x89HDF\r\n\x1a\n" + b"\0" * 64, "HDF5"),
+            (b"ncols 100\nnrows 100\n" + b"0" * 64, "ESRI ASCII grid"),
+        ],
+    )
+    def test_known_non_tiff_formats_get_named_capability_error(
+        self, head, name, tmp_path
+    ):
+        """A PNG/IMG/netCDF input names the format and the supported set,
+        instead of a bare parse error (reference reads these via GDAL)."""
+        with pytest.raises(ValueError, match=f"unsupported raster format: {name}"):
+            decode_tiff(head)
+        # Same behavior through the file-level read and the window reader.
+        from floodsr_tpu.io.geotiff import read_raster
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        fp = tmp_path / "not_a.tif"
+        fp.write_bytes(head)
+        with pytest.raises(ValueError, match="unsupported raster format"):
+            read_raster(fp)
+        with pytest.raises(ValueError, match="unsupported raster format"):
+            TiffWindowReader(MemoryByteSource(head))
 
     def test_native_codec_matches_python(self, rng):
         if not native.available():
@@ -272,6 +300,37 @@ class TestTiffCodec:
                 backup.unlink(missing_ok=True)
             else:
                 backup.rename(lib)
+
+    def test_build_march_policy(self, monkeypatch):
+        """FLOODSR_NATIVE_MARCH governs -march: native default, portable
+        omits the flag (container images deploy the .so to unknown CPUs —
+        builder-ISA codegen would SIGILL at runtime, not at compile time)."""
+        import subprocess as sp
+
+        from floodsr_tpu.io import build_native as bn
+
+        seen: list[list[str]] = []
+
+        def fake_run(cmd, check, capture_output, text):
+            seen.append(cmd)
+            raise sp.CalledProcessError(1, cmd, stderr="stub")
+
+        monkeypatch.setattr(bn.subprocess, "run", fake_run)
+
+        monkeypatch.delenv("FLOODSR_NATIVE_MARCH", raising=False)
+        assert bn.build(verbose=False, retries=0) is None
+        assert any("-march=native" in c for c in seen[0])
+        assert not any("-march" in f for f in seen[1])  # rejection fallback
+
+        seen.clear()
+        monkeypatch.setenv("FLOODSR_NATIVE_MARCH", "portable")
+        assert bn.build(verbose=False, retries=0) is None
+        assert len(seen) == 1 and not any("-march" in f for f in seen[0])
+
+        seen.clear()
+        monkeypatch.setenv("FLOODSR_NATIVE_MARCH", "x86-64-v3")
+        assert bn.build(verbose=False, retries=0) is None
+        assert any("-march=x86-64-v3" in f for f in seen[0])
 
     def test_native_decode_fuzz_matches_python(self, rng):
         """Random/corrupt streams: native decode agrees with the Python twin.

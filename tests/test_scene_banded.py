@@ -270,12 +270,13 @@ class TestWideSceneBanding:
         np.testing.assert_allclose(
             outs["banded"][0], outs["replicated"][0], atol=1e-4, rtol=0
         )
-        # Per-tile stats come back in the transposed grid's enumeration
-        # order; compare as multisets.
+        # Per-tile stats are remapped back to the ORIGINAL orientation's
+        # row-major grid order inside _run_scene_banded, so the contract is
+        # identical to the replicated path — compare element-wise.
         for k in outs["replicated"][1]:
             np.testing.assert_allclose(
-                np.sort(outs["banded"][1][k]),
-                np.sort(outs["replicated"][1][k]),
+                outs["banded"][1][k],
+                outs["replicated"][1][k],
                 atol=1e-4,
             )
 
