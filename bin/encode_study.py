@@ -40,6 +40,7 @@ Writes docs/perf/encode_study.json.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -120,7 +121,14 @@ def main() -> None:
         "raw_mb": raw_mb,
         "wet_fraction": wet_frac,
         "dequant_s": t_dequant,
-        "host_cores": 1,
+        "host_cores": os.cpu_count(),
+        "threaded_strip_codec_note": (
+            "the threaded strip codec's >1-worker scaling has only ever run "
+            "on 1-core hosts (this box: nproc=1); treat multi-core encode "
+            "throughput claims as untested until measured on a wider host"
+            if (os.cpu_count() or 1) <= 1
+            else "measured on a multi-core host"
+        ),
         "modes": {},
     }
 
@@ -135,12 +143,27 @@ def main() -> None:
         "compress": "LZW",
     }
 
+    from floodsr_tpu.io import zstd_codec
+
+    # The full --output-compress surface through the SAME streaming write
+    # path the worker uses (predictor_1/predictor_3 keys kept for
+    # cross-round continuity; they are the LZW modes).
+    modes: list[tuple[str, dict]] = [
+        ("predictor_1", {"compress": "LZW"}),
+        ("predictor_3", {"compress": "LZW", "predictor": 3}),
+        ("deflate", {"compress": "DEFLATE"}),
+        ("packbits", {"compress": "PACKBITS"}),
+        ("none", {"compress": None}),
+    ]
+    if zstd_codec.available():
+        modes.insert(2, ("zstd", {"compress": "ZSTD"}))
+
     with tempfile.TemporaryDirectory() as td:
-        for predictor in (1, 3):
+        for label, mutation in modes:
             prof = dict(profile)
-            if predictor != 1:
-                prof["predictor"] = predictor
-            fp = Path(td) / f"out_p{predictor}.tif"
+            prof.pop("compress", None)
+            prof.update(mutation)
+            fp = Path(td) / f"out_{label}.tif"
 
             def write():
                 w = open_raster_stream(fp, prof)
@@ -151,8 +174,8 @@ def main() -> None:
             t_write, _ = _time(write)
             size = fp.stat().st_size
             t_read, (back, _, _) = _time(read_raster, fp)
-            assert np.array_equal(back, f32), f"round-trip mismatch p{predictor}"
-            results["modes"][f"predictor_{predictor}"] = {
+            assert np.array_equal(back, f32), f"round-trip mismatch {label}"
+            results["modes"][label] = {
                 "write_s": t_write,
                 "write_mb_s": raw_mb / t_write,
                 "read_s": t_read,
@@ -160,9 +183,27 @@ def main() -> None:
                 "ratio": raw_mb / (size / 1e6),
             }
             print(
-                f"predictor={predictor}: write {t_write:.3f}s "
+                f"{label}: write {t_write:.3f}s "
                 f"({raw_mb / t_write:.0f} MB/s raw), file {size / 1e6:.1f} MB, "
                 f"read {t_read:.3f}s",
+                file=sys.stderr,
+            )
+
+    # zstd level sweep on the raw f32 scene bytes: level choice for the
+    # TIFF ZSTD writer (io/tiff.py pins level 1 — on the REAL corpus the
+    # synthetic proxy's level ranking flips; see memory/verdicts).
+    if zstd_codec.available():
+        data = np.ascontiguousarray(f32).tobytes()
+        results["zstd_levels"] = {}
+        for lvl in (1, 3, 9):
+            t, out = _time(lambda l=lvl: zstd_codec.compress(data, l))
+            results["zstd_levels"][str(lvl)] = {
+                "mb_s": raw_mb / t,
+                "ratio": len(data) / len(out),
+            }
+            print(
+                f"zstd-{lvl}: {raw_mb / t:.0f} MB/s ratio "
+                f"{len(data) / len(out):.2f}",
                 file=sys.stderr,
             )
 

@@ -678,7 +678,12 @@ def _compress_chunk(raw: bytes, compression: int, row_bytes: int | None = None) 
             raise ValueError(
                 "ZSTD write requested but libzstd is not available on this system"
             )
-        return zstd_codec.compress(raw)
+        # Level 1: A/B'd on the REAL captured bench output (synthetic
+        # proxies are ~2x too compressible and mislead level choice):
+        # 146 MB/s ratio 1.63 vs level-3 71 MB/s 1.80, level-9 20 MB/s
+        # 2.04, native LZW 59 MB/s 1.37 — zstd is the speed option here,
+        # LZW the compatibility default (docs/perf/encode_study.json).
+        return zstd_codec.compress(raw, level=1)
     raise ValueError(f"unsupported TIFF write compression: {compression}")
 
 

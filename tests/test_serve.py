@@ -105,6 +105,22 @@ class TestEndpoints:
         expected, _, _ = read_raster(lib_fp)
         np.testing.assert_array_equal(served, expected)
 
+    def test_output_compress_request_key(
+        self, live_server, synthetic_tohr_tiles, tmp_path
+    ):
+        from floodsr_tpu.io.geotiff import read_raster_header
+
+        base, _ = live_server
+        out_fp = tmp_path / "served_none.tif"
+        status, result = _post(base, {
+            "in": str(synthetic_tohr_tiles["depth_lr_fp"]),
+            "dem": str(synthetic_tohr_tiles["dem_fp"]),
+            "out": str(out_fp),
+            "output_compress": "none",
+        })
+        assert status == 200, result
+        assert read_raster_header(out_fp).get("compress") is None
+
     def test_nested_tohr_payload_accepted(
         self, live_server, synthetic_tohr_tiles, tmp_path
     ):
