@@ -117,3 +117,37 @@ class TestSphinxBuild:
         for needle in ("docs/conf.py", "docs/requirements.txt"):
             assert needle in text
             assert (REPO / needle).exists()
+
+
+class TestDocFigures:
+    """The figure-refresh script tracks the figures the docs actually embed.
+
+    Role parity: the reference's ``docs/user/update_ui_screenshots.py``
+    (a figure-regeneration helper; its checked-in copy raises on import).
+    Running the full tutorial render is the ``slow`` tier's job
+    (``test_examples_notebook.py``); this gate keeps the script's manifest
+    honest without paying for a model run.
+    """
+
+    def test_manifest_matches_committed_and_embedded_figures(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "update_doc_figures",
+            REPO / "docs" / "scripts" / "update_doc_figures.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        embedded = set()
+        img_ref = re.compile(r"\(([^)\s]*img/[^)\s]+\.png)\)")
+        for doc in DOC_FILES:
+            for m in img_ref.finditer(doc.read_text(encoding="utf-8")):
+                embedded.add(Path(m.group(1)).name)
+
+        assert set(mod.FIGURES) == embedded, (
+            "update_doc_figures.FIGURES must list exactly the figures the "
+            f"docs embed: manifest={sorted(mod.FIGURES)} embedded={sorted(embedded)}"
+        )
+        for name in mod.FIGURES:
+            assert (REPO / "docs" / "img" / name).exists(), name
