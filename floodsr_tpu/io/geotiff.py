@@ -227,20 +227,49 @@ def _geo_tags_for(
     return extra
 
 
+def _slice_window(
+    arr: np.ndarray,
+    transform: Affine,
+    window: tuple[int, int, int, int],
+) -> tuple[np.ndarray, Affine]:
+    """Slice ``(row_off, col_off, height, width)`` and shift the transform."""
+    row_off, col_off, height, width = window
+    row0 = max(0, row_off)
+    col0 = max(0, col_off)
+    arr = arr[row0 : row_off + height, col0 : col_off + width]
+    x, y = transform * (float(col0), float(row0))
+    return arr, Affine(transform.a, transform.b, x, transform.d, transform.e, y)
+
+
 def read_raster(
     fp: str | Path,
     band: int = 1,
     window: tuple[int, int, int, int] | None = None,
 ) -> tuple[np.ndarray, float | None, dict]:
-    """Read one band of a GeoTIFF: ``(array, nodata, profile)``.
+    """Read one band of a raster: ``(array, nodata, profile)``.
 
+    Primary format is the TIFF family (GeoTIFF/BigTIFF/COG); ESRI ASCII
+    (.asc) and Surfer DSAA text grids are dispatched to
+    :mod:`floodsr_tpu.io.ascii_grid` (reference breadth: GDAL reads these
+    through the same ``rasterio.open``, ``floodsr/preprocessing.py:247-282``).
     ``window`` is ``(row_off, col_off, height, width)`` in pixel coordinates;
     the returned profile describes the windowed extent.
     """
+    from floodsr_tpu.io.ascii_grid import read_ascii_grid, sniff_ascii_grid
+
     path = Path(fp).expanduser().resolve()
     if not path.exists():
         raise AssertionError(f"raster does not exist: {path}")
     data = path.read_bytes()
+    if sniff_ascii_grid(data[:64]) is not None:
+        arr, nodata, profile = read_ascii_grid(path, data)
+        if band != 1:
+            raise ValueError(f"band {band} requested from single-band raster")
+        if window is not None:
+            arr, transform = _slice_window(arr, profile["transform"], window)
+            profile["transform"] = transform
+            profile["height"], profile["width"] = map(int, arr.shape)
+        return arr, nodata, profile
     arr, tags = _tiff.decode_tiff(data)
     if arr.ndim == 3:
         count = arr.shape[2]
@@ -261,12 +290,7 @@ def read_raster(
     transform = _transform_from_tags(tags) or Affine.identity()
     crs = _crs_from_geokeys(tags)
     if window is not None:
-        row_off, col_off, height, width = window
-        row0 = max(0, row_off)
-        col0 = max(0, col_off)
-        arr = arr[row0 : row_off + height, col0 : col_off + width]
-        x, y = transform * (float(col0), float(row0))
-        transform = Affine(transform.a, transform.b, x, transform.d, transform.e, y)
+        arr, transform = _slice_window(arr, transform, window)
 
     profile = {
         "driver": "GTiff",

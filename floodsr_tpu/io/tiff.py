@@ -563,18 +563,28 @@ def sniff_raster_format(head: bytes) -> str | None:
     for magic, name in _KNOWN_RASTER_MAGICS:
         if head[: len(magic)] == magic:
             return name
-    if head[:6].lower() in (b"ncols ", b"ncols\t"):
+    stripped = head.lstrip()
+    if stripped[:6].lower() in (b"ncols ", b"ncols\t"):
         return "ESRI ASCII grid"
     return None
 
 
 def _not_a_tiff(head: bytes, detail: str) -> ValueError:
     name = sniff_raster_format(head)
+    if name in ("ESRI ASCII grid", "Surfer ASCII grid"):
+        # Supported as full-raster reads (floodsr_tpu.io.read_raster
+        # dispatches to floodsr_tpu.io.ascii_grid); only this streaming
+        # TIFF codec path cannot serve them.
+        return ValueError(
+            f"{name} is a text grid: it is readable via "
+            "floodsr_tpu.io.read_raster (and tohr inputs), but cannot be "
+            "streamed through the windowed TIFF codec."
+        )
     if name is not None:
         return ValueError(
             f"unsupported raster format: {name}. This build reads the TIFF "
-            "family only (GeoTIFF, BigTIFF, COG); convert the input with "
-            "e.g. `gdal_translate -of GTiff` first."
+            "family (GeoTIFF, BigTIFF, COG) plus ESRI/Surfer ASCII grids; "
+            "convert the input with e.g. `gdal_translate -of GTiff` first."
         )
     return ValueError(f"not a TIFF file: {detail}")
 

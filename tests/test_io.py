@@ -229,7 +229,7 @@ class TestTiffCodec:
             (b"\xff\xd8\xff\xe0" + b"\0" * 64, "JPEG"),
             (b"EHFA_HEADER_TAG" + b"\0" * 64, "ERDAS Imagine"),
             (b"\x89HDF\r\n\x1a\n" + b"\0" * 64, "HDF5"),
-            (b"ncols 100\nnrows 100\n" + b"0" * 64, "ESRI ASCII grid"),
+            (b"DSBB" + b"\0" * 64, "Surfer binary grid"),
         ],
     )
     def test_known_non_tiff_formats_get_named_capability_error(
@@ -363,6 +363,136 @@ class TestTiffCodec:
                     native.lzw_decode(s, 1 << 20)
             else:
                 assert native.lzw_decode(s, 1 << 20) == want
+
+
+class TestAsciiGrids:
+    """ESRI AAIGrid / Surfer DSAA text grids through the read_raster surface.
+
+    Reference breadth: rasterio/GDAL reads these transparently
+    (floodsr/preprocessing.py:247-282); this build dispatches them from
+    read_raster to floodsr_tpu.io.ascii_grid.
+    """
+
+    ESRI = (
+        "ncols 4\n"
+        "nrows 3\n"
+        "xllcorner 500000\n"
+        "yllcorner 4000000\n"
+        "cellsize 30\n"
+        "NODATA_value -9999\n"
+        "1 2 3 4\n"
+        "5 6 -9999 8\n"
+        "9 10 11 12\n"
+    )
+
+    def test_esri_ascii_reads_like_a_geotiff(self, tmp_path):
+        from floodsr_tpu.io import read_raster
+
+        fp = tmp_path / "depth.asc"
+        fp.write_text(self.ESRI)
+        arr, nodata, profile = read_raster(fp)
+        assert arr.shape == (3, 4) and arr.dtype == np.float32
+        assert arr[0, 0] == 1.0 and arr[1, 2] == -9999.0 and arr[2, 3] == 12.0
+        assert nodata == -9999.0
+        assert profile["driver"] == "AAIGrid"
+        t = profile["transform"]
+        # North-up: top edge = yllcorner + nrows*cellsize.
+        assert (t.a, t.e, t.c, t.f) == (30.0, -30.0, 500000.0, 4000090.0)
+        assert profile["crs"] is None  # no .prj sidecar
+
+    PRJ_32633 = (
+        'PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],'
+        'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+        'PARAMETER["false_northing",0],UNIT["metre",1],'
+        'AUTHORITY["EPSG","32633"]]'
+    )
+
+    def test_prj_sidecar_resolves_crs(self, tmp_path):
+        from floodsr_tpu.io import read_raster
+
+        fp = tmp_path / "depth.asc"
+        fp.write_text(self.ESRI)
+        (tmp_path / "depth.prj").write_text(self.PRJ_32633)
+        _, _, profile = read_raster(fp)
+        assert profile["crs"] is not None and profile["crs"].epsg == 32633
+
+    def test_xllcenter_and_dx_dy_variant(self, tmp_path):
+        from floodsr_tpu.io import read_raster
+
+        fp = tmp_path / "g.asc"
+        fp.write_text(
+            "NCOLS 2\nNROWS 2\nXLLCENTER 110\nYLLCENTER 210\n"
+            "DX 20\nDY 10\n1 2\n3 4\n"
+        )
+        arr, nodata, profile = read_raster(fp)
+        assert arr.shape == (2, 2) and nodata is None
+        t = profile["transform"]
+        # Center registration shifts the corner by half a cell.
+        assert (t.c, t.f) == (100.0, 225.0)
+        assert (t.a, t.e) == (20.0, -10.0)
+
+    def test_window_read_matches_full_read(self, tmp_path):
+        from floodsr_tpu.io import read_raster
+
+        fp = tmp_path / "depth.asc"
+        fp.write_text(self.ESRI)
+        full, _, full_profile = read_raster(fp)
+        win, _, win_profile = read_raster(fp, window=(1, 2, 2, 2))
+        np.testing.assert_array_equal(win, full[1:3, 2:4])
+        ft, wt = full_profile["transform"], win_profile["transform"]
+        assert (wt.c, wt.f) == (ft.c + 2 * 30.0, ft.f - 1 * 30.0)
+        assert (win_profile["height"], win_profile["width"]) == (2, 2)
+
+    def test_surfer_dsaa_grid(self, tmp_path):
+        from floodsr_tpu.io import read_raster
+
+        # 3 cols x 2 rows, node-registered, rows stored south-first;
+        # one blanked node.
+        fp = tmp_path / "g.grd"
+        fp.write_text(
+            "DSAA\n3 2\n100 120\n200 210\n0 9\n"
+            "1 2 3\n4 1.70141e38 6\n"
+        )
+        arr, nodata, profile = read_raster(fp)
+        assert profile["driver"] == "GSAG"
+        assert arr.shape == (2, 3)
+        # Top row is the northern (last-stored) row; blank -> nan.
+        assert arr[0, 0] == 4.0 and np.isnan(arr[0, 1]) and arr[0, 2] == 6.0
+        np.testing.assert_array_equal(arr[1], [1.0, 2.0, 3.0])
+        assert nodata is not None and np.isnan(nodata)
+        t = profile["transform"]
+        assert (t.a, t.e) == (10.0, -10.0)
+        # Nodes become pixel centers: west = xlo - dx/2, north = yhi + dy/2.
+        assert (t.c, t.f) == (95.0, 215.0)
+
+    @pytest.mark.parametrize(
+        "text,match",
+        [
+            ("ncols 2\nnrows 2\nxllcorner 0\nyllcorner 0\n1 2 3 4\n",
+             "need cellsize"),
+            ("ncols 2\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 1\n1 2 3\n",
+             "expected 4 values"),
+            ("DSAA\n2 2\n0 1\n0 1\n0 1\n1 2 3\n", "expected 4 values"),
+        ],
+    )
+    def test_malformed_grids_raise_named_errors(self, tmp_path, text, match):
+        from floodsr_tpu.io import read_raster
+
+        fp = tmp_path / "bad.asc"
+        fp.write_text(text)
+        with pytest.raises(ValueError, match=match):
+            read_raster(fp)
+
+    def test_window_codec_names_the_text_grid_boundary(self):
+        """The streaming TIFF codec can't serve text grids — the error says
+        they are readable via read_raster, not 'unsupported'."""
+        from floodsr_tpu.io.tiff_window import MemoryByteSource, TiffWindowReader
+
+        with pytest.raises(ValueError, match="readable via"):
+            TiffWindowReader(MemoryByteSource(self.ESRI.encode()))
 
 
 class TestGeoTiff:

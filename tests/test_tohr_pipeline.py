@@ -346,6 +346,65 @@ class TestTohrNonNativeScale:
         assert diag["input_shape"]["output_shape"] == [96, 96]
 
 
+class TestAsciiGridInput:
+    def test_asc_depth_input_matches_geotiff_input(
+        self, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
+    ):
+        """An ESRI .asc LR depth + .prj sidecar runs the full pipeline and
+        produces the identical output to the same scene read from GeoTIFF
+        (reference: GDAL reads AAIGrid transparently,
+        floodsr/preprocessing.py:247-282)."""
+        import numpy as np
+
+        depth, nodata, profile = read_raster(synthetic_tohr_tiles["depth_lr_fp"])
+        t = profile["transform"]
+        assert t.b == 0 and t.d == 0 and t.a == -t.e
+        asc_fp = tmp_path / "depth_lr.asc"
+        header = (
+            f"ncols {depth.shape[1]}\n"
+            f"nrows {depth.shape[0]}\n"
+            f"xllcorner {t.c!r}\n"
+            f"yllcorner {t.f + t.e * depth.shape[0]!r}\n"
+            f"cellsize {t.a!r}\n"
+            f"NODATA_value {nodata!r}\n"
+        )
+        # %.9g round-trips float32 exactly, so both inputs are bit-identical.
+        np.savetxt(asc_fp, depth, fmt="%.9g", header=header.rstrip("\n"),
+                   comments="")
+        (tmp_path / "depth_lr.prj").write_text(
+            'PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+            'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Transverse_Mercator"],'
+            'PARAMETER["latitude_of_origin",0],'
+            'PARAMETER["central_meridian",15],'
+            'PARAMETER["scale_factor",0.9996],'
+            'PARAMETER["false_easting",500000],'
+            'PARAMETER["false_northing",0],UNIT["metre",1],'
+            'AUTHORITY["EPSG","32633"]]'
+        )
+        asc_check, asc_nodata, asc_profile = read_raster(asc_fp)
+        np.testing.assert_array_equal(asc_check, depth)
+        assert asc_nodata == nodata
+        assert asc_profile["crs"] == profile["crs"]
+
+        outs = {}
+        for label, lr_fp in (("tif", synthetic_tohr_tiles["depth_lr_fp"]),
+                             ("asc", asc_fp)):
+            result = tohr(
+                model_version="ResUNet_16x_DEM",
+                model_fp=tiny_model_fp,
+                depth_lr_fp=lr_fp,
+                dem_hr_fp=synthetic_tohr_tiles["dem_fp"],
+                output_fp=tmp_path / f"pred_{label}.tif",
+                window_method="feather",
+                tile_overlap=1,
+                logger=logger,
+            )
+            outs[label], _, _ = read_raster(result["output_fp"])
+        np.testing.assert_array_equal(outs["asc"], outs["tif"])
+
+
 class TestWorkerValidation:
     def test_tile_size_non_divisible_raises(
         self, worker_cls, tiny_model_fp, synthetic_tohr_tiles, tmp_path, logger
