@@ -220,6 +220,56 @@ def main() -> int:
                         file=sys.stderr,
                     )
 
+            # Packed 12-bit D2H (output_transfer="uint12"): 25% fewer link
+            # bytes than uint16 at a quantization rmse of max_depth/4095/
+            # sqrt(12) ≈ 3.5e-4 m — inside the 1e-3 m parity gate. On this
+            # harness the scene wall is link-bound (~44 MB/s tunnel,
+            # docs/perf/link_study.json), so this is the lever that moves
+            # e2e once the encode cost is off the critical path (zstd).
+            # The expensive scene executables are shared with the uint16
+            # engine (only the tiny pack-slice program differs), so the
+            # fresh worker below re-compiles nothing big.
+            pack12_results: dict[str, float] = {}
+            pack12_rmse = None
+            if os.environ.get("FLOODSR_BENCH_PACK12", "1") == "1":
+                worker12 = worker_cls(
+                    model_fp=model_fp, compute_dtype=compute_dtype,
+                    max_batch=max_batch, output_transfer="uint12",
+                )
+                with worker12:
+                    for codec in ("zstd", "lzw"):
+                        c_times = []
+                        for i in range(max(2, min(3, repeats - 1))):
+                            t0 = time.perf_counter()
+                            worker12.run(
+                                depth_lr_fp=scene["lr"],
+                                dem_hr_fp=scene["dem"],
+                                output_fp=root / f"pred12_{codec}_{i}.tif",
+                                window_method="feather",
+                                output_compress=codec,
+                            )
+                            c_times.append(time.perf_counter() - t0)
+                        pack12_results[codec] = out_mp / min(c_times)
+                        print(
+                            f"# e2e uint12 transfer + {codec}: "
+                            f"{pack12_results[codec]:.2f} MP/s "
+                            f"(best of {len(c_times)})",
+                            file=sys.stderr,
+                        )
+                # Honest quantization accounting: rmse of the pack12 output
+                # against the uint16 run's output of the same scene.
+                from floodsr_tpu.io import read_raster
+
+                a16 = read_raster(root / "pred_0.tif")[0]
+                a12 = read_raster(root / "pred12_lzw_0.tif")[0]
+                pack12_rmse = float(
+                    np.sqrt(np.mean((a16.astype(np.float64) - a12) ** 2))
+                )
+                print(
+                    f"# uint12 vs uint16 output rmse: {pack12_rmse:.2e} m",
+                    file=sys.stderr,
+                )
+
             # Sustained multi-scene throughput: the production shape is a
             # STREAM of scenes (tohr_many/serve). Each scene has its own
             # DEM, so the next DEM's decode+upload overlaps the current
@@ -367,6 +417,13 @@ def main() -> int:
         }
         for codec, mps in e2e_by_compress.items():
             payload[f"e2e_mps_{codec}"] = round(mps, 3)
+        for codec, mps in pack12_results.items():
+            payload[f"e2e_mps_pack12_{codec}"] = round(mps, 3)
+        if pack12_rmse is not None:
+            # Quantization cost of the uint12 link encoding vs the uint16
+            # default on this scene's output (gate budget: 1e-3 m rmse; the
+            # parity artifact carries a full pack12 accelerator-vs-CPU row).
+            payload["pack12_rmse_vs_uint16_m"] = round(pack12_rmse, 7)
         if stream_mps is not None:
             payload["stream_mps"] = round(stream_mps, 3)
             payload["stream_scenes"] = stream_n

@@ -168,18 +168,28 @@ def main() -> int:
     # mersch case additionally gates --window-method hard, the mode behind
     # the headline throughput number, so that claim is pinned by this
     # artifact rather than by an executor-similarity argument.
-    runs = [(name, "feather") for name in cases]
+    runs = [(name, "feather", None) for name in cases]
     if "synth_mersch" in cases:
-        runs.append(("synth_mersch", "hard"))
+        runs.append(("synth_mersch", "hard", None))
+        # The uint12 packed D2H transfer (engine output_transfer="uint12")
+        # must hold the same gate against the CPU float32 reference: its
+        # quantization budget (max_depth/4095/sqrt(12) ≈ 3.5e-4 m) composes
+        # with the pipeline's own ~2.4e-4 m in quadrature, well under 1e-3.
+        runs.append(("synth_mersch", "feather", {"output_transfer": "uint12"}))
     with tempfile.TemporaryDirectory(prefix="floodsr-parity-") as tmp_s:
         work = args.work or Path(tmp_s)
-        for name, method in runs:
+        for name, method, engine_options in runs:
             case_dir = _DATA_DIR / name
             spec = json.loads((case_dir / "case_spec.json").read_text())
             model_fp = _DATA_DIR / spec.get(
                 "model_artifact", "_artifacts/model_infer_test.fsrz"
             )
-            label = name if method == "feather" else f"{name}@{method}"
+            if engine_options:
+                label = f"{name}@pack12"
+            elif method == "feather":
+                label = name
+            else:
+                label = f"{name}@{method}"
             out_cpu = work / f"{label}_cpu.tif"
             # Two accelerator runs: the first pays whatever compiles the
             # case's shape buckets need (then persists them in the AOT
@@ -198,6 +208,7 @@ def main() -> int:
                     dem_hr_fp=case_dir / spec["inputs"]["dem_fp"],
                     output_fp=out_acc,
                     window_method=method,
+                    engine_options=engine_options,
                 )
                 walls.append(time.perf_counter() - t0)
             _tohr_cpu_subprocess(case_dir, spec, model_fp, out_cpu, method)

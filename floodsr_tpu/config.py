@@ -38,7 +38,11 @@ class Config:
     log_level: str | None = None
     # Engine execution knobs (machine/user preference, not correctness).
     compute_dtype: str = "float32"       # "float32" | "bfloat16" | "mixed"
-    output_transfer: str = "uint16"      # "uint16" | "float32"
+    # Output D2H encoding: "uint16" (default, quant rmse ~2e-5 m at the 5 m
+    # max_depth), "uint12" (25% fewer link bytes, quant rmse ~3.5e-4 m —
+    # still inside the 1e-3 m parity gate; pays off when the device-host
+    # link is the scene bottleneck, docs/perf/link_study.json), "float32".
+    output_transfer: str = "uint16"      # "uint16" | "uint12" | "float32"
     input_transfer: str = "uint16"       # "uint16" | "float32" (DEM upload encoding)
     max_batch: int = 8
     window_method: str = "feather"
@@ -114,8 +118,10 @@ def load_config(
         raise ValueError(
             f"compute_dtype must be float32|bfloat16|mixed; got {config.compute_dtype}"
         )
-    if config.output_transfer not in {"uint16", "float32"}:
-        raise ValueError(f"output_transfer must be uint16|float32; got {config.output_transfer}")
+    if config.output_transfer not in {"uint16", "uint12", "float32"}:
+        raise ValueError(
+            f"output_transfer must be uint16|uint12|float32; got {config.output_transfer}"
+        )
     if config.input_transfer not in {"uint16", "float32"}:
         raise ValueError(f"input_transfer must be uint16|float32; got {config.input_transfer}")
     if config.window_method not in {"feather", "hard"}:

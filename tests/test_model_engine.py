@@ -337,6 +337,54 @@ class TestEngineRunTiles:
             nonzero = out[out > 0]
             assert (nonzero >= 1e-3).all()
 
+    @pytest.mark.parametrize("crop_w", [64, 63])
+    def test_uint12_transfer_matches_f32_within_quantization(
+        self, tiny_artifact, crop_w
+    ):
+        """Packed 12-bit D2H (engine/jax_engine.py::_row_slice_pack12_fn).
+
+        Reference contract: same output as the reference worker's float path
+        (/root/reference/floodsr/models/ResUNet_16x_DEM.py:250-294) up to the
+        declared quantization step. The odd ``crop_w`` exercises the pad
+        column inside the pack program. ``low_depth_mask_m=0`` keeps the
+        bound clean of mask-threshold flips right at 1e-3 m.
+        """
+        rng = np.random.default_rng(12)
+        depth = rng.uniform(0, 3, (16, 16)).astype(np.float32)
+        dem = rng.uniform(300, 800, (64, crop_w)).astype(np.float32)
+
+        outs = {}
+        for transfer in ("float32", "uint12"):
+            eng = EngineJAX(tiny_artifact, max_batch=4, output_transfer=transfer)
+            out, _ = eng.run_scene(
+                depth, dem,
+                stride_hr=24, overlap_hr=8,
+                max_depth=5.0, dem_pct_clip=95.0, crop_shape=(64, crop_w),
+                low_depth_mask_m=0.0,
+            )
+            outs[transfer] = out
+            eng.close()
+        assert outs["uint12"].shape == (64, crop_w)
+        # 12-bit step is 5/4095 ≈ 1.22e-3 m; half-step rounding plus the
+        # uint16 intermediate's half-step — allow one full 12-bit step.
+        assert np.abs(outs["uint12"] - outs["float32"]).max() <= 5.0 / 4095.0
+
+    def test_unpack12_inverts_reference_packing(self):
+        """Host unpack is the exact inverse of the device pack layout."""
+        rng = np.random.default_rng(3)
+        codes = rng.integers(0, 4096, (7, 10), np.uint16)
+        a, b = codes[:, 0::2].astype(np.uint16), codes[:, 1::2].astype(np.uint16)
+        packed = np.stack(
+            [
+                (a >> 4).astype(np.uint8),
+                (((a & 0xF) << 4) | (b >> 8)).astype(np.uint8),
+                (b & 0xFF).astype(np.uint8),
+            ],
+            axis=-1,
+        ).reshape(7, -1)
+        out = EngineJAX._unpack12(packed, 9, 2.0)  # odd cols: drop pad column
+        np.testing.assert_array_equal(out, codes[:, :9].astype(np.float32) * 2.0)
+
     def test_close_releases(self, tiny_artifact):
         eng = EngineJAX(tiny_artifact)
         eng.close()
